@@ -1,0 +1,31 @@
+"""lzma_tpu — a TPU-native LZMA codec framework.
+
+Capability parity with the reference Java LZMA SDK (rfalke/lzma-java),
+re-architected TPU-first:
+
+- ``core``     format constants, state machine, price model, flat prob arena
+- ``codec``    scalar encoder (BT2/BT4/HC4 + optimal parse) / decoder oracles
+- ``match``    match finders
+- ``ops``      JAX/Pallas device kernels: lane-parallel range-coder FSMs,
+               sort-based parallel match finding
+- ``parallel`` block-parallel framing + mesh/shard_map multi-chip pipeline
+- ``runtime``  native C++ multithreaded block codec (ctypes)
+- ``bench``    LzmaBench-equivalent synthetic benchmark + ratings
+- ``cli``      LzmaAlone-compatible command line (python -m lzma_tpu)
+"""
+
+from .format.properties import LzmaParams, decode_props  # noqa: F401
+from .codec.encoder import encode_alone, encode_stream  # noqa: F401
+from .codec.decoder import decode_alone, decode_stream  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def compress(data: bytes, params: LzmaParams | None = None, **kw) -> bytes:
+    """Compress to a `.lzma` (LZMA_Alone) container."""
+    return encode_alone(data, params or LzmaParams(**kw))
+
+
+def decompress(data: bytes) -> bytes:
+    """Decompress a `.lzma` (LZMA_Alone) container."""
+    return decode_alone(data)

@@ -1,0 +1,227 @@
+"""LzmaAlone-compatible command line.
+
+Same surface as the reference CLI (LzmaAlone.java:42-154): `e`/`d`/`b`
+commands, `-d{N} -fb{N} -a{N} -lc{N} -lp{N} -pb{N} -eos -mf{bt2,bt4}`
+switches, `--` to end switch parsing, same defaults (dict 2^23, fb 128,
+lc3 lp0 pb2, bt4, max mode).  Extensions: `-mfhc4`, `-backend{scalar,
+native,tpu}`, `-bs{N}` block size + `-t{N}` threads for the
+block-parallel LZTB container, `-q` quiet.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .format.properties import LzmaParams
+from .codec.encoder import encode_alone
+from .codec.decoder import decode_alone
+
+BANNER = "\nLZMA (tpu) 0.1  — capability parity with LZMA (Java) 4.61\n"
+
+HELP = """
+Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
+  e: encode file
+  d: decode file
+  b: Benchmark
+<Switches>
+  -d{N}:  set dictionary - [0,28], default: 23 (8MB)
+  -fb{N}: set number of fast bytes - [5, 273], default: 128
+  -lc{N}: set number of literal context bits - [0, 8], default: 3
+  -lp{N}: set number of literal pos bits - [0, 4], default: 0
+  -pb{N}: set number of pos bits - [0, 4], default: 2
+  -mf{MF_ID}: set Match Finder: [bt2, bt4, hc4], default: bt4
+  -eos:   write End Of Stream marker
+  -backend{B}: scalar | native | tpu (default: native if built, else scalar)
+  -bs{N}: block size (bytes) -> block-parallel LZTB container
+  -t{N}:  worker threads for block-parallel mode
+"""
+
+
+class CommandLine:
+    """Switch parser with the reference's exact grammar (LzmaAlone.java:42-134)."""
+
+    def __init__(self):
+        self.command = None
+        self.num_passes = 10
+        self.dict_size = 1 << 23
+        self.dict_defined = False
+        self.lc, self.lp, self.pb = 3, 0, 2
+        self.fb = 128
+        self.eos = False
+        self.algorithm = 2
+        self.match_finder = "bt4"
+        self.backend = None
+        self.block_size = 0
+        self.threads = 0
+        self.quiet = False
+        self.in_file = None
+        self.out_file = None
+
+    def parse_switch(self, s: str) -> bool:
+        try:
+            if s.startswith("backend"):
+                self.backend = s[7:]
+                return self.backend in ("scalar", "native", "tpu")
+            if s.startswith("bs"):
+                self.block_size = int(s[2:])
+            elif s.startswith("d"):
+                self.dict_size = 1 << int(s[1:])
+                self.dict_defined = True
+            elif s.startswith("fb"):
+                self.fb = int(s[2:])
+            elif s.startswith("a"):
+                self.algorithm = int(s[1:])
+            elif s.startswith("lc"):
+                self.lc = int(s[2:])
+            elif s.startswith("lp"):
+                self.lp = int(s[2:])
+            elif s.startswith("pb"):
+                self.pb = int(s[2:])
+            elif s.startswith("eos"):
+                self.eos = True
+            elif s.startswith("mf"):
+                mf = s[2:]
+                if mf == "bt4b":  # accepted alias, treated as bt4 (LzmaAlone.java:65-66)
+                    mf = "bt4"
+                if mf not in ("bt2", "bt4", "hc4"):
+                    return False
+                self.match_finder = mf
+            elif s.startswith("t"):
+                self.threads = int(s[1:])
+            elif s.startswith("q"):
+                self.quiet = True
+            else:
+                return False
+            return True
+        except ValueError:
+            return False
+
+    def parse(self, args) -> bool:
+        pos = 0
+        switch_mode = True
+        for s in args:
+            if not s:
+                return False
+            if switch_mode:
+                if s == "--":
+                    switch_mode = False
+                    continue
+                if s[0] == "-":
+                    if not s[1:] or not self.parse_switch(s[1:].lower()):
+                        return False
+                    continue
+            if pos == 0:
+                cmd = s.lower()
+                if cmd not in ("e", "d", "b"):
+                    return False
+                self.command = cmd
+            elif pos == 1:
+                if self.command == "b":
+                    try:
+                        self.num_passes = int(s)
+                    except ValueError:
+                        return False
+                    if self.num_passes < 1:
+                        return False
+                else:
+                    self.in_file = s
+            elif pos == 2:
+                self.out_file = s
+            else:
+                return False
+            pos += 1
+        return True
+
+    def params(self) -> LzmaParams:
+        return LzmaParams(
+            lc=self.lc,
+            lp=self.lp,
+            pb=self.pb,
+            dict_size=self.dict_size,
+            fast_bytes=self.fb,
+            match_finder=self.match_finder,
+            write_eos=self.eos,
+        )
+
+
+def _pick_backend(name):
+    """Resolve encode/decode callables for the chosen backend."""
+    if name in (None, "native"):
+        try:
+            from .runtime import native
+
+            if native.available():
+                return native.encode_alone, native.decode_alone, "native"
+        except Exception:
+            if name == "native":
+                raise
+    if name == "tpu":
+        from .ops import api as tpu_api
+
+        return tpu_api.encode_alone, tpu_api.decode_alone, "tpu"
+    return (
+        lambda data, params: encode_alone(data, params),
+        lambda data: decode_alone(data),
+        "scalar",
+    )
+
+
+def main(argv=None) -> int:
+    args = sys.argv[1:] if argv is None else list(argv)
+    print(BANNER)
+    if not args:
+        print(HELP)
+        return 0
+    cmd = CommandLine()
+    if not cmd.parse(args):
+        print("\nIncorrect command")
+        return 1
+
+    if cmd.command == "b":
+        from .bench.harness import run_benchmark
+
+        dict_size = cmd.dict_size if cmd.dict_defined else (1 << 21)
+        run_benchmark(cmd.num_passes, dict_size)
+        return 0
+
+    if not cmd.in_file or not cmd.out_file:
+        print(HELP)
+        return 1
+    try:
+        with open(cmd.in_file, "rb") as f:
+            data = f.read()
+    except OSError as e:
+        print(f"error: cannot read {cmd.in_file}: {e.strerror}")
+        return 1
+
+    enc, dec, backend = _pick_backend(cmd.backend)
+    if cmd.command == "e":
+        params = cmd.params().validated_for_encode()
+        if cmd.block_size:
+            from .parallel.blocks import encode_blocks
+
+            out = encode_blocks(
+                data, params, block_size=cmd.block_size, num_threads=max(cmd.threads, 1)
+            )
+        else:
+            out = enc(data, params)
+    else:
+        if data[:4] == b"LZTB":
+            from .parallel.blocks import decode_blocks
+
+            out = decode_blocks(data, num_threads=max(cmd.threads, 1))
+        else:
+            out = dec(data)
+    try:
+        with open(cmd.out_file, "wb") as f:
+            f.write(out)
+    except OSError as e:
+        print(f"error: cannot write {cmd.out_file}: {e.strerror}")
+        return 1
+    if not cmd.quiet:
+        print(f"{cmd.command}: {len(data)} -> {len(out)} bytes [{backend}]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Block-parallel LZTB container tests."""
+
+import numpy as np
+import pytest
+
+from lzma_tpu.core.rangecoder import CorruptStreamError
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.parallel.blocks import (
+    decode_blocks,
+    encode_blocks,
+    parse_container,
+    split_blocks,
+)
+
+
+def _data(n=100_000):
+    rng = np.random.default_rng(11)
+    out = bytearray()
+    words = [rng.integers(0, 256, int(rng.integers(3, 30)), dtype=np.uint8).tobytes() for _ in range(50)]
+    while len(out) < n:
+        out.extend(words[int(rng.integers(0, 50))])
+    return bytes(out[:n])
+
+
+@pytest.mark.parametrize("block_size", [1 << 14, 1 << 16, 1 << 20])
+def test_roundtrip_block_sizes(block_size):
+    data = _data()
+    p = LzmaParams(dict_size=1 << 16, fast_bytes=32)
+    blob = encode_blocks(data, p, block_size=block_size)
+    assert decode_blocks(blob) == data
+
+
+def test_threaded_matches_serial():
+    data = _data(200_000)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    serial = encode_blocks(data, p, block_size=1 << 15, num_threads=1)
+    threaded = encode_blocks(data, p, block_size=1 << 15, num_threads=4)
+    assert serial == threaded  # determinism regardless of parallelism
+    assert decode_blocks(threaded, num_threads=4) == data
+
+
+def test_uneven_tail_block():
+    data = _data(70_001)
+    blob = encode_blocks(data, LzmaParams(dict_size=1 << 14, fast_bytes=16), block_size=1 << 16)
+    frame = parse_container(blob)
+    assert len(frame.comp_sizes) == 2
+    assert decode_blocks(blob) == data
+
+
+def test_single_and_empty():
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=8)
+    assert decode_blocks(encode_blocks(b"", p)) == b""
+    assert decode_blocks(encode_blocks(b"z", p)) == b"z"
+
+
+def test_truncation_detected():
+    data = _data(50_000)
+    blob = encode_blocks(data, LzmaParams(dict_size=1 << 14, fast_bytes=16), block_size=1 << 14)
+    with pytest.raises(CorruptStreamError):
+        decode_blocks(blob[: len(blob) - 40])
+    with pytest.raises(CorruptStreamError):
+        decode_blocks(b"XXXX" + blob[4:])
+
+
+def test_split_blocks():
+    assert split_blocks(b"abcdef", 4) == [b"abcd", b"ef"]
+    assert split_blocks(b"", 4) == []
+
+
+def test_eos_rejected():
+    with pytest.raises(ValueError):
+        encode_blocks(b"abc", LzmaParams(write_eos=True))

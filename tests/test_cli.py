@@ -1,0 +1,66 @@
+"""CLI surface tests (switch grammar parity with LzmaAlone.java:42-134)."""
+
+import lzma
+import subprocess
+import sys
+
+import pytest
+
+from lzma_tpu.cli import CommandLine
+
+
+def test_switch_grammar():
+    c = CommandLine()
+    assert c.parse(["e", "-d16", "-fb32", "-lc0", "-lp1", "-pb0", "-eos", "-mfbt2", "a", "b"])
+    assert c.command == "e" and c.dict_size == 1 << 16 and c.fb == 32
+    assert (c.lc, c.lp, c.pb) == (0, 1, 0) and c.eos and c.match_finder == "bt2"
+    assert c.in_file == "a" and c.out_file == "b"
+
+
+def test_switch_mode_toggle():
+    c = CommandLine()
+    assert c.parse(["e", "--", "-weird-name", "out"])
+    assert c.in_file == "-weird-name"
+
+
+def test_bad_switches_rejected():
+    for args in (["x"], ["e", "-mfxx", "a", "b"], ["e", "-dxx", "a", "b"], ["b", "0"], ["e", "a", "b", "c"], [""]):
+        assert not CommandLine().parse(args), args
+
+
+def test_bt4b_alias():
+    c = CommandLine()
+    assert c.parse(["e", "-mfbt4b", "a", "b"])
+    assert c.match_finder == "bt4"
+
+
+def test_benchmark_passes_arg():
+    c = CommandLine()
+    assert c.parse(["b", "3"])
+    assert c.num_passes == 3
+
+
+@pytest.mark.parametrize("extra", [[], ["-bs8192", "-t2"]])
+def test_cli_end_to_end(tmp_path, extra):
+    src = tmp_path / "in.bin"
+    comp = tmp_path / "out.lzma"
+    back = tmp_path / "back.bin"
+    data = (b"the cli must round trip " * 500)[:9001]
+    src.write_bytes(data)
+    run = lambda a: subprocess.run(
+        [sys.executable, "-m", "lzma_tpu", *a], cwd="/root/repo", capture_output=True, text=True
+    )
+    r = run(["e", "-d16", "-fb16", *extra, str(src), str(comp)])
+    assert r.returncode == 0, r.stderr
+    r = run(["d", str(comp), str(back)])
+    assert r.returncode == 0, r.stderr
+    assert back.read_bytes() == data
+    if not extra:  # single-stream .lzma must also decode with stock liblzma
+        assert lzma.decompress(comp.read_bytes(), format=lzma.FORMAT_ALONE) == data
+
+
+def test_cli_help(capsys):
+    from lzma_tpu.cli import main
+
+    assert main([]) == 0
+    assert "Usage" in capsys.readouterr().out

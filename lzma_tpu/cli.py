@@ -198,18 +198,30 @@ def main(argv=None) -> int:
     if cmd.command == "e":
         params = cmd.params().validated_for_encode()
         if cmd.block_size:
-            from .parallel.blocks import encode_blocks
+            if backend == "native":
+                from .runtime import native
 
-            out = encode_blocks(
-                data, params, block_size=cmd.block_size, num_threads=max(cmd.threads, 1)
-            )
+                out = native.encode_blocks(
+                    data, params, block_size=cmd.block_size, num_threads=cmd.threads
+                )
+            else:
+                from .parallel.blocks import encode_blocks
+
+                out = encode_blocks(
+                    data, params, block_size=cmd.block_size, num_threads=max(cmd.threads, 1)
+                )
         else:
             out = enc(data, params)
     else:
         if data[:4] == b"LZTB":
-            from .parallel.blocks import decode_blocks
+            if backend == "native":
+                from .runtime import native
 
-            out = decode_blocks(data, num_threads=max(cmd.threads, 1))
+                out = native.decode_blocks(data, num_threads=cmd.threads)
+            else:
+                from .parallel.blocks import decode_blocks
+
+                out = decode_blocks(data, num_threads=max(cmd.threads, 1))
         else:
             out = dec(data)
     try:

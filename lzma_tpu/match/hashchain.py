@@ -87,8 +87,10 @@ class HashChainMatchFinder:
         hash3 = temp & (_HASH3_SIZE - 1)
         hash_value = (temp ^ (_CRC[buf[pos + 3]] << 5)) & self.hash_mask
 
+        # short-candidate fast path, same dedup rules as the BT4 finder
         matches = []
         max_len = 1
+        cur_match = hsh[self.fix_hash_size + hash_value]
         cur_match2 = hsh[hash2]
         cur_match3 = hsh[_HASH3_OFFSET + hash3]
         hsh[hash2] = pos
@@ -96,11 +98,16 @@ class HashChainMatchFinder:
         if cur_match2 > match_min_pos and buf[cur_match2] == buf[pos]:
             max_len = 2
             matches.append([2, pos - cur_match2 - 1])
-        if cur_match3 > match_min_pos and cur_match3 != cur_match2 and buf[cur_match3] == buf[pos]:
+        if cur_match3 > match_min_pos and buf[cur_match3] == buf[pos]:
+            if cur_match3 == cur_match2:
+                matches.pop()
             max_len = 3
             matches.append([3, pos - cur_match3 - 1])
+            cur_match2 = cur_match3
+        if matches and cur_match2 == cur_match:
+            matches.pop()
+            max_len = 1
 
-        cur_match = hsh[self.fix_hash_size + hash_value]
         hsh[self.fix_hash_size + hash_value] = pos
         self.chain[self.cyclic_pos] = cur_match
 

@@ -1,0 +1,180 @@
+"""ctypes binding to the native runtime (liblzma_tpu_native.so).
+
+Exposes the same surface as the scalar codec — encode/decode of raw
+streams, `.lzma` containers and block-parallel LZTB containers — backed by
+the multithreaded C++ core.  Output is byte-identical to the scalar
+oracle (asserted by tests/test_native.py).  Builds on demand; every entry
+point raises NativeUnavailable if no compiler is present, so callers can
+fall back to the scalar path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+from functools import lru_cache
+
+from ..format.properties import LzmaParams, decode_props
+from ..core.rangecoder import CorruptStreamError
+from ..parallel import blocks as blk
+
+_MF_INDEX = {"bt2": 0, "bt4": 1, "hc4": 2}
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+@lru_cache(maxsize=1)
+def _lib():
+    from . import build
+
+    try:
+        path = build.build()
+    except Exception as e:  # no compiler / build failure
+        raise NativeUnavailable(str(e)) from e
+    lib = ctypes.CDLL(path)
+    lib.lzt_encode.restype = ctypes.c_int64
+    lib.lzt_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.lzt_encode_bound.restype = ctypes.c_int64
+    lib.lzt_encode_bound.argtypes = [ctypes.c_int64]
+    lib.lzt_decode.restype = ctypes.c_int
+    lib.lzt_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.lzt_encode_blocks.restype = ctypes.c_int64
+    lib.lzt_encode_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.lzt_decode_blocks.restype = ctypes.c_int
+    lib.lzt_decode_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+    ]
+    return lib
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True) -> bytes:
+    params = params.validated_for_encode()
+    lib = _lib()
+    cap = lib.lzt_encode_bound(len(data))
+    out = ctypes.create_string_buffer(cap)
+    n = lib.lzt_encode(
+        data, len(data), params.lc, params.lp, params.pb, params.dict_size,
+        params.fast_bytes, _MF_INDEX[params.match_finder],
+        1 if params.write_eos else 0, 1 if optimal else 0, out, cap,
+    )
+    if n < 0:
+        raise ValueError(f"native encode failed: {n}")
+    return out.raw[:n]
+
+
+def decode_stream(comp: bytes, params: LzmaParams, out_size: int) -> bytes:
+    if out_size < 0:
+        raise ValueError("native decode requires known out_size (EOS: use scalar)")
+    lib = _lib()
+    out = ctypes.create_string_buffer(max(out_size, 1))
+    rc = lib.lzt_decode(
+        comp, len(comp), params.lc, params.lp, params.pb, params.dict_size, out, out_size
+    )
+    if rc != 0:
+        raise CorruptStreamError(f"native decode failed: {rc}")
+    return out.raw[:out_size]
+
+
+def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True) -> bytes:
+    size = (-1 if params.write_eos else len(data)) & 0xFFFFFFFFFFFFFFFF
+    return (
+        params.encode_props()
+        + size.to_bytes(8, "little")
+        + encode_stream(data, params, optimal=optimal)
+    )
+
+
+def decode_alone(data: bytes) -> bytes:
+    if len(data) < 13:
+        raise CorruptStreamError(".lzma input too short")
+    params = decode_props(data[:5])
+    out_size = int.from_bytes(data[5:13], "little")
+    if out_size == 0xFFFFFFFFFFFFFFFF:  # EOS-terminated: scalar fallback
+        from ..codec.decoder import decode_stream as py_decode
+
+        return py_decode(data, params, out_size=-1, start=13)
+    return decode_stream(data[13:], params, out_size)
+
+
+def encode_blocks(
+    data: bytes,
+    params: LzmaParams | None = None,
+    block_size: int = blk.DEFAULT_BLOCK_SIZE,
+    num_threads: int = 0,
+    optimal: bool = True,
+) -> bytes:
+    """Multithreaded block-parallel encode to an LZTB container."""
+    params = (params or LzmaParams()).validated_for_encode()
+    if params.write_eos:
+        raise ValueError("block container uses known sizes; EOS not supported")
+    lib = _lib()
+    num_blocks = (len(data) + block_size - 1) // block_size
+    if num_blocks == 0:
+        return blk.build_container(params, block_size, 0, [])
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    cap = lib.lzt_encode_bound(len(data)) + 4096 * num_blocks
+    out = ctypes.create_string_buffer(cap)
+    sizes = (ctypes.c_uint32 * num_blocks)()
+    n = lib.lzt_encode_blocks(
+        data, len(data), params.lc, params.lp, params.pb, params.dict_size,
+        params.fast_bytes, _MF_INDEX[params.match_finder], 1 if optimal else 0,
+        block_size, num_threads, out, cap, sizes,
+    )
+    if n < 0:
+        raise ValueError(f"native block encode failed: {n}")
+    head = blk._HEAD.pack(
+        blk.MAGIC, blk.VERSION, params.encode_props(), block_size, len(data), num_blocks
+    )
+    return head + struct.pack(f"<{num_blocks}I", *sizes) + out.raw[:n]
+
+
+def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
+    """Multithreaded block-parallel decode of an LZTB container."""
+    frame = blk.parse_container(blob)
+    n = len(frame.comp_sizes)
+    if n == 0:
+        return b""
+    lib = _lib()
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    payload = bytes(blob[frame.payload_offset :])
+    sizes = (ctypes.c_uint32 * n)(*frame.comp_sizes)
+    out = ctypes.create_string_buffer(max(frame.total_size, 1))
+    rc = lib.lzt_decode_blocks(
+        payload, len(payload), frame.params.lc, frame.params.lp, frame.params.pb,
+        frame.params.dict_size, frame.block_size, frame.total_size,
+        sizes, n, num_threads, out,
+    )
+    if rc != 0:
+        raise CorruptStreamError(f"native block decode failed: {rc}")
+    return out.raw[: frame.total_size]

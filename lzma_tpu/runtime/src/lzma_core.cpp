@@ -1,0 +1,1593 @@
+// lzma_tpu native runtime: high-throughput host-side LZMA block codec.
+//
+// The TPU framework's host runtime component (SURVEY.md §2 calls for native
+// stand-ins where performance matters): a from-scratch C++17 implementation
+// of the same codec semantics as the Python oracle (lzma_tpu/codec/*.py),
+// sharing the flat probability-arena layout, plus a std::thread block pool
+// for data-parallel LZTB encode/decode.  Output is byte-identical to the
+// scalar oracle and therefore to the reference Java encoder (pinned by
+// tests/test_native.py against the golden sizes in BASELINE.md).
+//
+// Reference behavior pinned against (semantics, not code):
+//   range coder      RangeEncoder.java:23-87, RangeDecoder.java:19-64
+//   match finders    BinTree.java:59-356
+//   optimal parse    Encoder.java:275-811
+//   symbol emission  Encoder.java:818-1024
+//   decoder          Decoder.java:205-301
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <thread>
+#include <atomic>
+#include <algorithm>
+
+namespace {
+
+// ----------------------------------------------------------------- constants
+constexpr int kNumStates = 12;
+constexpr int kNumPosStatesBitsMax = 4;
+constexpr int kNumPosStatesMax = 1 << kNumPosStatesBitsMax;
+constexpr int kMatchMinLen = 2;
+constexpr int kMatchMaxLen = 273;
+constexpr int kNumLenToPosStates = 4;
+constexpr int kNumPosSlotBits = 6;
+constexpr int kNumAlignBits = 4;
+constexpr int kAlignTableSize = 1 << kNumAlignBits;
+constexpr int kAlignMask = kAlignTableSize - 1;
+constexpr int kStartPosModelIndex = 4;
+constexpr int kEndPosModelIndex = 14;
+constexpr int kNumFullDistances = 1 << (kEndPosModelIndex / 2);
+constexpr int kNumOpts = 1 << 12;
+constexpr int kNumRepDistances = 4;
+constexpr uint32_t kTopValue = 1u << 24;
+constexpr int kNumBitModelTotalBits = 11;
+constexpr uint32_t kBitModelTotal = 1u << kNumBitModelTotalBits;
+constexpr int kNumMoveBits = 5;
+constexpr uint16_t kProbInit = kBitModelTotal >> 1;
+constexpr uint32_t kInfinityPrice = 0x0FFFFFFF;
+constexpr int kNumLenSymbols = 272;
+
+// state machine (Base.java:16-36)
+inline int next_lit(int s) { return s < 4 ? 0 : (s < 10 ? s - 3 : s - 6); }
+inline int next_match(int s) { return s < 7 ? 7 : 10; }
+inline int next_srep(int s) { return s < 7 ? 9 : 11; }
+inline int next_lrep(int s) { return s < 7 ? 8 : 11; }
+inline int len_to_pos_state(int len) {
+  int v = len - kMatchMinLen;
+  return v < kNumLenToPosStates ? v : kNumLenToPosStates - 1;
+}
+
+// --------------------------------------------------------- static tables
+struct Tables {
+  uint32_t crc[256];
+  uint8_t fast_pos[1 << 11];
+  uint32_t prices[kBitModelTotal >> 2];
+  Tables() {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t r = i;
+      for (int j = 0; j < 8; j++) r = (r >> 1) ^ ((r & 1) ? 0xEDB88320u : 0);
+      crc[i] = r;
+    }
+    fast_pos[0] = 0;
+    fast_pos[1] = 1;
+    int c = 2;
+    for (int slot = 2; slot < 22; slot++) {
+      int k = 1 << ((slot >> 1) - 1);
+      for (int j = 0; j < k; j++, c++) fast_pos[c] = (uint8_t)slot;
+    }
+    // piecewise-log table (ProbPrices.java:8-18)
+    constexpr int kNumBits = kNumBitModelTotalBits - 2;
+    for (int i = kNumBits - 1; i >= 0; i--) {
+      int start = 1 << (kNumBits - i - 1), end = 1 << (kNumBits - i);
+      for (int j = start; j < end; j++)
+        prices[j] = (uint32_t)((i << 6) + (((end - j) << 6) >> (kNumBits - i - 1)));
+    }
+  }
+};
+const Tables T;
+
+inline uint32_t price_of(uint32_t prob, int bit) {
+  return T.prices[(((prob - bit) ^ (uint32_t)(-bit)) & (kBitModelTotal - 1)) >> 2];
+}
+inline uint32_t price0(uint32_t p) { return T.prices[p >> 2]; }
+inline uint32_t price1(uint32_t p) { return T.prices[(kBitModelTotal - p) >> 2]; }
+
+inline int get_pos_slot(uint32_t pos) {
+  if (pos < (1u << 11)) return T.fast_pos[pos];
+  if (pos < (1u << 21)) return T.fast_pos[pos >> 10] + 20;
+  return T.fast_pos[pos >> 20] + 40;
+}
+inline int get_pos_slot2(uint32_t pos) {
+  if (pos < (1u << 17)) return T.fast_pos[pos >> 6] + 12;
+  if (pos < (1u << 27)) return T.fast_pos[pos >> 16] + 32;
+  return T.fast_pos[pos >> 26] + 52;
+}
+
+// ------------------------------------------------------------ prob layout
+// Mirrors lzma_tpu/core/layout.py exactly.
+struct Layout {
+  int lc, lp, pb;
+  int is_match, is_rep, is_rep_g0, is_rep_g1, is_rep_g2, is_rep0_long;
+  int pos_slot, spec_pos, align_;
+  int len_coder, rep_len_coder, literal, size;
+  explicit Layout(int lc_, int lp_, int pb_) : lc(lc_), lp(lp_), pb(pb_) {
+    int off = 0;
+    is_match = off; off += kNumStates << kNumPosStatesBitsMax;
+    is_rep = off; off += kNumStates;
+    is_rep_g0 = off; off += kNumStates;
+    is_rep_g1 = off; off += kNumStates;
+    is_rep_g2 = off; off += kNumStates;
+    is_rep0_long = off; off += kNumStates << kNumPosStatesBitsMax;
+    pos_slot = off; off += kNumLenToPosStates * 64;
+    spec_pos = off; off += kNumFullDistances - kEndPosModelIndex;
+    align_ = off; off += kAlignTableSize;
+    len_coder = off; off += 514;
+    rep_len_coder = off; off += 514;
+    literal = off; off += 0x300 << (lc + lp);
+    size = off;
+  }
+  int pos_state_mask() const { return (1 << pb) - 1; }
+  int lit_sub(uint32_t pos, uint8_t prev) const {
+    int ctx = (int)(((pos & ((1u << lp) - 1)) << lc) + (prev >> (8 - lc)));
+    return literal + ctx * 0x300;
+  }
+};
+// len coder internal offsets (relative)
+constexpr int kLenChoice = 0, kLenChoice2 = 1, kLenLow = 2;
+constexpr int kLenMid = kLenLow + kNumPosStatesMax * 8;
+constexpr int kLenHigh = kLenMid + kNumPosStatesMax * 8;
+
+// ------------------------------------------------------------ range coder
+class RangeEnc {
+ public:
+  std::vector<uint8_t>* out;
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  uint64_t cache_size = 1;
+
+  void shift_low() {
+    uint32_t low_hi = (uint32_t)(low >> 32);
+    if (low_hi != 0 || low < 0xFF000000ull) {
+      uint8_t b = (uint8_t)(cache + low_hi);
+      out->push_back(b);
+      uint8_t filler = (uint8_t)(0xFF + low_hi);
+      while (--cache_size) out->push_back(filler);
+      cache = (uint8_t)(low >> 24);
+    }
+    cache_size++;
+    low = (low & 0xFFFFFF) << 8;
+  }
+  inline void encode_bit(uint16_t* probs, int idx, int bit) {
+    uint32_t prob = probs[idx];
+    uint32_t bound = (range >> kNumBitModelTotalBits) * prob;
+    if (bit == 0) {
+      range = bound;
+      probs[idx] = (uint16_t)(prob + ((kBitModelTotal - prob) >> kNumMoveBits));
+    } else {
+      low += bound;
+      range -= bound;
+      probs[idx] = (uint16_t)(prob - (prob >> kNumMoveBits));
+    }
+    if (range < kTopValue) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+  void encode_direct(uint32_t v, int nbits) {
+    for (int i = nbits - 1; i >= 0; i--) {
+      range >>= 1;
+      if ((v >> i) & 1) low += range;
+      if (range < kTopValue) {
+        range <<= 8;
+        shift_low();
+      }
+    }
+  }
+  void encode_tree(uint16_t* probs, int base, int nbits, int symbol) {
+    int m = 1;
+    for (int i = nbits - 1; i >= 0; i--) {
+      int bit = (symbol >> i) & 1;
+      encode_bit(probs, base + m, bit);
+      m = (m << 1) | bit;
+    }
+  }
+  void encode_tree_rev(uint16_t* probs, int base, int nbits, int symbol) {
+    int m = 1;
+    for (int i = 0; i < nbits; i++) {
+      int bit = symbol & 1;
+      symbol >>= 1;
+      encode_bit(probs, base + m, bit);
+      m = (m << 1) | bit;
+    }
+  }
+  void flush() {
+    for (int i = 0; i < 5; i++) shift_low();
+  }
+};
+
+class RangeDec {
+ public:
+  const uint8_t* data;
+  size_t pos, end;
+  uint32_t range = 0xFFFFFFFFu, code = 0;
+  int overrun = 0;
+  bool init(const uint8_t* d, size_t start, size_t e) {
+    data = d;
+    pos = start;
+    end = e;
+    range = 0xFFFFFFFFu;
+    code = 0;
+    overrun = 0;
+    for (int i = 0; i < 5; i++) code = (code << 8) | next_byte();
+    return overrun == 0;
+  }
+  inline uint8_t next_byte() {
+    if (pos < end) return data[pos++];
+    overrun++;
+    return 0;
+  }
+  inline int decode_bit(uint16_t* probs, int idx) {
+    uint32_t prob = probs[idx];
+    uint32_t bound = (range >> kNumBitModelTotalBits) * prob;
+    int bit;
+    if (code < bound) {
+      range = bound;
+      probs[idx] = (uint16_t)(prob + ((kBitModelTotal - prob) >> kNumMoveBits));
+      bit = 0;
+    } else {
+      range -= bound;
+      code -= bound;
+      probs[idx] = (uint16_t)(prob - (prob >> kNumMoveBits));
+      bit = 1;
+    }
+    if (range < kTopValue) {
+      code = (code << 8) | next_byte();
+      range <<= 8;
+    }
+    return bit;
+  }
+  uint32_t decode_direct(int nbits) {
+    uint32_t result = 0;
+    for (int i = 0; i < nbits; i++) {
+      range >>= 1;
+      uint32_t t = (code - range) >> 31;
+      if (t == 0) code -= range;
+      result = (result << 1) | (1 - t);
+      if (range < kTopValue) {
+        code = (code << 8) | next_byte();
+        range <<= 8;
+      }
+    }
+    return result;
+  }
+  int decode_tree(uint16_t* probs, int base, int nbits) {
+    int m = 1;
+    for (int i = 0; i < nbits; i++) m = (m << 1) | decode_bit(probs, base + m);
+    return m - (1 << nbits);
+  }
+  int decode_tree_rev(uint16_t* probs, int base, int nbits) {
+    int m = 1, symbol = 0;
+    for (int i = 0; i < nbits; i++) {
+      int bit = decode_bit(probs, base + m);
+      m = (m << 1) | bit;
+      symbol |= bit << i;
+    }
+    return symbol;
+  }
+};
+
+// ---------------------------------------------------------- match finders
+// Exact BT2/BT4 (BinTree.java:152-356) + HC4 chain walker, in-memory block.
+class MatchFinder {
+ public:
+  enum Kind { BT2, BT4, HC4 };
+  const uint8_t* buf;
+  int32_t n, pos = 0;
+  int match_max_len, cut_value;
+  int32_t cyclic_size, cyclic_pos = 0;
+  Kind kind;
+  int num_direct_bytes, min_match_check;
+  uint32_t hash_mask = 0;
+  int fix_hash_size;
+  std::vector<int32_t> hash, son;
+  static constexpr int kHash2Size = 1 << 10, kHash3Size = 1 << 16;
+  static constexpr int kHash3Offset = kHash2Size;
+
+  MatchFinder(const uint8_t* b, int32_t len, int32_t dict, int mml, Kind k)
+      : buf(b), n(len), match_max_len(mml), kind(k) {
+    cut_value = (k == HC4) ? 8 + (mml >> 2) : 16 + (mml >> 1);
+    cyclic_size = dict + 1;
+    if (k == BT2) {
+      num_direct_bytes = 2;
+      min_match_check = 3;
+      fix_hash_size = 0;
+      hash.assign(1 << 16, 0);
+    } else {
+      num_direct_bytes = 0;
+      min_match_check = 4;
+      fix_hash_size = kHash2Size + kHash3Size;
+      uint32_t hs = (uint32_t)dict - 1;
+      hs |= hs >> 1; hs |= hs >> 2; hs |= hs >> 4; hs |= hs >> 8;
+      hs >>= 1;
+      hs |= 0xFFFF;
+      if (hs > (1u << 24)) hs >>= 1;
+      hash_mask = hs;
+      hash.assign((size_t)hs + 1 + fix_hash_size, 0);
+    }
+    son.assign(k == HC4 ? (size_t)cyclic_size : (size_t)cyclic_size * 2, 0);
+  }
+
+  inline int32_t available() const { return n - pos; }
+  inline uint8_t get_byte(int off) const { return buf[pos + off]; }
+
+  inline int match_len(int index, int32_t dist, int limit) const {
+    int32_t avail = n - (pos + index);
+    if (limit > avail) limit = (int)avail;
+    const uint8_t* a = buf + pos + index;
+    const uint8_t* b = a - dist - 1;
+    int i = 0;
+    while (i + 8 <= limit) {
+      uint64_t x, y;
+      std::memcpy(&x, a + i, 8);
+      std::memcpy(&y, b + i, 8);
+      uint64_t diff = x ^ y;
+      if (diff) return std::min(i + (int)(__builtin_ctzll(diff) >> 3), limit);
+      i += 8;
+    }
+    while (i < limit && a[i] == b[i]) i++;
+    return i;
+  }
+
+  inline void advance() {
+    if (++cyclic_pos >= cyclic_size) cyclic_pos = 0;
+    pos++;
+  }
+
+  // returns count of (len,dist) pairs in out[2*i], out[2*i+1]
+  int find_matches(int32_t* out) {
+    int len_limit;
+    if (pos + match_max_len <= n) {
+      len_limit = match_max_len;
+    } else {
+      len_limit = (int)(n - pos);
+      if (len_limit < min_match_check) {
+        advance();
+        return 0;
+      }
+    }
+    int32_t match_min_pos = pos > cyclic_size ? pos - cyclic_size : 0;
+    int count_out = 0;
+    int max_len = 1;
+    uint32_t hash_value;
+    int32_t cur_match;
+
+    if (kind != BT2) {
+      uint32_t temp = T.crc[buf[pos]] ^ buf[pos + 1];
+      uint32_t h2 = temp & (kHash2Size - 1);
+      temp ^= (uint32_t)buf[pos + 2] << 8;
+      uint32_t h3 = temp & (kHash3Size - 1);
+      hash_value = (temp ^ (T.crc[buf[pos + 3]] << 5)) & hash_mask;
+      cur_match = hash[fix_hash_size + hash_value];
+      int32_t cm2 = hash[h2];
+      int32_t cm3 = hash[kHash3Offset + h3];
+      hash[h2] = pos;
+      hash[kHash3Offset + h3] = pos;
+      if (cm2 > match_min_pos && buf[cm2] == buf[pos]) {
+        max_len = 2;
+        out[count_out * 2] = 2;
+        out[count_out * 2 + 1] = pos - cm2 - 1;
+        count_out++;
+      }
+      if (cm3 > match_min_pos && buf[cm3] == buf[pos]) {
+        if (cm3 == cm2) count_out--;
+        max_len = 3;
+        out[count_out * 2] = 3;
+        out[count_out * 2 + 1] = pos - cm3 - 1;
+        count_out++;
+        cm2 = cm3;
+      }
+      if (count_out != 0 && cm2 == cur_match) {
+        count_out--;
+        max_len = 1;
+      }
+    } else {
+      hash_value = (uint32_t)buf[pos] ^ ((uint32_t)buf[pos + 1] << 8);
+      cur_match = hash[fix_hash_size + hash_value];
+    }
+    hash[fix_hash_size + hash_value] = pos;
+
+    if (kind == HC4) {
+      son[cyclic_pos] = cur_match;
+      int cnt = cut_value;
+      while (cur_match > match_min_pos && cnt-- > 0) {
+        int32_t delta = pos - cur_match;
+        if (max_len < len_limit && buf[cur_match + max_len] == buf[pos + max_len]) {
+          int len = 0;
+          while (len < len_limit && buf[cur_match + len] == buf[pos + len]) len++;
+          if (len > max_len) {
+            max_len = len;
+            out[count_out * 2] = len;
+            out[count_out * 2 + 1] = delta - 1;
+            count_out++;
+            if (len == len_limit) break;
+          }
+        }
+        int32_t cyc = delta <= cyclic_pos ? cyclic_pos - delta
+                                          : cyclic_pos - delta + cyclic_size;
+        cur_match = son[cyc];
+      }
+      advance();
+      return count_out;
+    }
+
+    int32_t ptr0 = (cyclic_pos << 1) + 1, ptr1 = cyclic_pos << 1;
+    int len0 = num_direct_bytes, len1 = num_direct_bytes;
+    if (num_direct_bytes != 0 && cur_match > match_min_pos) {
+      if (buf[cur_match + num_direct_bytes] != buf[pos + num_direct_bytes]) {
+        max_len = num_direct_bytes;
+        out[count_out * 2] = num_direct_bytes;
+        out[count_out * 2 + 1] = pos - cur_match - 1;
+        count_out++;
+      }
+    }
+    int cnt = cut_value;
+    for (;;) {
+      if (cur_match <= match_min_pos || cnt-- == 0) {
+        son[ptr0] = 0;
+        son[ptr1] = 0;
+        break;
+      }
+      int32_t delta = pos - cur_match;
+      int32_t cyc = (delta <= cyclic_pos ? cyclic_pos - delta
+                                         : cyclic_pos - delta + cyclic_size)
+                    << 1;
+      int len = std::min(len0, len1);
+      if (buf[cur_match + len] == buf[pos + len]) {
+        while (++len != len_limit)
+          if (buf[cur_match + len] != buf[pos + len]) break;
+        if (max_len < len) {
+          max_len = len;
+          out[count_out * 2] = len;
+          out[count_out * 2 + 1] = delta - 1;
+          count_out++;
+          if (len == len_limit) {
+            son[ptr1] = son[cyc];
+            son[ptr0] = son[cyc + 1];
+            break;
+          }
+        }
+      }
+      if (buf[cur_match + len] < buf[pos + len]) {
+        son[ptr1] = cur_match;
+        ptr1 = cyc + 1;
+        cur_match = son[ptr1];
+        len1 = len;
+      } else {
+        son[ptr0] = cur_match;
+        ptr0 = cyc;
+        cur_match = son[ptr0];
+        len0 = len;
+      }
+    }
+    advance();
+    return count_out;
+  }
+
+  void skip(int num) {
+    do {
+      int len_limit;
+      if (pos + match_max_len <= n) {
+        len_limit = match_max_len;
+      } else {
+        len_limit = (int)(n - pos);
+        if (len_limit < min_match_check) {
+          advance();
+          continue;
+        }
+      }
+      int32_t match_min_pos = pos > cyclic_size ? pos - cyclic_size : 0;
+      uint32_t hash_value;
+      if (kind != BT2) {
+        uint32_t temp = T.crc[buf[pos]] ^ buf[pos + 1];
+        hash[temp & (kHash2Size - 1)] = pos;
+        temp ^= (uint32_t)buf[pos + 2] << 8;
+        hash[kHash3Offset + (temp & (kHash3Size - 1))] = pos;
+        hash_value = (temp ^ (T.crc[buf[pos + 3]] << 5)) & hash_mask;
+      } else {
+        hash_value = (uint32_t)buf[pos] ^ ((uint32_t)buf[pos + 1] << 8);
+      }
+      int32_t cur_match = hash[fix_hash_size + hash_value];
+      hash[fix_hash_size + hash_value] = pos;
+      if (kind == HC4) {
+        son[cyclic_pos] = cur_match;
+        advance();
+        continue;
+      }
+      int32_t ptr0 = (cyclic_pos << 1) + 1, ptr1 = cyclic_pos << 1;
+      int len0 = num_direct_bytes, len1 = num_direct_bytes;
+      int cnt = cut_value;
+      for (;;) {
+        if (cur_match <= match_min_pos || cnt-- == 0) {
+          son[ptr0] = 0;
+          son[ptr1] = 0;
+          break;
+        }
+        int32_t delta = pos - cur_match;
+        int32_t cyc = (delta <= cyclic_pos ? cyclic_pos - delta
+                                           : cyclic_pos - delta + cyclic_size)
+                      << 1;
+        int len = std::min(len0, len1);
+        if (buf[cur_match + len] == buf[pos + len]) {
+          while (++len != len_limit)
+            if (buf[cur_match + len] != buf[pos + len]) break;
+          if (len == len_limit) {
+            son[ptr1] = son[cyc];
+            son[ptr0] = son[cyc + 1];
+            break;
+          }
+        }
+        if (buf[cur_match + len] < buf[pos + len]) {
+          son[ptr1] = cur_match;
+          ptr1 = cyc + 1;
+          cur_match = son[ptr1];
+          len1 = len;
+        } else {
+          son[ptr0] = cur_match;
+          ptr0 = cyc;
+          cur_match = son[ptr0];
+          len0 = len;
+        }
+      }
+      advance();
+    } while (--num != 0);
+  }
+};
+
+// ------------------------------------------------------------- encoder
+struct Optimal {
+  int state;
+  bool prev1_is_char, prev2;
+  int pos_prev2, back_prev2;
+  uint32_t price;
+  int pos_prev, back_prev;
+  int32_t backs0, backs1, backs2, backs3;
+  void make_char() { back_prev = -1; prev1_is_char = false; }
+  void make_short_rep() { back_prev = 0; prev1_is_char = false; }
+  bool is_short_rep() const { return back_prev == 0; }
+};
+
+struct EncParams {
+  int lc = 3, lp = 0, pb = 2;
+  uint32_t dict_size = 1u << 22;
+  int fb = 32;
+  int mf = 1;        // 0=bt2 1=bt4 2=hc4
+  int eos = 0;
+  int optimal = 1;   // hc4 forces greedy
+};
+
+class Encoder {
+ public:
+  Layout L;
+  EncParams P;
+  std::vector<uint16_t> probs;
+  RangeEnc rc;
+  MatchFinder* mf = nullptr;
+  int state = 0;
+  uint8_t prev_byte = 0;
+  int32_t rep_dist[kNumRepDistances] = {0, 0, 0, 0};
+  uint32_t now_pos = 0;
+  int additional_offset = 0;
+  int optimum_end = 0, optimum_cur = 0;
+  bool longest_found = false;
+  int longest_len = 0;
+  int32_t md[2 * (kMatchMaxLen + 1)];
+  int num_pairs = 0;
+  int match_price_count = 0, align_price_count = 0;
+  int pos_state_mask;
+  std::vector<Optimal> opt;
+  uint32_t pos_slot_prices[kNumLenToPosStates << kNumPosSlotBits];
+  uint32_t dist_prices[kNumLenToPosStates * kNumFullDistances];
+  uint32_t align_prices[kAlignTableSize];
+  uint32_t len_prices[kNumLenSymbols << 4], rep_len_prices[kNumLenSymbols << 4];
+  int len_counters[16], rep_len_counters[16];
+  int len_table_size;
+  int dist_table_size;
+
+  explicit Encoder(const EncParams& p)
+      : L(p.lc, p.lp, p.pb), P(p), opt(kNumOpts) {
+    pos_state_mask = L.pos_state_mask();
+    len_table_size = P.fb + 1 - kMatchMinLen;
+    int log = 0;
+    while (P.dict_size > (1u << log)) log++;
+    dist_table_size = log * 2;
+    if (P.mf == 2) P.optimal = 0;
+  }
+  ~Encoder() { delete mf; }
+
+  uint32_t tree_price(int base, int nbits, int symbol) {
+    uint32_t price = 0;
+    int m = 1;
+    for (int i = nbits - 1; i >= 0; i--) {
+      int bit = (symbol >> i) & 1;
+      price += price_of(probs[base + m], bit);
+      m = (m << 1) + bit;
+    }
+    return price;
+  }
+  uint32_t rev_tree_price(int base, int nbits, int symbol) {
+    uint32_t price = 0;
+    int m = 1;
+    for (int i = 0; i < nbits; i++) {
+      int bit = symbol & 1;
+      symbol >>= 1;
+      price += price_of(probs[base + m], bit);
+      m = (m << 1) | bit;
+    }
+    return price;
+  }
+
+  void update_len_table(bool is_rep, int ps) {
+    int base = is_rep ? L.rep_len_coder : L.len_coder;
+    uint32_t* prices = is_rep ? rep_len_prices : len_prices;
+    int* counters = is_rep ? rep_len_counters : len_counters;
+    int n = len_table_size;
+    int st = ps * kNumLenSymbols;
+    uint32_t a0 = price0(probs[base + kLenChoice]);
+    uint32_t a1 = price1(probs[base + kLenChoice]);
+    uint32_t b0 = a1 + price0(probs[base + kLenChoice2]);
+    uint32_t b1 = a1 + price1(probs[base + kLenChoice2]);
+    int i = 0;
+    for (; i < 8; i++) {
+      if (i >= n) { counters[ps] = n; return; }
+      prices[st + i] = a0 + tree_price(base + kLenLow + (ps << 3), 3, i);
+    }
+    for (; i < 16; i++) {
+      if (i >= n) { counters[ps] = n; return; }
+      prices[st + i] = b0 + tree_price(base + kLenMid + (ps << 3), 3, i - 8);
+    }
+    for (; i < n; i++)
+      prices[st + i] = b1 + tree_price(base + kLenHigh, 8, i - 16);
+    counters[ps] = n;
+  }
+
+  void encode_len(bool is_rep, int symbol, int ps) {
+    int base = is_rep ? L.rep_len_coder : L.len_coder;
+    if (symbol < 8) {
+      rc.encode_bit(probs.data(), base + kLenChoice, 0);
+      rc.encode_tree(probs.data(), base + kLenLow + (ps << 3), 3, symbol);
+    } else {
+      rc.encode_bit(probs.data(), base + kLenChoice, 1);
+      if (symbol < 16) {
+        rc.encode_bit(probs.data(), base + kLenChoice2, 0);
+        rc.encode_tree(probs.data(), base + kLenMid + (ps << 3), 3, symbol - 8);
+      } else {
+        rc.encode_bit(probs.data(), base + kLenChoice2, 1);
+        rc.encode_tree(probs.data(), base + kLenHigh, 8, symbol - 16);
+      }
+    }
+    int* counters = is_rep ? rep_len_counters : len_counters;
+    if (--counters[ps] == 0) update_len_table(is_rep, ps);
+  }
+  inline uint32_t len_price(bool is_rep, int symbol, int ps) const {
+    return (is_rep ? rep_len_prices : len_prices)[ps * kNumLenSymbols + symbol];
+  }
+
+  uint32_t literal_price(int sub, bool match_mode, uint8_t match_byte,
+                         uint8_t symbol) {
+    uint32_t price = 0;
+    uint32_t context = 1;
+    int i = 7;
+    if (match_mode) {
+      for (; i >= 0; i--) {
+        int match_bit = (match_byte >> i) & 1;
+        int bit = (symbol >> i) & 1;
+        price += price_of(probs[sub + ((1 + match_bit) << 8) + context], bit);
+        context = (context << 1) | bit;
+        if (match_bit != bit) { i--; break; }
+      }
+    }
+    for (; i >= 0; i--) {
+      int bit = (symbol >> i) & 1;
+      price += price_of(probs[sub + context], bit);
+      context = (context << 1) | bit;
+    }
+    return price;
+  }
+
+  void encode_literal(int sub, uint8_t symbol) {
+    uint32_t context = 1;
+    for (int i = 7; i >= 0; i--) {
+      int bit = (symbol >> i) & 1;
+      rc.encode_bit(probs.data(), sub + context, bit);
+      context = (context << 1) | bit;
+    }
+  }
+  void encode_literal_matched(int sub, uint8_t match_byte, uint8_t symbol) {
+    uint32_t context = 1;
+    bool same = true;
+    for (int i = 7; i >= 0; i--) {
+      int bit = (symbol >> i) & 1;
+      uint32_t st = context;
+      if (same) {
+        int match_bit = (match_byte >> i) & 1;
+        st += (1 + match_bit) << 8;
+        same = match_bit == bit;
+      }
+      rc.encode_bit(probs.data(), sub + st, bit);
+      context = (context << 1) | bit;
+    }
+  }
+
+  void fill_dist_prices() {
+    uint32_t temp[kNumFullDistances];
+    for (int i = kStartPosModelIndex; i < kNumFullDistances; i++) {
+      int slot = get_pos_slot((uint32_t)i);
+      int footer = (slot >> 1) - 1;
+      int base_val = (2 | (slot & 1)) << footer;
+      temp[i] = rev_tree_price(L.spec_pos + base_val - slot - 1, footer, i - base_val);
+    }
+    for (int lps = 0; lps < kNumLenToPosStates; lps++) {
+      int tree = L.pos_slot + lps * 64;
+      int st = lps << kNumPosSlotBits;
+      for (int slot = 0; slot < dist_table_size; slot++)
+        pos_slot_prices[st + slot] = tree_price(tree, 6, slot);
+      for (int slot = kEndPosModelIndex; slot < dist_table_size; slot++)
+        pos_slot_prices[st + slot] += (uint32_t)(((slot >> 1) - 1 - kNumAlignBits) << 6);
+      int st2 = lps * kNumFullDistances;
+      int i = 0;
+      for (; i < kStartPosModelIndex; i++) dist_prices[st2 + i] = pos_slot_prices[st + i];
+      for (; i < kNumFullDistances; i++)
+        dist_prices[st2 + i] = pos_slot_prices[st + get_pos_slot((uint32_t)i)] + temp[i];
+    }
+    match_price_count = 0;
+  }
+  void fill_align_prices() {
+    for (int i = 0; i < kAlignTableSize; i++)
+      align_prices[i] = rev_tree_price(L.align_, kNumAlignBits, i);
+    align_price_count = 0;
+  }
+
+  inline uint32_t rep_len1_price(int st, int ps) {
+    return price0(probs[L.is_rep_g0 + st]) +
+           price0(probs[L.is_rep0_long + (st << kNumPosStatesBitsMax) + ps]);
+  }
+  uint32_t pure_rep_price(int rep_index, int st, int ps) {
+    uint32_t price;
+    if (rep_index == 0) {
+      price = price0(probs[L.is_rep_g0 + st]);
+      price += price1(probs[L.is_rep0_long + (st << kNumPosStatesBitsMax) + ps]);
+    } else {
+      price = price1(probs[L.is_rep_g0 + st]);
+      if (rep_index == 1) {
+        price += price0(probs[L.is_rep_g1 + st]);
+      } else {
+        price += price1(probs[L.is_rep_g1 + st]);
+        price += price_of(probs[L.is_rep_g2 + st], rep_index - 2);
+      }
+    }
+    return price;
+  }
+  inline uint32_t rep_price(int rep_index, int len, int st, int ps) {
+    return len_price(true, len - kMatchMinLen, ps) + pure_rep_price(rep_index, st, ps);
+  }
+  inline uint32_t pos_len_price(uint32_t dist, int len, int ps) {
+    uint32_t price;
+    int lps = len_to_pos_state(len);
+    if (dist < kNumFullDistances)
+      price = dist_prices[lps * kNumFullDistances + dist];
+    else
+      price = pos_slot_prices[(lps << kNumPosSlotBits) + get_pos_slot2(dist)] +
+              align_prices[dist & kAlignMask];
+    return price + len_price(false, len - kMatchMinLen, ps);
+  }
+
+  int read_match_distances() {
+    num_pairs = mf->find_matches(md);
+    int length = 0;
+    if (num_pairs > 0) {
+      length = md[(num_pairs - 1) * 2];
+      if (length == P.fb)
+        length += mf->match_len(length - 1, md[(num_pairs - 1) * 2 + 1],
+                                kMatchMaxLen - length);
+    }
+    additional_offset++;
+    return length;
+  }
+  void move_pos(int num) {
+    if (num > 0) {
+      mf->skip(num);
+      additional_offset += num;
+    }
+  }
+
+  // (pos, len) decision; pos==-1 literal, pos<4 rep index, else dist+4
+  std::pair<int, int> backward(int cur) {
+    optimum_end = cur;
+    int pos_mem = opt[cur].pos_prev;
+    int back_mem = opt[cur].back_prev;
+    do {
+      if (opt[cur].prev1_is_char) {
+        opt[pos_mem].make_char();
+        opt[pos_mem].pos_prev = pos_mem - 1;
+        if (opt[cur].prev2) {
+          opt[pos_mem - 1].prev1_is_char = false;
+          opt[pos_mem - 1].pos_prev = opt[cur].pos_prev2;
+          opt[pos_mem - 1].back_prev = opt[cur].back_prev2;
+        }
+      }
+      int pos_prev = pos_mem;
+      int back_cur = back_mem;
+      back_mem = opt[pos_prev].back_prev;
+      pos_mem = opt[pos_prev].pos_prev;
+      opt[pos_prev].back_prev = back_cur;
+      opt[pos_prev].pos_prev = cur;
+      cur = pos_prev;
+    } while (cur > 0);
+    optimum_cur = opt[0].pos_prev;
+    return {opt[0].back_prev, optimum_cur};
+  }
+
+  std::pair<int, int> get_optimum(uint32_t position) {
+    if (optimum_end != optimum_cur) {
+      int len_res = opt[optimum_cur].pos_prev - optimum_cur;
+      int len_pos = opt[optimum_cur].back_prev;
+      optimum_cur = opt[optimum_cur].pos_prev;
+      return {len_pos, len_res};
+    }
+    optimum_cur = optimum_end = 0;
+    int len_main;
+    if (longest_found) {
+      len_main = longest_len;
+      longest_found = false;
+    } else {
+      len_main = read_match_distances();
+    }
+    int pairs = num_pairs;
+    int num_avail = (int)mf->available() + 1;
+    if (num_avail < 2) return {-1, 1};
+    if (num_avail > kMatchMaxLen) num_avail = kMatchMaxLen;
+
+    int32_t reps[kNumRepDistances];
+    int rep_lens[kNumRepDistances];
+    int rep_max_index = 0;
+    for (int i = 0; i < kNumRepDistances; i++) {
+      reps[i] = rep_dist[i];
+      rep_lens[i] = mf->match_len(-1, reps[i], kMatchMaxLen);
+      if (rep_lens[i] > rep_lens[rep_max_index]) rep_max_index = i;
+    }
+    if (rep_lens[rep_max_index] >= P.fb) {
+      int len_res = rep_lens[rep_max_index];
+      move_pos(len_res - 1);
+      return {rep_max_index, len_res};
+    }
+    if (len_main >= P.fb) {
+      int pos = md[(pairs - 1) * 2 + 1] + kNumRepDistances;
+      move_pos(len_main - 1);
+      return {pos, len_main};
+    }
+    uint8_t current_byte = mf->get_byte(-1);
+    uint8_t match_byte = mf->get_byte(-rep_dist[0] - 2);
+    if (len_main < 2 && current_byte != match_byte && rep_lens[rep_max_index] < 2)
+      return {-1, 1};
+
+    opt[0].state = state;
+    int ps = (int)(position & pos_state_mask);
+    int im = L.is_match + (state << kNumPosStatesBitsMax) + ps;
+    opt[1].price = price0(probs[im]) +
+                   literal_price(L.lit_sub(position, prev_byte), state >= 7,
+                                 match_byte, current_byte);
+    opt[1].make_char();
+    uint32_t match_price = price1(probs[im]);
+    uint32_t rep_match_price = match_price + price1(probs[L.is_rep + state]);
+    if (match_byte == current_byte) {
+      uint32_t srp = rep_match_price + rep_len1_price(state, ps);
+      if (srp < opt[1].price) {
+        opt[1].price = srp;
+        opt[1].make_short_rep();
+      }
+    }
+    int len_end = len_main >= rep_lens[rep_max_index] ? len_main : rep_lens[rep_max_index];
+    if (len_end < 2) return {opt[1].back_prev, 1};
+    opt[1].pos_prev = 0;
+    opt[0].backs0 = reps[0];
+    opt[0].backs1 = reps[1];
+    opt[0].backs2 = reps[2];
+    opt[0].backs3 = reps[3];
+    for (int len = len_end; len >= 2; len--) opt[len].price = kInfinityPrice;
+
+    for (int i = 0; i < kNumRepDistances; i++) {
+      int rep_len = rep_lens[i];
+      if (rep_len < 2) continue;
+      uint32_t price = rep_match_price + pure_rep_price(i, state, ps);
+      do {
+        uint32_t calp = price + len_price(true, rep_len - 2, ps);
+        Optimal& o = opt[rep_len];
+        if (calp < o.price) {
+          o.price = calp;
+          o.pos_prev = 0;
+          o.back_prev = i;
+          o.prev1_is_char = false;
+        }
+      } while (--rep_len >= 2);
+    }
+
+    uint32_t normal_match_price = match_price + price0(probs[L.is_rep + state]);
+    int len = rep_lens[0] >= 2 ? rep_lens[0] + 1 : 2;
+    if (len <= len_main) {
+      int offs = 0;
+      while (len > md[offs * 2]) offs++;
+      for (;; len++) {
+        int32_t distance = md[offs * 2 + 1];
+        uint32_t calp = normal_match_price + pos_len_price(distance, len, ps);
+        Optimal& o = opt[len];
+        if (calp < o.price) {
+          o.price = calp;
+          o.pos_prev = 0;
+          o.back_prev = distance + kNumRepDistances;
+          o.prev1_is_char = false;
+        }
+        if (len == md[offs * 2]) {
+          offs++;
+          if (offs == pairs) break;
+        }
+      }
+    }
+
+    int cur = 0;
+    for (;;) {
+      cur++;
+      if (cur == len_end) return backward(cur);
+      int new_len = read_match_distances();
+      pairs = num_pairs;
+      if (new_len >= P.fb) {
+        longest_len = new_len;
+        longest_found = true;
+        return backward(cur);
+      }
+      position++;
+      int pos_prev = opt[cur].pos_prev;
+      int st;
+      if (opt[cur].prev1_is_char) {
+        pos_prev--;
+        if (opt[cur].prev2) {
+          st = opt[opt[cur].pos_prev2].state;
+          st = opt[cur].back_prev2 < kNumRepDistances ? next_lrep(st) : next_match(st);
+        } else {
+          st = opt[pos_prev].state;
+        }
+        st = next_lit(st);
+      } else {
+        st = opt[pos_prev].state;
+      }
+      if (pos_prev == cur - 1) {
+        st = opt[cur].is_short_rep() ? next_srep(st) : next_lit(st);
+      } else {
+        int pos;
+        if (opt[cur].prev1_is_char && opt[cur].prev2) {
+          pos_prev = opt[cur].pos_prev2;
+          pos = opt[cur].back_prev2;
+          st = next_lrep(st);
+        } else {
+          pos = opt[cur].back_prev;
+          st = pos < kNumRepDistances ? next_lrep(st) : next_match(st);
+        }
+        const Optimal& op = opt[pos_prev];
+        if (pos < kNumRepDistances) {
+          if (pos == 0) {
+            reps[0] = op.backs0; reps[1] = op.backs1; reps[2] = op.backs2; reps[3] = op.backs3;
+          } else if (pos == 1) {
+            reps[0] = op.backs1; reps[1] = op.backs0; reps[2] = op.backs2; reps[3] = op.backs3;
+          } else if (pos == 2) {
+            reps[0] = op.backs2; reps[1] = op.backs0; reps[2] = op.backs1; reps[3] = op.backs3;
+          } else {
+            reps[0] = op.backs3; reps[1] = op.backs0; reps[2] = op.backs1; reps[3] = op.backs2;
+          }
+        } else {
+          reps[0] = pos - kNumRepDistances;
+          reps[1] = op.backs0; reps[2] = op.backs1; reps[3] = op.backs2;
+        }
+      }
+      opt[cur].state = st;
+      opt[cur].backs0 = reps[0];
+      opt[cur].backs1 = reps[1];
+      opt[cur].backs2 = reps[2];
+      opt[cur].backs3 = reps[3];
+      uint32_t cur_price = opt[cur].price;
+
+      current_byte = mf->get_byte(-1);
+      match_byte = mf->get_byte(-reps[0] - 2);
+      ps = (int)(position & pos_state_mask);
+      im = L.is_match + (st << kNumPosStatesBitsMax) + ps;
+      uint32_t cur_and_1 =
+          cur_price + price0(probs[im]) +
+          literal_price(L.lit_sub(position, mf->get_byte(-2)), st >= 7,
+                        match_byte, current_byte);
+      Optimal& next_opt = opt[cur + 1];
+      bool next_is_char = false;
+      if (cur_and_1 < next_opt.price) {
+        next_opt.price = cur_and_1;
+        next_opt.pos_prev = cur;
+        next_opt.make_char();
+        next_is_char = true;
+      }
+      match_price = cur_price + price1(probs[im]);
+      rep_match_price = match_price + price1(probs[L.is_rep + st]);
+      if (match_byte == current_byte &&
+          !(next_opt.pos_prev < cur && next_opt.back_prev == 0)) {
+        uint32_t srp = rep_match_price + rep_len1_price(st, ps);
+        if (srp <= next_opt.price) {
+          next_opt.price = srp;
+          next_opt.pos_prev = cur;
+          next_opt.make_short_rep();
+          next_is_char = true;
+        }
+      }
+      int num_avail_full = (int)mf->available() + 1;
+      if (num_avail_full > kNumOpts - 1 - cur) num_avail_full = kNumOpts - 1 - cur;
+      num_avail = num_avail_full;
+      if (num_avail < 2) continue;
+      if (num_avail > P.fb) num_avail = P.fb;
+
+      if (!next_is_char && match_byte != current_byte) {
+        int t = std::min(num_avail_full - 1, P.fb);
+        int len_test2 = mf->match_len(0, reps[0], t);
+        if (len_test2 >= 2) {
+          int st2 = next_lit(st);
+          int ps_next = (int)((position + 1) & pos_state_mask);
+          uint32_t nrmp =
+              cur_and_1 +
+              price1(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next]) +
+              price1(probs[L.is_rep + st2]);
+          int offset = cur + 1 + len_test2;
+          while (len_end < offset) opt[++len_end].price = kInfinityPrice;
+          uint32_t calp = nrmp + rep_price(0, len_test2, st2, ps_next);
+          Optimal& o = opt[offset];
+          if (calp < o.price) {
+            o.price = calp;
+            o.pos_prev = cur + 1;
+            o.back_prev = 0;
+            o.prev1_is_char = true;
+            o.prev2 = false;
+          }
+        }
+      }
+
+      int start_len = 2;
+      for (int rep_index = 0; rep_index < kNumRepDistances; rep_index++) {
+        int len_test = mf->match_len(-1, reps[rep_index], num_avail);
+        if (len_test < 2) continue;
+        int len_test_temp = len_test;
+        do {
+          while (len_end < cur + len_test) opt[++len_end].price = kInfinityPrice;
+          uint32_t calp = rep_match_price + rep_price(rep_index, len_test, st, ps);
+          Optimal& o = opt[cur + len_test];
+          if (calp < o.price) {
+            o.price = calp;
+            o.pos_prev = cur;
+            o.back_prev = rep_index;
+            o.prev1_is_char = false;
+          }
+        } while (--len_test >= 2);
+        len_test = len_test_temp;
+        if (rep_index == 0) start_len = len_test + 1;
+
+        if (len_test < num_avail_full) {
+          int t = std::min(num_avail_full - 1 - len_test, P.fb);
+          int len_test2 = mf->match_len(len_test, reps[rep_index], t);
+          if (len_test2 >= 2) {
+            int st2 = next_lrep(st);
+            int ps_next = (int)((position + len_test) & pos_state_mask);
+            uint32_t calcp =
+                rep_match_price + rep_price(rep_index, len_test, st, ps) +
+                price0(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next]) +
+                literal_price(
+                    L.lit_sub(position + len_test, mf->get_byte(len_test - 2)), true,
+                    mf->get_byte(len_test - 1 - (reps[rep_index] + 1)),
+                    mf->get_byte(len_test - 1));
+            st2 = next_lit(st2);
+            int ps_next2 = (int)((position + len_test + 1) & pos_state_mask);
+            uint32_t nmp = calcp + price1(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next2]);
+            uint32_t nrmp = nmp + price1(probs[L.is_rep + st2]);
+            int offset = len_test + 1 + len_test2;
+            while (len_end < cur + offset) opt[++len_end].price = kInfinityPrice;
+            uint32_t calp = nrmp + rep_price(0, len_test2, st2, ps_next2);
+            Optimal& o = opt[cur + offset];
+            if (calp < o.price) {
+              o.price = calp;
+              o.pos_prev = cur + len_test + 1;
+              o.back_prev = 0;
+              o.prev1_is_char = true;
+              o.prev2 = true;
+              o.pos_prev2 = cur;
+              o.back_prev2 = rep_index;
+            }
+          }
+        }
+      }
+
+      if (new_len > num_avail) {
+        new_len = num_avail;
+        pairs = 0;
+        while (new_len > md[pairs * 2]) pairs++;
+        md[pairs * 2] = new_len;
+        pairs++;
+      }
+      if (new_len >= start_len) {
+        normal_match_price = match_price + price0(probs[L.is_rep + st]);
+        while (len_end < cur + new_len) opt[++len_end].price = kInfinityPrice;
+        int offs = 0;
+        while (start_len > md[offs * 2]) offs++;
+        for (int len_test = start_len;; len_test++) {
+          int32_t cur_back = md[offs * 2 + 1];
+          uint32_t calp = normal_match_price + pos_len_price(cur_back, len_test, ps);
+          {
+            Optimal& o = opt[cur + len_test];
+            if (calp < o.price) {
+              o.price = calp;
+              o.pos_prev = cur;
+              o.back_prev = cur_back + kNumRepDistances;
+              o.prev1_is_char = false;
+            }
+          }
+          if (len_test == md[offs * 2]) {
+            if (len_test < num_avail_full) {
+              int t = std::min(num_avail_full - 1 - len_test, P.fb);
+              int len_test2 = mf->match_len(len_test, cur_back, t);
+              if (len_test2 >= 2) {
+                int st2 = next_match(st);
+                int ps_next = (int)((position + len_test) & pos_state_mask);
+                uint32_t calcp =
+                    calp +
+                    price0(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next]) +
+                    literal_price(
+                        L.lit_sub(position + len_test, mf->get_byte(len_test - 2)),
+                        true, mf->get_byte(len_test - (cur_back + 1) - 1),
+                        mf->get_byte(len_test - 1));
+                st2 = next_lit(st2);
+                int ps_next2 = (int)((position + len_test + 1) & pos_state_mask);
+                uint32_t nmp = calcp + price1(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next2]);
+                uint32_t nrmp = nmp + price1(probs[L.is_rep + st2]);
+                int offset = len_test + 1 + len_test2;
+                while (len_end < cur + offset) opt[++len_end].price = kInfinityPrice;
+                uint32_t calp2 = nrmp + rep_price(0, len_test2, st2, ps_next2);
+                Optimal& o = opt[cur + offset];
+                if (calp2 < o.price) {
+                  o.price = calp2;
+                  o.pos_prev = cur + len_test + 1;
+                  o.back_prev = 0;
+                  o.prev1_is_char = true;
+                  o.prev2 = true;
+                  o.pos_prev2 = cur;
+                  o.back_prev2 = cur_back + kNumRepDistances;
+                }
+              }
+            }
+            offs++;
+            if (offs == pairs) break;
+          }
+        }
+      }
+    }
+  }
+
+  std::pair<int, int> get_greedy(uint32_t position) {
+    (void)position;
+    int len_main;
+    if (longest_found) {
+      len_main = longest_len;
+      longest_found = false;
+    } else {
+      len_main = read_match_distances();
+    }
+    int num_avail = (int)mf->available() + 1;
+    if (num_avail < 2) return {-1, 1};
+
+    int best_rep_len = 0, best_rep_idx = 0;
+    for (int i = 0; i < kNumRepDistances; i++) {
+      int l = mf->match_len(-1, rep_dist[i], kMatchMaxLen);
+      if (l > best_rep_len) {
+        best_rep_len = l;
+        best_rep_idx = i;
+      }
+    }
+    if (best_rep_len >= 2 && best_rep_len + 1 >= len_main) {
+      move_pos(best_rep_len - 1);
+      return {best_rep_idx, best_rep_len};
+    }
+    if (len_main >= 2) {
+      int32_t dist = md[(num_pairs - 1) * 2 + 1];
+      move_pos(len_main - 1);
+      return {dist + kNumRepDistances, len_main};
+    }
+    uint8_t cur_byte = mf->get_byte(-1);
+    uint8_t match_byte = mf->get_byte(-rep_dist[0] - 2);
+    if (cur_byte == match_byte) return {0, 1};
+    return {-1, 1};
+  }
+
+  void emit_literal() {
+    uint8_t cur_byte = mf->get_byte(-additional_offset);
+    int sub = L.lit_sub(now_pos, prev_byte);
+    if (state < 7) {
+      encode_literal(sub, cur_byte);
+    } else {
+      uint8_t match_byte = mf->get_byte(-rep_dist[0] - 1 - additional_offset);
+      encode_literal_matched(sub, match_byte, cur_byte);
+    }
+    prev_byte = cur_byte;
+    state = next_lit(state);
+  }
+
+  void emit_rep(int pos, int length, int ps, int complex_state) {
+    rc.encode_bit(probs.data(), L.is_rep + state, 1);
+    if (pos == 0) {
+      rc.encode_bit(probs.data(), L.is_rep_g0 + state, 0);
+      rc.encode_bit(probs.data(), L.is_rep0_long + complex_state, length == 1 ? 0 : 1);
+    } else {
+      rc.encode_bit(probs.data(), L.is_rep_g0 + state, 1);
+      if (pos == 1) {
+        rc.encode_bit(probs.data(), L.is_rep_g1 + state, 0);
+      } else {
+        rc.encode_bit(probs.data(), L.is_rep_g1 + state, 1);
+        rc.encode_bit(probs.data(), L.is_rep_g2 + state, pos - 2);
+      }
+    }
+    if (length == 1) {
+      state = next_srep(state);
+    } else {
+      encode_len(true, length - kMatchMinLen, ps);
+      state = next_lrep(state);
+    }
+    int32_t distance = rep_dist[pos];
+    for (int i = pos; i > 0; i--) rep_dist[i] = rep_dist[i - 1];
+    rep_dist[0] = distance;
+  }
+
+  void emit_match(int pos4, int length, int ps) {
+    rc.encode_bit(probs.data(), L.is_rep + state, 0);
+    state = next_match(state);
+    encode_len(false, length - kMatchMinLen, ps);
+    uint32_t pos = (uint32_t)(pos4 - kNumRepDistances);
+    int slot = get_pos_slot(pos);
+    rc.encode_tree(probs.data(), L.pos_slot + len_to_pos_state(length) * 64, 6, slot);
+    if (slot >= kStartPosModelIndex) {
+      int footer = (slot >> 1) - 1;
+      uint32_t base_val = (uint32_t)(2 | (slot & 1)) << footer;
+      uint32_t reduced = pos - base_val;
+      if (slot < kEndPosModelIndex) {
+        rc.encode_tree_rev(probs.data(), L.spec_pos + (int)base_val - slot - 1, footer,
+                           (int)reduced);
+      } else {
+        rc.encode_direct(reduced >> kNumAlignBits, footer - kNumAlignBits);
+        rc.encode_tree_rev(probs.data(), L.align_, kNumAlignBits, (int)(reduced & kAlignMask));
+        align_price_count++;
+      }
+    }
+    for (int i = kNumRepDistances - 1; i > 0; i--) rep_dist[i] = rep_dist[i - 1];
+    rep_dist[0] = (int32_t)pos;
+    match_price_count++;
+  }
+
+  void write_end_marker(int ps) {
+    if (!P.eos) return;
+    rc.encode_bit(probs.data(), L.is_match + (state << kNumPosStatesBitsMax) + ps, 1);
+    rc.encode_bit(probs.data(), L.is_rep + state, 0);
+    state = next_match(state);
+    encode_len(false, 0, ps);
+    rc.encode_tree(probs.data(), L.pos_slot + len_to_pos_state(kMatchMinLen) * 64, 6, 63);
+    uint32_t reduced = (1u << 30) - 1;
+    rc.encode_direct(reduced >> kNumAlignBits, 30 - kNumAlignBits);
+    rc.encode_tree_rev(probs.data(), L.align_, kNumAlignBits, (int)(reduced & kAlignMask));
+  }
+
+  void encode(const uint8_t* data, size_t n, std::vector<uint8_t>* out) {
+    probs.assign(L.size, kProbInit);
+    rc = RangeEnc();
+    rc.out = out;
+    delete mf;
+    mf = new MatchFinder(data, (int32_t)n, (int32_t)P.dict_size, P.fb,
+                         P.mf == 0 ? MatchFinder::BT2
+                                   : (P.mf == 2 ? MatchFinder::HC4 : MatchFinder::BT4));
+    state = 0;
+    prev_byte = 0;
+    for (int i = 0; i < kNumRepDistances; i++) rep_dist[i] = 0;
+    now_pos = 0;
+    additional_offset = 0;
+    optimum_end = optimum_cur = 0;
+    longest_found = false;
+    match_price_count = align_price_count = 0;
+    fill_dist_prices();
+    fill_align_prices();
+    for (int ps = 0; ps < (1 << P.pb); ps++) {
+      update_len_table(false, ps);
+      update_len_table(true, ps);
+    }
+
+    if (mf->available() > 0) {
+      read_match_distances();
+      rc.encode_bit(probs.data(), L.is_match + (state << kNumPosStatesBitsMax), 0);
+      state = next_lit(state);
+      uint8_t cur_byte = mf->get_byte(-additional_offset);
+      encode_literal(L.lit_sub(0, prev_byte), cur_byte);
+      prev_byte = cur_byte;
+      additional_offset--;
+      now_pos = 1;
+    }
+    if (mf->available() > 0) {
+      for (;;) {
+        std::pair<int, int> d =
+            P.optimal ? get_optimum(now_pos) : get_greedy(now_pos);
+        int ps = (int)(now_pos & pos_state_mask);
+        int complex_state = (state << kNumPosStatesBitsMax) + ps;
+        if (d.first == -1 && d.second == 1) {
+          rc.encode_bit(probs.data(), L.is_match + complex_state, 0);
+          emit_literal();
+        } else {
+          rc.encode_bit(probs.data(), L.is_match + complex_state, 1);
+          if (d.first < kNumRepDistances) {
+            emit_rep(d.first, d.second, ps, complex_state);
+          } else {
+            emit_match(d.first, d.second, ps);
+          }
+          prev_byte = mf->get_byte(d.second - 1 - additional_offset);
+        }
+        additional_offset -= d.second;
+        now_pos += (uint32_t)d.second;
+        if (additional_offset == 0) {
+          if (P.optimal) {
+            if (match_price_count >= (1 << 7)) fill_dist_prices();
+            if (align_price_count >= kAlignTableSize) fill_align_prices();
+          }
+          if (mf->available() == 0) break;
+        }
+      }
+    }
+    write_end_marker((int)(now_pos & pos_state_mask));
+    rc.flush();
+  }
+};
+
+// ------------------------------------------------------------- decoder
+// Returns 0 ok, negative error.  out must hold out_size bytes.
+int decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp, int pb,
+                 uint32_t dict_size, uint8_t* out, size_t out_size) {
+  Layout L(lc, lp, pb);
+  std::vector<uint16_t> probs(L.size, kProbInit);
+  uint16_t* pr = probs.data();
+  RangeDec rc;
+  rc.init(comp, 0, comp_len);
+  uint32_t dict_check = dict_size < 1 ? 1 : dict_size;
+  int pos_state_mask = L.pos_state_mask();
+  int state = 0;
+  uint32_t rep0 = 0, rep1 = 0, rep2 = 0, rep3 = 0;
+  size_t now = 0;
+  uint8_t prev = 0;
+  while (now < out_size) {
+    if (rc.overrun > 32) return -2;
+    int ps = (int)(now & pos_state_mask);
+    if (rc.decode_bit(pr, L.is_match + (state << kNumPosStatesBitsMax) + ps) == 0) {
+      int sub = L.lit_sub((uint32_t)now, prev);
+      unsigned symbol = 1;
+      if (state < 7) {
+        do symbol = (symbol << 1) | rc.decode_bit(pr, sub + symbol);
+        while (symbol < 0x100);
+      } else {
+        unsigned match_byte = out[now - rep0 - 1];
+        do {
+          unsigned match_bit = (match_byte >> 7) & 1;
+          match_byte = (match_byte << 1) & 0xFF;
+          unsigned bit = rc.decode_bit(pr, sub + ((1 + match_bit) << 8) + symbol);
+          symbol = (symbol << 1) | bit;
+          if (match_bit != bit) {
+            while (symbol < 0x100) symbol = (symbol << 1) | rc.decode_bit(pr, sub + symbol);
+            break;
+          }
+        } while (symbol < 0x100);
+      }
+      prev = (uint8_t)symbol;
+      out[now++] = prev;
+      state = next_lit(state);
+      continue;
+    }
+    int length;
+    if (rc.decode_bit(pr, L.is_rep + state) == 1) {
+      length = 0;
+      if (rc.decode_bit(pr, L.is_rep_g0 + state) == 0) {
+        if (rc.decode_bit(pr, L.is_rep0_long + (state << kNumPosStatesBitsMax) + ps) == 0) {
+          state = next_srep(state);
+          length = 1;
+        }
+      } else {
+        uint32_t distance;
+        if (rc.decode_bit(pr, L.is_rep_g1 + state) == 0) {
+          distance = rep1;
+        } else {
+          if (rc.decode_bit(pr, L.is_rep_g2 + state) == 0) {
+            distance = rep2;
+          } else {
+            distance = rep3;
+            rep3 = rep2;
+          }
+          rep2 = rep1;
+        }
+        rep1 = rep0;
+        rep0 = distance;
+      }
+      if (length == 0) {
+        int base = L.rep_len_coder;
+        if (rc.decode_bit(pr, base + kLenChoice) == 0)
+          length = rc.decode_tree(pr, base + kLenLow + (ps << 3), 3);
+        else if (rc.decode_bit(pr, base + kLenChoice2) == 0)
+          length = 8 + rc.decode_tree(pr, base + kLenMid + (ps << 3), 3);
+        else
+          length = 16 + rc.decode_tree(pr, base + kLenHigh, 8);
+        length += kMatchMinLen;
+        state = next_lrep(state);
+      }
+    } else {
+      rep3 = rep2;
+      rep2 = rep1;
+      rep1 = rep0;
+      int base = L.len_coder;
+      if (rc.decode_bit(pr, base + kLenChoice) == 0)
+        length = rc.decode_tree(pr, base + kLenLow + (ps << 3), 3);
+      else if (rc.decode_bit(pr, base + kLenChoice2) == 0)
+        length = 8 + rc.decode_tree(pr, base + kLenMid + (ps << 3), 3);
+      else
+        length = 16 + rc.decode_tree(pr, base + kLenHigh, 8);
+      length += kMatchMinLen;
+      state = next_match(state);
+      int slot = rc.decode_tree(pr, L.pos_slot + len_to_pos_state(length) * 64, 6);
+      if (slot >= kStartPosModelIndex) {
+        int direct_bits = (slot >> 1) - 1;
+        rep0 = (uint32_t)(2 | (slot & 1)) << direct_bits;
+        if (slot < kEndPosModelIndex) {
+          rep0 += (uint32_t)rc.decode_tree_rev(pr, L.spec_pos + (int)rep0 - slot - 1,
+                                               direct_bits);
+        } else {
+          rep0 += rc.decode_direct(direct_bits - kNumAlignBits) << kNumAlignBits;
+          rep0 += (uint32_t)rc.decode_tree_rev(pr, L.align_, kNumAlignBits);
+          if (rep0 >= 0x80000000u) {
+            if (rep0 == 0xFFFFFFFFu) break;  // EOS
+            return -3;
+          }
+        }
+      } else {
+        rep0 = (uint32_t)slot;
+      }
+    }
+    if (rep0 >= now || rep0 >= dict_check) return -4;
+    size_t src = now - rep0 - 1;
+    size_t remaining = out_size - now;
+    size_t l = (size_t)length < remaining ? (size_t)length : remaining;
+    for (size_t i = 0; i < l; i++) out[now + i] = out[src + i];
+    now += l;
+    if ((size_t)length > remaining) return -5;
+    prev = out[now - 1];
+  }
+  if (now != out_size) return -9;  // premature EOS in a known-size stream
+  return 0;
+}
+
+}  // namespace
+
+// =================================================================== C API
+extern "C" {
+
+// Encode one raw LZMA stream.  Returns stream length or negative error.
+// out_cap must be >= worst case (use lzt_encode_bound).
+int64_t lzt_encode(const uint8_t* data, int64_t n, int lc, int lp, int pb,
+                   uint32_t dict_size, int fb, int mf, int eos, int optimal,
+                   uint8_t* out, int64_t out_cap) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (fb < 5 || fb > kMatchMaxLen) return -1;
+  if (dict_size < 1 || dict_size > (1u << 29)) return -1;
+  EncParams p;
+  p.lc = lc; p.lp = lp; p.pb = pb;
+  p.dict_size = dict_size;
+  p.fb = fb; p.mf = mf; p.eos = eos; p.optimal = optimal;
+  std::vector<uint8_t> buf;
+  buf.reserve((size_t)n + (size_t)n / 8 + 256);
+  Encoder enc(p);
+  enc.encode(data, (size_t)n, &buf);
+  if ((int64_t)buf.size() > out_cap) return -6;
+  std::memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+int64_t lzt_encode_bound(int64_t n) { return n + n / 8 + 4096; }
+
+// Decode one raw LZMA stream of known uncompressed size.
+int lzt_decode(const uint8_t* comp, int64_t comp_len, int lc, int lp, int pb,
+               uint32_t dict_size, uint8_t* out, int64_t out_size) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  return decode_block(comp, (size_t)comp_len, lc, lp, pb, dict_size, out,
+                      (size_t)out_size);
+}
+
+// Block-parallel encode: splits data into blocks of block_size, encodes each
+// as an independent stream on a thread pool, writes concatenated streams to
+// out and per-block sizes to sizes[num_blocks].  Returns payload length or
+// negative error.
+int64_t lzt_encode_blocks(const uint8_t* data, int64_t n, int lc, int lp,
+                          int pb, uint32_t dict_size, int fb, int mf,
+                          int optimal, int64_t block_size, int num_threads,
+                          uint8_t* out, int64_t out_cap, uint32_t* sizes) {
+  if (block_size < 1) return -1;
+  int64_t num_blocks = (n + block_size - 1) / block_size;
+  if (num_blocks == 0) return 0;
+  std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);
+  std::atomic<int64_t> next(0);
+  std::atomic<int> error(0);
+  int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
+  auto worker = [&]() {
+    EncParams p;
+    p.lc = lc; p.lp = lp; p.pb = pb;
+    p.dict_size = dict_size;
+    p.fb = fb; p.mf = mf; p.eos = 0; p.optimal = optimal;
+    Encoder enc(p);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= num_blocks || error.load()) break;
+      int64_t off = i * block_size;
+      int64_t len = std::min(block_size, n - off);
+      enc.encode(data + off, (size_t)len, &streams[(size_t)i]);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 1; i < threads; i++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  if (error.load()) return -7;
+  int64_t total = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    sizes[i] = (uint32_t)streams[(size_t)i].size();
+    total += (int64_t)streams[(size_t)i].size();
+  }
+  if (total > out_cap) return -6;
+  int64_t off = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    std::memcpy(out + off, streams[(size_t)i].data(), streams[(size_t)i].size());
+    off += (int64_t)streams[(size_t)i].size();
+  }
+  return total;
+}
+
+// Block-parallel decode of concatenated streams.  sizes[num_blocks] are the
+// compressed sizes; block_size the uncompressed size per block (last block =
+// total_size - block_size*(num_blocks-1)).  Returns 0 or negative error.
+int lzt_decode_blocks(const uint8_t* payload, int64_t payload_len, int lc,
+                      int lp, int pb, uint32_t dict_size, int64_t block_size,
+                      int64_t total_size, const uint32_t* sizes,
+                      int64_t num_blocks, int num_threads, uint8_t* out) {
+  std::vector<int64_t> offsets((size_t)num_blocks + 1);
+  offsets[0] = 0;
+  for (int64_t i = 0; i < num_blocks; i++) offsets[(size_t)i + 1] = offsets[(size_t)i] + sizes[i];
+  if (offsets[(size_t)num_blocks] > payload_len) return -8;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> error(0);
+  int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= num_blocks || error.load()) break;
+      int64_t out_off = i * block_size;
+      int64_t out_len = (i == num_blocks - 1) ? total_size - out_off : block_size;
+      int rc = decode_block(payload + offsets[(size_t)i], (size_t)sizes[i], lc, lp, pb,
+                            dict_size, out + out_off, (size_t)out_len);
+      if (rc != 0) error.store(rc);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 1; i < threads; i++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  return error.load();
+}
+
+const char* lzt_version() { return "lzma_tpu-native-0.1"; }
+
+}  // extern "C"

@@ -1,0 +1,109 @@
+"""Native C++ runtime: byte-identity with the scalar oracle + golden parity.
+
+The native backend must produce EXACTLY the scalar oracle's bytes (same
+prob-arena layout, same semantics), which transitively pins it to the
+reference Java encoder's golden output.
+"""
+
+import hashlib
+import lzma
+
+import numpy as np
+import pytest
+
+from lzma_tpu.codec.decoder import decode_stream as py_decode
+from lzma_tpu.codec.encoder import encode_stream as py_encode
+from lzma_tpu.core.rangecoder import CorruptStreamError
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.parallel import blocks as blk
+from lzma_tpu.runtime import native
+
+from conftest import fixture_bytes, has_reference
+from test_golden_sizes import BASE, GOLDEN
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+
+
+def _data(n=60_000, seed=5):
+    rng = np.random.default_rng(seed)
+    out = bytearray(rng.integers(0, 256, 300, dtype=np.uint8).tobytes())
+    while len(out) < n:
+        if rng.integers(0, 3):
+            start = int(rng.integers(0, len(out)))
+            out.extend(out[start : start + int(rng.integers(2, 80))])
+        else:
+            out.append(int(rng.integers(0, 256)))
+    return bytes(out[:n])
+
+
+@pytest.mark.parametrize("mf", ["bt4", "bt2", "hc4"])
+@pytest.mark.parametrize("lc,lp,pb", [(3, 0, 2), (0, 2, 0), (8, 4, 4)])
+def test_native_matches_scalar(mf, lc, lp, pb):
+    data = _data()
+    p = LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=1 << 15, fast_bytes=32, match_finder=mf)
+    assert native.encode_stream(data, p) == py_encode(data, p)
+
+
+@pytest.mark.parametrize("eos", [False, True])
+def test_native_eos_matches_scalar(eos):
+    data = _data(20_000)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16, write_eos=eos)
+    assert native.encode_stream(data, p) == py_encode(data, p)
+
+
+def test_native_greedy_matches_scalar():
+    data = _data()
+    p = LzmaParams(dict_size=1 << 15, fast_bytes=32)
+    assert native.encode_stream(data, p, optimal=False) == py_encode(data, p, optimal=False)
+
+
+def test_native_decode_matches_scalar():
+    data = _data()
+    p = LzmaParams(dict_size=1 << 15, fast_bytes=32)
+    comp = py_encode(data, p)
+    assert native.decode_stream(comp, p, len(data)) == data
+
+
+def test_native_decodes_liblzma():
+    data = _data()
+    filt = {"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0, "pb": 2, "dict_size": 1 << 16}
+    comp = lzma.compress(data, format=lzma.FORMAT_ALONE, filters=[filt])
+    assert native.decode_alone(comp) == data
+
+
+def test_native_corrupt_detected():
+    data = _data()
+    p = LzmaParams(dict_size=1 << 15, fast_bytes=32)
+    comp = bytearray(py_encode(data, p))
+    comp[10] ^= 0xFF
+    with pytest.raises(CorruptStreamError):
+        native.decode_stream(bytes(comp), p, len(data))
+
+
+def test_native_blocks_roundtrip_and_interop():
+    data = _data(300_000)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    blob_native = native.encode_blocks(data, p, block_size=1 << 15, num_threads=4)
+    blob_py = blk.encode_blocks(data, p, block_size=1 << 15)
+    assert blob_native == blob_py  # backends agree bit-for-bit
+    assert native.decode_blocks(blob_py, num_threads=4) == data
+    assert blk.decode_blocks(blob_native) == data
+
+
+def test_native_empty_and_tiny():
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=8)
+    for data in (b"", b"a", b"ab", b"aaaaaaa"):
+        assert native.encode_stream(data, p) == py_encode(data, p)
+        blob = native.encode_blocks(data, p, block_size=16)
+        assert native.decode_blocks(blob) == data
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference fixture not mounted")
+@pytest.mark.parametrize("name", list(GOLDEN))
+def test_native_golden_parity_full_sweep(name):
+    """All 12 reference golden configs, byte-exact, via the fast native path."""
+    over, size, md5 = GOLDEN[name]
+    p = LzmaParams(**{**BASE, **over})
+    comp = native.encode_alone(fixture_bytes(), p)
+    assert len(comp) == size
+    assert hashlib.md5(comp).hexdigest() == md5

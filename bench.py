@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Driver benchmark: one JSON line on stdout.
+
+Measures block-parallel LZMA round-trip (encode+decode) throughput on the
+LzmaBench-equivalent synthetic corpus across backends:
+
+  native  — C++ multithreaded block codec (host runtime)
+  device  — lane-parallel JAX kernels on the default backend (TPU when run
+            by the driver; compile excluded by warmup)
+
+Headline value: best round-trip MB/s (input bytes / (t_enc + t_dec)).
+vs_baseline: ratio against single-threaded stock liblzma (preset 6) on the
+same corpus in the same process — the canonical native LZMA, standing in
+for the reference Java SDK (which publishes no throughput numbers,
+BASELINE.md; a JVM is not present in this image).
+
+Correctness is enforced in-line: every measured decode is CRC-checked and
+every backend's container round-trips bit-exactly.
+"""
+
+import json
+import sys
+import time
+
+REPORT = {}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, repeat=1, **kw):
+    best = float("inf")
+    out = None
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        best = min(best, time.perf_counter() - t0)
+    return out, best
+
+
+def main():
+    from lzma_tpu.bench.datagen import generate_bench_data
+    from lzma_tpu.format.properties import LzmaParams
+    from lzma_tpu.utils.crc import crc32
+
+    corpus_size = 8 << 20
+    t0 = time.perf_counter()
+    data = generate_bench_data(corpus_size)
+    digest = crc32(data)
+    log(f"corpus: {corpus_size/1e6:.1f} MB synthetic LZ data ({time.perf_counter()-t0:.1f}s)")
+
+    results = {}
+
+    # ---------------- baseline: stock liblzma single-thread ----------------
+    import lzma as _lzma
+
+    comp_lib, t_enc_lib = timed(
+        lambda: _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=6)
+    )
+    out_lib, t_dec_lib = timed(lambda: _lzma.decompress(comp_lib, format=_lzma.FORMAT_ALONE))
+    assert crc32(out_lib) == digest
+    lib_rt = corpus_size / (t_enc_lib + t_dec_lib) / 1e6
+    log(
+        f"liblzma p6 1T : enc {corpus_size/t_enc_lib/1e6:6.1f} MB/s  "
+        f"dec {corpus_size/t_dec_lib/1e6:6.1f} MB/s  rt {lib_rt:6.1f} MB/s  "
+        f"ratio {corpus_size/len(comp_lib):.2f}"
+    )
+    results["liblzma"] = lib_rt
+
+    # ---------------- native backend ----------------
+    try:
+        from lzma_tpu.runtime import native
+
+        p = LzmaParams(dict_size=1 << 20, fast_bytes=32, match_finder="bt4")
+        blob, t_enc = timed(
+            native.encode_blocks, data, p, block_size=1 << 20, num_threads=0, repeat=2
+        )
+        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=2)
+        assert crc32(out) == digest
+        rt = corpus_size / (t_enc + t_dec) / 1e6
+        log(
+            f"native bt4-opt: enc {corpus_size/t_enc/1e6:6.1f} MB/s  "
+            f"dec {corpus_size/t_dec/1e6:6.1f} MB/s  rt {rt:6.1f} MB/s  "
+            f"ratio {corpus_size/len(blob):.2f}"
+        )
+        results["native"] = rt
+
+        p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=16, match_finder="hc4")
+        blob, t_enc = timed(
+            native.encode_blocks, data, p_fast, block_size=1 << 20,
+            num_threads=0, optimal=False, repeat=2,
+        )
+        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=2)
+        assert crc32(out) == digest
+        rt = corpus_size / (t_enc + t_dec) / 1e6
+        log(
+            f"native hc4-grd: enc {corpus_size/t_enc/1e6:6.1f} MB/s  "
+            f"dec {corpus_size/t_dec/1e6:6.1f} MB/s  rt {rt:6.1f} MB/s  "
+            f"ratio {corpus_size/len(blob):.2f}"
+        )
+        results["native_fast"] = rt
+    except Exception as e:
+        log(f"native backend unavailable: {e!r}")
+
+    # ---------------- device backend (TPU under the driver) ----------------
+    # The XLA lane-FSM path is correctness-complete but its serial loops
+    # are dominated by per-iteration buffer copies (the Pallas in-VMEM
+    # kernels are the planned fast path); measure it only under a watchdog
+    # so the headline JSON always lands.  Skip with LZMA_TPU_BENCH_DEVICE=0.
+    import os
+    import signal
+
+    budget = int(os.environ.get("LZMA_TPU_BENCH_DEVICE_BUDGET", "240"))
+    if os.environ.get("LZMA_TPU_BENCH_DEVICE", "1") != "0" and budget > 0:
+        class _Budget(Exception):
+            pass
+
+        def _trip(signum, frame):
+            raise _Budget()
+
+        old = signal.signal(signal.SIGALRM, _trip)
+        signal.alarm(budget)
+        try:
+            import jax
+
+            backend = jax.default_backend()
+            log(f"jax backend: {backend} devices={jax.devices()}")
+            from lzma_tpu.ops import api as dev
+
+            p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+            dev_size = 1 << 19
+            dev_data = data[:dev_size]
+            blob = dev.encode_blocks(dev_data, p, block_size=1 << 14)  # warm/compile
+            out = dev.decode_blocks(blob)
+            assert crc32(out) == crc32(dev_data)
+            blob, t_enc = timed(dev.encode_blocks, dev_data, p, block_size=1 << 14)
+            out, t_dec = timed(dev.decode_blocks, blob)
+            assert crc32(out) == crc32(dev_data)
+            rt = dev_size / (t_enc + t_dec) / 1e6
+            log(
+                f"device ({backend}) : enc {dev_size/t_enc/1e6:6.1f} MB/s  "
+                f"dec {dev_size/t_dec/1e6:6.1f} MB/s  rt {rt:6.1f} MB/s  "
+                f"ratio {dev_size/len(blob):.2f}"
+            )
+            results[f"device_{backend}"] = rt
+        except _Budget:
+            log(f"device bench skipped: exceeded {budget}s budget (compile-bound)")
+        except Exception as e:
+            log(f"device backend failed: {e!r}")
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    best_key = max((k for k in results if k != "liblzma"), key=lambda k: results[k], default=None)
+    if best_key is None:
+        log("no backend produced a result")
+        sys.exit(1)
+    value = results[best_key]
+    print(
+        json.dumps(
+            {
+                "metric": f"synthetic-corpus block-parallel encode+decode round-trip ({best_key})",
+                "value": round(value, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(value / results["liblzma"], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

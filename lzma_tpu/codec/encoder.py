@@ -123,7 +123,8 @@ class LzmaEncoder:
     """One-shot block encoder.  `encode(data)` returns the raw LZMA stream
     (no container header)."""
 
-    def __init__(self, params: LzmaParams, optimal: bool = True):
+    def __init__(self, params: LzmaParams, optimal: bool = True, trace=None):
+        self._trace = trace  # utils.trace.CodecTrace or None
         self.params = params.validated_for_encode()
         self.optimal = optimal and params.match_finder != MF_HC4
         self.layout = ProbLayout(params.lc, params.lp, params.pb)
@@ -389,6 +390,8 @@ class LzmaEncoder:
     def _read_match_distances(self) -> int:
         """ReadMatchDistances (Encoder.java:275-287)."""
         self.match_distances = self.mf.find_matches()
+        if self._trace is not None and self._trace.enabled:
+            self._trace.matches(self.mf.pos - 1, self.match_distances)
         self.num_distance_pairs = len(self.match_distances)
         length = 0
         if self.num_distance_pairs > 0:
@@ -898,6 +901,8 @@ class LzmaEncoder:
             last_report = 0
             while True:
                 decision = get(self.now_pos)
+                if self._trace is not None and self._trace.enabled:
+                    self._trace.symbol(self.now_pos, decision)
                 ps = self.now_pos & self.pos_state_mask
                 complex_state = (self.state << NUM_POS_STATES_BITS_MAX) + ps
                 if decision.pos == -1 and decision.length == 1:

@@ -1,0 +1,82 @@
+"""TPU-backend codec surface matching the scalar/native backends.
+
+Single-stream helpers route through the lane-parallel device kernels with
+one lane; the block APIs batch blocks across lanes (the intended use —
+device throughput comes from lane parallelism, see parallel/mesh.py for
+the multi-chip version).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ..core.rangecoder import CorruptStreamError
+from ..format.properties import LzmaParams, decode_props
+from ..parallel import blocks as blk
+from .device_decoder import decode_batch
+from .device_encoder import encode_batch
+
+
+def encode_stream(data: bytes, params: LzmaParams) -> bytes:
+    (s,) = encode_batch([data], params)
+    return s
+
+
+def decode_stream(comp: bytes, params: LzmaParams, out_size: int) -> bytes:
+    (d,) = decode_batch([comp], params, [out_size])
+    return d
+
+
+def encode_alone(data: bytes, params: LzmaParams) -> bytes:
+    if params.write_eos:
+        raise ValueError("device backend writes known-size streams (no EOS)")
+    return (
+        params.encode_props()
+        + len(data).to_bytes(8, "little")
+        + encode_stream(data, params)
+    )
+
+
+def decode_alone(data: bytes) -> bytes:
+    if len(data) < 13:
+        raise CorruptStreamError(".lzma input too short")
+    params = decode_props(data[:5])
+    out_size = int.from_bytes(data[5:13], "little")
+    if out_size == 0xFFFFFFFFFFFFFFFF:
+        from ..codec.decoder import decode_stream as py_decode
+
+        return py_decode(data, params, out_size=-1, start=13)
+    return decode_stream(data[13:], params, out_size)
+
+
+def encode_blocks(
+    data: bytes,
+    params: LzmaParams | None = None,
+    block_size: int = 1 << 18,
+) -> bytes:
+    """Lane-parallel block encode to an LZTB container."""
+    params = (params or LzmaParams()).validated_for_encode()
+    blocks = blk.split_blocks(data, block_size)
+    streams = encode_batch(blocks, params) if blocks else []
+    return blk.build_container(params, block_size, len(data), streams)
+
+
+def decode_blocks(blob) -> bytes:
+    """Lane-parallel block decode of an LZTB container."""
+    frame = blk.parse_container(blob)
+    n = len(frame.comp_sizes)
+    if n == 0:
+        return b""
+    offsets = [frame.payload_offset]
+    for s in frame.comp_sizes:
+        offsets.append(offsets[-1] + s)
+    streams = [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(n)]
+    sizes = [
+        frame.block_size if i < n - 1 else frame.total_size - frame.block_size * (n - 1)
+        for i in range(n)
+    ]
+    parts = decode_batch(streams, frame.params, sizes)
+    out = b"".join(parts)
+    if len(out) != frame.total_size:
+        raise CorruptStreamError("decoded size mismatch")
+    return out

@@ -1,0 +1,480 @@
+"""Lane-parallel LZMA encoder: parse and bits in parallel, serialize minimal.
+
+The insight that makes LZMA encoding TPU-friendly: once the parse (token
+stream) is fixed, the exact (context, bit) sequence fed to the range coder
+is FULLY DETERMINED — adaptive probabilities affect the emitted BYTES, not
+which bits go to which contexts.  So the encoder splits into:
+
+  A. parallel tokenization            (ops/device_matcher.py — sort-based)
+  B. token classification scan        (tiny lax.scan: LZMA state machine +
+                                       rep-distance MTF per token)
+  C. bit lowering                     (fully vectorized: every token's
+                                       (ctx, bit) pairs via closed-form
+                                       bit-tree prefixes, scattered into a
+                                       flat per-lane bit stream)
+  D. range-coder serialization        (the only serial phase: a uniform
+                                       lax.while_loop consuming ONE
+                                       (ctx,bit) per lane per iteration)
+
+The reference interleaves all four in one sequential loop
+(Encoder.java:843-1024); here 3 of 4 phases are data-parallel.  Output is
+valid LZMA — decodable by the scalar/native/device decoders and by stock
+liblzma (tests/test_device_encoder.py).
+
+Carry handling in D without 64-bit ints: `low` is a (u32, carry-flag)
+pair; the pending-0xFF run of the reference's shiftLow
+(RangeEncoder.java:73-87) becomes a drain counter that stalls bit
+consumption while emitting one filler byte per iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import (
+    NEXT_STATE_LITERAL,
+    NEXT_STATE_LONGREP,
+    NEXT_STATE_MATCH,
+    NUM_POS_STATES_BITS_MAX,
+)
+from ..core.layout import (
+    LEN_CHOICE,
+    LEN_CHOICE2,
+    LEN_HIGH,
+    LEN_LOW,
+    LEN_MID,
+    LITERAL_CODER_SIZE,
+    POS_SLOT_TREE_SIZE,
+    ProbLayout,
+)
+from ..format.properties import LzmaParams
+from .device_matcher import tokenize
+
+_NSL = jnp.asarray(NEXT_STATE_LITERAL)
+_NSM = jnp.asarray(NEXT_STATE_MATCH)
+_NSR = jnp.asarray(NEXT_STATE_LONGREP)
+
+K_LIT = 0
+K_MATCH = 1
+K_REP = 2
+
+MAXB = 50          # bits-with-context per token, upper bound
+CTX_DIRECT = -1    # sentinel ctx: equiprobable direct bit
+
+
+# ---------------------------------------------------------------- phase B
+@jax.jit
+def classify_tokens(data, t_pos, t_len, t_dist, t_valid):
+    """LZMA state machine + rep MTF over the token stream (lax.scan).
+
+    data: (N, max_n) u8; token arrays (N, T).  Returns per-token int32
+    arrays: kind, rep_idx, state_before, match_mode, match_byte, prev_byte,
+    lit_byte.
+    """
+    N, T = t_pos.shape
+    lanes = jnp.arange(N)
+    max_n = data.shape[1]
+
+    def step(carry, tok):
+        state, r0, r1, r2, r3 = carry
+        pos, ln, dist, valid = tok
+        is_lit = dist < 0
+
+        prev_byte = jnp.where(
+            pos > 0, data[lanes, jnp.maximum(pos - 1, 0)].astype(jnp.int32), 0
+        )
+        lit_byte = data[lanes, jnp.minimum(pos, max_n - 1)].astype(jnp.int32)
+        match_mode = ((state >= 7) & is_lit).astype(jnp.int32)
+        mb_idx = jnp.clip(pos - r0 - 1, 0, max_n - 1)
+        match_byte = data[lanes, mb_idx].astype(jnp.int32)
+
+        is_r0 = (~is_lit) & (dist == r0)
+        is_r1 = (~is_lit) & (~is_r0) & (dist == r1)
+        is_r2 = (~is_lit) & (~is_r0) & (~is_r1) & (dist == r2)
+        is_r3 = (~is_lit) & (~is_r0) & (~is_r1) & (~is_r2) & (dist == r3)
+        is_rep = is_r0 | is_r1 | is_r2 | is_r3
+        is_match = (~is_lit) & (~is_rep)
+        rep_idx = jnp.where(is_r0, 0, jnp.where(is_r1, 1, jnp.where(is_r2, 2, 3)))
+        kind = jnp.where(is_lit, K_LIT, jnp.where(is_rep, K_REP, K_MATCH))
+
+        # rep-distance MTF (Encoder.java:969-973, 1001-1003)
+        n0 = jnp.where(
+            is_match, dist,
+            jnp.where(is_r1, r1, jnp.where(is_r2, r2, jnp.where(is_r3, r3, r0))),
+        )
+        n1 = jnp.where(is_match | is_r1 | is_r2 | is_r3, r0, r1)
+        n2 = jnp.where(is_match | is_r2 | is_r3, r1, r2)
+        n3 = jnp.where(is_match | is_r3, r2, r3)
+        new_state = jnp.where(
+            is_lit, _NSL[state], jnp.where(is_rep, _NSR[state], _NSM[state])
+        )
+        out = (kind, rep_idx, state, match_mode, match_byte, prev_byte, lit_byte)
+        state = jnp.where(valid, new_state, state)
+        r0 = jnp.where(valid, n0, r0)
+        r1 = jnp.where(valid, n1, r1)
+        r2 = jnp.where(valid, n2, r2)
+        r3 = jnp.where(valid, n3, r3)
+        return (state, r0, r1, r2, r3), out
+
+    z = jnp.zeros((N,), dtype=jnp.int32)
+    toks = tuple(
+        jnp.moveaxis(a, 1, 0)
+        for a in (t_pos, t_len, t_dist, t_valid.astype(jnp.int32) > 0)
+    )
+    _, outs = jax.lax.scan(step, (z, z, z, z, z), toks)
+    return tuple(jnp.moveaxis(o, 0, 1) for o in outs)
+
+
+# ---------------------------------------------------------------- phase C
+def _bitrev_low(v, k_vec, width):
+    """Reverse the low k bits of v (k <= width), vectorized over arrays."""
+    out = jnp.zeros_like(v)
+    for j in range(width):
+        bit = (v >> j) & 1
+        shift = jnp.maximum(k_vec - 1 - j, 0)
+        out = out | jnp.where(j < k_vec, bit << shift, 0)
+    return out
+
+
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_bits"))
+def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, max_bits):
+    """Expand tokens into (ctx, bit) pairs scattered into flat per-lane
+    streams.  Returns ctx (N,max_bits), bit (N,max_bits), total (N,)."""
+    layout = ProbLayout(lc, lp, pb)
+    kind, rep_idx, state, match_mode, match_byte, prev_byte, lit_byte = meta
+    N, T = t_pos.shape
+    lanes2 = jnp.arange(N)[:, None]
+    pos_state = t_pos & ((1 << pb) - 1)
+    valid = t_valid & True
+
+    is_lit = kind == K_LIT
+    is_match = kind == K_MATCH
+    is_rep = kind == K_REP
+
+    # ---- per-token geometry ----
+    l_sym = jnp.maximum(t_len - 2, 0)
+    dlen = jnp.where(l_sym < 8, 4, jnp.where(l_sym < 16, 5, 10))
+    rbits = jnp.where(rep_idx < 2, 2, 3)
+
+    dist = jnp.maximum(t_dist, 0)
+    nb = 31 - jax.lax.clz(jnp.maximum(dist, 1))
+    slot = jnp.where(dist < 4, dist, (nb << 1) | ((dist >> jnp.maximum(nb - 1, 0)) & 1))
+    footer = jnp.maximum((slot >> 1) - 1, 0)
+    base_val = (2 | (slot & 1)) << footer
+    reduced = dist - base_val
+    spec = is_match & (slot >= 4) & (slot < 14)
+    huge = is_match & (slot >= 14)
+    tail_bits = jnp.where(spec, footer, jnp.where(huge, footer, 0))  # direct+align == footer
+
+    # segment start offsets (within token)
+    lit_s = 1                       # literal bits after is_match
+    isrep_s = 1
+    repsel_s = 2                    # rep selector bits
+    len_s = jnp.where(is_rep, 2 + rbits, 2)
+    slot_s = len_s + dlen           # match only
+    tail_s = slot_s + 6
+
+    nbits = jnp.where(
+        is_lit, 9, jnp.where(is_rep, len_s + dlen, tail_s + tail_bits)
+    )
+    nbits = jnp.where(valid, nbits, 0)
+
+    # flat destination offsets
+    base_off = jnp.cumsum(nbits, axis=1) - nbits   # exclusive prefix sum per lane
+    total = jnp.sum(nbits, axis=1)
+
+    # ---- shared ctx components ----
+    L = layout
+    im_ctx = L.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state
+    lit_sub = L.literal + (
+        ((t_pos & ((1 << lp) - 1)) << lc) + (prev_byte >> (8 - lc))
+    ) * LITERAL_CODER_SIZE
+    len_base = jnp.where(is_rep, L.rep_len_coder, L.len_coder)
+    lps = jnp.minimum(t_len - 2, 3)
+    slot_tree = L.pos_slot + lps * POS_SLOT_TREE_SIZE
+    x = lit_byte ^ match_byte  # matched-literal prefix-equality word
+
+    ctx_out = jnp.full((N, max_bits), CTX_DIRECT, dtype=jnp.int32)
+    bit_out = jnp.zeros((N, max_bits), dtype=jnp.int32)
+
+    # band-specific length-tree values
+    len_lo_v = l_sym
+    len_mid_v = l_sym - 8
+    len_hi_v = l_sym - 16
+    band = jnp.where(l_sym < 8, 0, jnp.where(l_sym < 16, 1, 2))
+    band_bits = jnp.where(band == 2, 8, 3)
+    band_v = jnp.where(band == 0, len_lo_v, jnp.where(band == 1, len_mid_v, len_hi_v))
+    band_tree = jnp.where(
+        band == 0, len_base + LEN_LOW + (pos_state << 3),
+        jnp.where(band == 1, len_base + LEN_MID + (pos_state << 3), len_base + LEN_HIGH),
+    )
+    choice_bits = jnp.where(band == 0, 1, 2)
+
+    def slot_body(t, carry):
+        """Emit bit-slot t of every token (t traced -> one compiled body)."""
+        ctx_out, bit_out = carry
+        in_tok = (t < nbits) & valid
+        ctx_t = jnp.zeros((N, T), dtype=jnp.int32)
+        bit_t = jnp.zeros((N, T), dtype=jnp.int32)
+
+        # -- slot 0: is_match bit --
+        sel = in_tok & (t == 0)
+        ctx_t = jnp.where(sel, im_ctx, ctx_t)
+        bit_t = jnp.where(sel, jnp.where(is_lit, 0, 1), bit_t)
+
+        # -- literal bits (k = t-1 in 0..7; closed forms hold at k=0) --
+        k = jnp.clip(t - 1, 0, 7)
+        sel = in_tok & is_lit & (t >= 1)
+        m = (1 << k) | (lit_byte >> (8 - k))
+        b = (lit_byte >> (7 - k)) & 1
+        prefix_eq = (x >> (8 - k)) == 0
+        mbit = (match_byte >> (7 - k)) & 1
+        use_matched = (match_mode > 0) & prefix_eq
+        c = lit_sub + jnp.where(use_matched, ((1 + mbit) << 8) + m, m)
+        ctx_t = jnp.where(sel, c, ctx_t)
+        bit_t = jnp.where(sel, b, bit_t)
+
+        # -- is_rep bit (match/rep slot 1) --
+        sel = in_tok & (~is_lit) & (t == 1)
+        ctx_t = jnp.where(sel, L.is_rep + state, ctx_t)
+        bit_t = jnp.where(sel, jnp.where(is_rep, 1, 0), bit_t)
+
+        # -- rep selector bits: r0 -> [g0=0, rep0long=1]; r1 -> [1,0];
+        #    r2 -> [1,1,0]; r3 -> [1,1,1] --
+        kk = t - repsel_s
+        sel = in_tok & is_rep & (kk >= 0) & (kk < rbits)
+        c1 = jnp.where(
+            rep_idx == 0,
+            L.is_rep0_long + (state << NUM_POS_STATES_BITS_MAX) + pos_state,
+            L.is_rep_g1 + state,
+        )
+        b1v = jnp.where(rep_idx == 0, 1, jnp.where(rep_idx == 1, 0, 1))
+        c = jnp.where(kk == 0, L.is_rep_g0 + state, jnp.where(kk == 1, c1, L.is_rep_g2 + state))
+        b = jnp.where(
+            kk == 0,
+            jnp.where(rep_idx == 0, 0, 1),
+            jnp.where(kk == 1, b1v, jnp.where(rep_idx == 2, 0, 1)),
+        )
+        ctx_t = jnp.where(sel, c, ctx_t)
+        bit_t = jnp.where(sel, b, bit_t)
+
+        # -- length bits (match + rep) --
+        kk = t - len_s
+        sel_len = in_tok & (~is_lit) & (kk >= 0) & (kk < dlen)
+        sel = sel_len & (kk == 0)
+        ctx_t = jnp.where(sel, len_base + LEN_CHOICE, ctx_t)
+        bit_t = jnp.where(sel, jnp.where(band == 0, 0, 1), bit_t)
+        sel = sel_len & (kk == 1) & (band > 0)
+        ctx_t = jnp.where(sel, len_base + LEN_CHOICE2, ctx_t)
+        bit_t = jnp.where(sel, jnp.where(band == 1, 0, 1), bit_t)
+        #   band tree (MSB-first): after j bits m = (1<<j) | (v >> (nb-j))
+        j = jnp.clip(kk - choice_bits, 0, 8)
+        sel = sel_len & (kk - choice_bits >= 0)
+        m = (1 << j) | (band_v >> jnp.clip(band_bits - j, 0, 31))
+        b = (band_v >> jnp.clip(band_bits - 1 - j, 0, 31)) & 1
+        ctx_t = jnp.where(sel, band_tree + m, ctx_t)
+        bit_t = jnp.where(sel, b, bit_t)
+
+        # -- pos_slot tree (match only), 6 bits MSB-first --
+        j_raw = t - slot_s
+        j = jnp.clip(j_raw, 0, 5)
+        sel = in_tok & is_match & (j_raw >= 0) & (j_raw < 6)
+        m = (1 << j) | (slot >> (6 - j))
+        b = (slot >> (5 - j)) & 1
+        ctx_t = jnp.where(sel, slot_tree + m, ctx_t)
+        bit_t = jnp.where(sel, b, bit_t)
+
+        # -- distance tail --
+        j_raw = t - tail_s
+        #   spec_pos reverse tree: footer (<=5) bits LSB-first
+        j = jnp.clip(j_raw, 0, 4)
+        sel = in_tok & spec & (j_raw >= 0) & (j_raw < footer)
+        m_rev = (1 << j) | _bitrev_low(reduced, j, 5)
+        b = (reduced >> j) & 1
+        ctx_t = jnp.where(sel, L.spec_pos + base_val - slot - 1 + m_rev, ctx_t)
+        bit_t = jnp.where(sel, b, bit_t)
+        #   huge: direct bits MSB-first then 4-bit align reverse tree
+        nd = footer - 4
+        sel = in_tok & huge & (j_raw >= 0) & (j_raw < nd)
+        b = (reduced >> jnp.clip(footer - 1 - j_raw, 0, 31)) & 1
+        ctx_t = jnp.where(sel, CTX_DIRECT, ctx_t)
+        bit_t = jnp.where(sel, b, bit_t)
+        ja = jnp.clip(j_raw - nd, 0, 3)
+        sel = in_tok & huge & (j_raw - nd >= 0) & (j_raw - nd < 4)
+        align_v = reduced & 15
+        m_rev = (1 << ja) | _bitrev_low(align_v, ja, 4)
+        b = (align_v >> ja) & 1
+        ctx_t = jnp.where(sel, L.align + m_rev, ctx_t)
+        bit_t = jnp.where(sel, b, bit_t)
+
+        # scatter into the flat stream
+        dest = jnp.where(in_tok, base_off + t, max_bits)
+        ctx_out = ctx_out.at[lanes2, dest].set(jnp.where(in_tok, ctx_t, 0), mode="drop")
+        bit_out = bit_out.at[lanes2, dest].set(jnp.where(in_tok, bit_t, 0), mode="drop")
+        return (ctx_out, bit_out)
+
+    ctx_out, bit_out = jax.lax.fori_loop(0, MAXB, slot_body, (ctx_out, bit_out))
+    return ctx_out, bit_out, total
+
+
+# ---------------------------------------------------------------- phase D
+@partial(jax.jit, static_argnames=("arena_size", "max_out"))
+def serialize(ctx, bits, totals, arena_size: int, max_out: int):
+    """Range-code the per-lane (ctx,bit) streams.  One op per iteration per
+    lane: adaptive bit, direct bit, drain-filler byte, or flush step."""
+    N, _ = ctx.shape
+    lanes = jnp.arange(N)
+
+    probs0 = jnp.full((N, arena_size), 1024, dtype=jnp.int32)
+    out0 = jnp.zeros((N, max_out), dtype=jnp.uint8)
+    z = jnp.zeros((N,), dtype=jnp.int32)
+    state0 = dict(
+        low=jnp.zeros((N,), dtype=jnp.uint32),
+        carry=z,
+        rng=jnp.full((N,), 0xFFFFFFFF, dtype=jnp.uint32),
+        cache=z,
+        pending=z,          # 0xFF-run length not yet emitted
+        drain=z,            # filler bytes to emit now
+        drain_byte=z,
+        bit_pos=z,
+        out_pos=z,
+        flush_i=z,
+    )
+
+    def cond(c):
+        s, probs, out = c
+        unfinished = (s["bit_pos"] < totals) | (s["drain"] > 0) | (s["flush_i"] < 5)
+        return jnp.any(unfinished)
+
+    def body(c):
+        s, probs, out = c
+        draining = s["drain"] > 0
+        has_bits = s["bit_pos"] < totals
+        flushing = (~draining) & (~has_bits) & (s["flush_i"] < 5)
+        coding = (~draining) & has_bits
+
+        bp = jnp.minimum(s["bit_pos"], ctx.shape[1] - 1)
+        cx = ctx[lanes, bp]
+        bt = bits[lanes, bp]
+        adaptive = coding & (cx >= 0)
+        direct = coding & (cx == CTX_DIRECT)
+
+        # adaptive bit
+        safe_cx = jnp.where(adaptive, cx, 0)
+        prob = probs[lanes, safe_cx]
+        bound = (s["rng"] >> 11) * prob.astype(jnp.uint32)
+        low_add_a = jnp.where(bt == 1, bound, jnp.uint32(0))
+        rng_a = jnp.where(bt == 0, bound, s["rng"] - bound)
+        new_prob = jnp.where(bt == 0, prob + ((2048 - prob) >> 5), prob - (prob >> 5))
+        # non-adaptive lanes write the unchanged prob back to ctx 0 (no-op)
+        probs = probs.at[lanes, safe_cx].set(jnp.where(adaptive, new_prob, prob))
+
+        # direct bit
+        rng_d = s["rng"] >> 1
+        low_add_d = jnp.where(bt == 1, rng_d, jnp.uint32(0))
+
+        rng1 = jnp.where(adaptive, rng_a, jnp.where(direct, rng_d, s["rng"]))
+        low_add = jnp.where(adaptive, low_add_a, jnp.where(direct, low_add_d, jnp.uint32(0)))
+        new_low = s["low"] + low_add
+        new_carry = s["carry"] | (new_low < s["low"]).astype(jnp.int32)
+
+        # renormalize / flush -> shiftLow
+        need_shift = (coding & (rng1 < (1 << 24))) | flushing
+        rng2 = jnp.where(coding & (rng1 < (1 << 24)), rng1 << 8, rng1)
+
+        fire = need_shift & ((new_carry == 1) | (new_low < jnp.uint32(0xFF000000)))
+        stall = need_shift & ~fire
+        emit_byte = (s["cache"] + new_carry) & 0xFF
+        filler = (0xFF + new_carry) & 0xFF
+
+        # drain emission (one filler per iteration)
+        wi = jnp.where(draining, jnp.minimum(s["out_pos"], max_out - 1), max_out)
+        out = out.at[lanes, wi].set(s["drain_byte"].astype(jnp.uint8), mode="drop")
+        # fire emission
+        wi = jnp.where(fire, jnp.minimum(s["out_pos"], max_out - 1), max_out)
+        out = out.at[lanes, wi].set(emit_byte.astype(jnp.uint8), mode="drop")
+
+        out_pos = s["out_pos"] + jnp.where(draining | fire, 1, 0)
+        drain = jnp.where(draining, s["drain"] - 1, jnp.where(fire, s["pending"], s["drain"]))
+        drain_byte = jnp.where(fire, filler, s["drain_byte"])
+        pending = jnp.where(fire, 0, jnp.where(stall, s["pending"] + 1, s["pending"]))
+        cache = jnp.where(fire, (new_low >> 24).astype(jnp.int32) & 0xFF, s["cache"])
+        low2 = jnp.where(need_shift, (new_low & 0xFFFFFF) << 8, new_low)
+        carry2 = jnp.where(need_shift, 0, new_carry)
+
+        s2 = dict(
+            low=low2,
+            carry=carry2,
+            rng=rng2,
+            cache=cache,
+            pending=pending,
+            drain=drain,
+            drain_byte=drain_byte,
+            bit_pos=s["bit_pos"] + jnp.where(coding, 1, 0),
+            out_pos=out_pos,
+            flush_i=s["flush_i"] + jnp.where(flushing, 1, 0),
+        )
+        return (s2, probs, out)
+
+    s, probs, out = jax.lax.while_loop(cond, body, (state0, probs0, out0))
+    return out, s["out_pos"]
+
+
+# ------------------------------------------------------------------ API
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
+def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2):
+    """Pure jittable lane-parallel encode: the flagship device pipeline.
+
+    data: (N, max_n) u8, lens: (N,) i32.  Returns (comp (N, max_out) u8,
+    comp_lens (N,) i32).  Safe to wrap in shard_map over a block-sharded
+    mesh axis (parallel/mesh.py).
+    """
+    N, max_n = data.shape
+    tok = jax.vmap(lambda d, n: tokenize(d, n, dict_size, fb, num_candidates))(
+        data, lens
+    )
+    t_pos, t_len, t_dist, t_valid, _ = tok
+    meta = classify_tokens(data, t_pos, t_len, t_dist, t_valid)
+    max_bits = 10 * max_n + 128
+    layout = ProbLayout(lc, lp, pb)
+    ctx, bits, totals = lower_tokens(
+        data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, max_bits
+    )
+    max_out = max_n + max_n // 4 + 128
+    return serialize(ctx, bits, totals, layout.size, max_out)
+
+
+def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2):
+    """Encode independent blocks lane-parallel on device.
+
+    blocks: list of bytes.  Returns list of raw LZMA streams.
+    """
+    if not blocks:
+        return []
+    params = params.validated_for_encode()
+    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    n_lanes = len(blocks)
+    max_n = max(max(len(b) for b in blocks), 16)
+    max_n = 1 << (max_n - 1).bit_length()  # pow2 bucket: stable jit shapes
+    data = np.zeros((n_lanes, max_n), dtype=np.uint8)
+    lens = np.zeros(n_lanes, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    out, out_lens = encode_lanes(
+        jnp.asarray(data),
+        jnp.asarray(lens),
+        jnp.int32(min(params.dict_size, max_n)),
+        lc=params.lc,
+        lp=params.lp,
+        pb=params.pb,
+        fb=fb,
+        num_candidates=num_candidates,
+    )
+    out = np.asarray(out)
+    out_lens = np.asarray(out_lens)
+    return [out[i, : out_lens[i]].tobytes() for i in range(n_lanes)]

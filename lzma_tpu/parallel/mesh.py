@@ -1,0 +1,182 @@
+"""Multi-chip block-parallel codec over a jax.sharding.Mesh.
+
+The scaling design from SURVEY.md §5.7/§5.8: input chunked into
+independent LZMA block streams, sharded over the mesh's "blocks" axis
+(data parallelism — the only axis that makes sense for a codec whose
+streams are serial), each device running the lane-parallel kernels
+(ops/device_*.py) on its local shard, then an ordered ragged gather:
+compressed sizes first (tiny all_gather over ICI), then the padded
+payload buffers (one all_gather), with the host doing the final ordered
+concat + container framing.  Multi-host works unchanged: jax.distributed
+initializes the global mesh and the same all_gathers ride ICI within a
+slice and DCN across slices.
+
+Replaces: nothing in the reference — it is single-threaded end to end
+(SURVEY.md §2 "Parallelism inventory: none").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..format.properties import LzmaParams
+from ..parallel import blocks as blk
+from ..ops.device_encoder import encode_lanes
+from ..ops.device_decoder import _decode_fsm
+
+BLOCK_AXIS = "blocks"
+
+
+def make_mesh(devices=None, axis: str = BLOCK_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _pad_lanes(num: int, num_devices: int) -> int:
+    return ((num + num_devices - 1) // num_devices) * num_devices
+
+
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "mesh_holder"))
+def _encode_step(data, lens, dict_size, *, lc, lp, pb, fb, mesh_holder):
+    """One sharded encode step: local lane-parallel encode + ordered gather."""
+    mesh = mesh_holder.mesh
+
+    def local(data_l, lens_l):
+        comp, comp_lens = encode_lanes(
+            data_l, lens_l, dict_size, lc=lc, lp=lp, pb=pb, fb=fb
+        )
+        # ordered ragged gather: sizes first, then padded payloads
+        all_lens = jax.lax.all_gather(comp_lens, BLOCK_AXIS, tiled=True)
+        all_comp = jax.lax.all_gather(comp, BLOCK_AXIS, tiled=True)
+        return all_comp, all_lens
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,  # loop carries start replicated, become device-varying
+    )(data, lens)
+
+
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "mesh_holder"))
+def _decode_step(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb, max_out, mesh_holder):
+    """One sharded decode step: local FSM decode + ordered gather."""
+    mesh = mesh_holder.mesh
+
+    def local(comp_l, lens_l, sizes_l):
+        out, ok, _ = _decode_fsm(
+            comp_l, lens_l, sizes_l, dict_size, lc, lp, pb, max_out, 0
+        )
+        all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
+        all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
+        return all_out, all_ok
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,  # loop carries start replicated, become device-varying
+    )(comp, comp_lens, out_sizes)
+
+
+class _MeshHolder:
+    """Hashable wrapper so a Mesh can ride a static jit arg."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash(tuple(d.id for d in self.mesh.devices.flat))
+
+    def __eq__(self, other):
+        return isinstance(other, _MeshHolder) and self.mesh == other.mesh
+
+
+def encode_blocks_mesh(
+    data: bytes,
+    params: LzmaParams | None = None,
+    block_size: int = 1 << 18,
+    mesh: Mesh | None = None,
+    fb: int | None = None,
+) -> bytes:
+    """Data-parallel block encode over every device in the mesh."""
+    params = (params or LzmaParams()).validated_for_encode()
+    mesh = mesh or make_mesh()
+    d = mesh.devices.size
+    blocks = blk.split_blocks(data, block_size)
+    if not blocks:
+        return blk.build_container(params, block_size, 0, [])
+    n = len(blocks)
+    lanes = _pad_lanes(n, d)
+    max_n = max(block_size, 16)
+    arr = np.zeros((lanes, max_n), dtype=np.uint8)
+    lens = np.zeros(lanes, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    comp, comp_lens = _encode_step(
+        jnp.asarray(arr),
+        jnp.asarray(lens),
+        jnp.int32(min(params.dict_size, max_n)),
+        lc=params.lc,
+        lp=params.lp,
+        pb=params.pb,
+        fb=fb,
+        mesh_holder=_MeshHolder(mesh),
+    )
+    comp = np.asarray(comp)
+    comp_lens = np.asarray(comp_lens)
+    streams = [comp[i, : comp_lens[i]].tobytes() for i in range(n)]
+    return blk.build_container(params, block_size, len(data), streams)
+
+
+def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
+    """Data-parallel block decode over every device in the mesh."""
+    frame = blk.parse_container(blob)
+    mesh = mesh or make_mesh()
+    d = mesh.devices.size
+    n = len(frame.comp_sizes)
+    if n == 0:
+        return b""
+    offsets = [frame.payload_offset]
+    for s in frame.comp_sizes:
+        offsets.append(offsets[-1] + s)
+    lanes = _pad_lanes(n, d)
+    max_in = max(max(frame.comp_sizes), 16)
+    comp = np.zeros((lanes, max_in), dtype=np.uint8)
+    lens = np.zeros(lanes, dtype=np.int32)
+    sizes = np.zeros(lanes, dtype=np.int32)
+    for i in range(n):
+        s = bytes(blob[offsets[i] : offsets[i + 1]])
+        comp[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lens[i] = len(s)
+        sizes[i] = (
+            frame.block_size
+            if i < n - 1
+            else frame.total_size - frame.block_size * (n - 1)
+        )
+    out, ok = _decode_step(
+        jnp.asarray(comp),
+        jnp.asarray(lens),
+        jnp.asarray(sizes),
+        np.int64(min(frame.params.dict_size, 2**31 - 1)),
+        lc=frame.params.lc,
+        lp=frame.params.lp,
+        pb=frame.params.pb,
+        max_out=max(frame.block_size, 1),
+        mesh_holder=_MeshHolder(mesh),
+    )
+    out = np.asarray(out)
+    ok = np.asarray(ok)
+    if not ok[:n].all():
+        bad = int(np.argmin(ok[:n]))
+        raise ValueError(f"mesh decode failed for block {bad}")
+    return b"".join(out[i, : sizes[i]].tobytes() for i in range(n))

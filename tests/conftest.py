@@ -1,20 +1,26 @@
 """Test env: force JAX onto a virtual 8-device CPU mesh.
 
-Device tests validate multi-chip sharding without TPU hardware, per the
-driver contract (the real-TPU path is exercised by bench.py and
-__graft_entry__.entry on the driver side).  Must run before jax import.
+Device tests validate multi-chip sharding without TPU hardware (the
+real-TPU path is exercised by bench.py and __graft_entry__ on the driver
+side).  The image's sitecustomize (PYTHONPATH=/root/.axon_site) imports
+jax and registers the axon TPU plugin before any test code runs, so
+JAX_PLATFORMS set here would be too late — instead we flip the platform
+through jax.config, which takes effect because no backend has been
+initialized yet.  Must run before anything calls jax.devices().
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 
-import pytest  # noqa: E402
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:  # jax-less environments still run the scalar/native tests
+    pass
 
 REFERENCE_FIXTURE = "/root/reference/src/test/java/SevenZip/firefox.exe"
 

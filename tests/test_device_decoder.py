@@ -1,0 +1,81 @@
+"""Device (lane-parallel FSM) decoder vs the scalar oracle and liblzma."""
+
+import lzma
+
+import numpy as np
+import pytest
+
+from lzma_tpu.codec.encoder import encode_stream
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.ops.device_decoder import decode_batch
+
+
+def _corpus(i, n=4000):
+    rng = np.random.default_rng(i)
+    if i % 3 == 0:
+        return (b"some structured text with repeats, repeats, repeats " * 200)[:n]
+    if i % 3 == 1:
+        out = bytearray(rng.integers(0, 256, 64, dtype=np.uint8).tobytes())
+        while len(out) < n:
+            if rng.integers(0, 2):
+                s = int(rng.integers(0, len(out)))
+                out.extend(out[s : s + int(rng.integers(2, 60))])
+            else:
+                out.append(int(rng.integers(0, 256)))
+        return bytes(out[:n])
+    return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+
+
+def test_decode_batch_matches_scalar():
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    datas = [_corpus(i) for i in range(6)]
+    streams = [encode_stream(d, p) for d in datas]
+    out = decode_batch(streams, p, [len(d) for d in datas])
+    for o, d in zip(out, datas):
+        assert o == d
+
+
+def test_decode_batch_uneven_sizes():
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    datas = [_corpus(i, n) for i, n in enumerate([1, 17, 4096, 333, 2, 1000])]
+    streams = [encode_stream(d, p) for d in datas]
+    out = decode_batch(streams, p, [len(d) for d in datas])
+    for o, d in zip(out, datas):
+        assert o == d
+
+
+@pytest.mark.parametrize("lc,lp,pb", [(3, 0, 2), (0, 2, 0), (1, 1, 1), (8, 4, 4)])
+def test_decode_batch_param_sweep(lc, lp, pb):
+    p = LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=1 << 13, fast_bytes=16)
+    datas = [_corpus(i, 2500) for i in range(3)]
+    streams = [encode_stream(d, p) for d in datas]
+    out = decode_batch(streams, p, [len(d) for d in datas])
+    for o, d in zip(out, datas):
+        assert o == d
+
+
+def test_decode_batch_liblzma_streams():
+    """Device decoder consumes liblzma-encoded raw streams (headerless)."""
+    p = LzmaParams(lc=3, lp=0, pb=2, dict_size=1 << 16)
+    datas = [_corpus(i, 3000) for i in range(4)]
+    filt = {"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0, "pb": 2, "dict_size": 1 << 16}
+    streams = [
+        lzma.compress(d, format=lzma.FORMAT_ALONE, filters=[filt])[13:] for d in datas
+    ]
+    out = decode_batch(streams, p, [len(d) for d in datas])
+    for o, d in zip(out, datas):
+        assert o == d
+
+
+def test_decode_batch_corrupt_flagged():
+    p = LzmaParams(dict_size=1 << 13, fast_bytes=16)
+    data = _corpus(1)
+    good = encode_stream(data, p)
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="device decode failed"):
+        decode_batch([good, bytes(bad)], p, [len(data), len(data)], max_iters=400_000)
+
+
+def test_decode_batch_empty_stream_list():
+    assert decode_batch([], LzmaParams(), []) == []

@@ -1,0 +1,81 @@
+"""Device (parallel-phase) encoder: output must be valid LZMA everywhere."""
+
+import lzma
+
+import numpy as np
+import pytest
+
+from lzma_tpu.codec.decoder import decode_stream
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.ops.device_encoder import encode_batch
+from lzma_tpu.ops.device_decoder import decode_batch
+
+
+def _corpus(i, n=3000):
+    rng = np.random.default_rng(100 + i)
+    if i % 4 == 0:
+        return (b"lane parallel lzma encoder parse parse parse bits " * 100)[:n]
+    if i % 4 == 1:
+        out = bytearray(rng.integers(0, 256, 50, dtype=np.uint8).tobytes())
+        while len(out) < n:
+            if rng.integers(0, 2):
+                s = int(rng.integers(0, len(out)))
+                out.extend(out[s : s + int(rng.integers(2, 40))])
+            else:
+                out.append(int(rng.integers(0, 256)))
+        return bytes(out[:n])
+    if i % 4 == 2:
+        return bytes([i & 0xFF]) * n  # runs -> rep-heavy
+    return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+
+
+def test_device_encode_scalar_decodes():
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    datas = [_corpus(i) for i in range(5)]
+    streams = encode_batch(datas, p)
+    for d, s in zip(datas, streams):
+        assert decode_stream(s, p, out_size=len(d)) == d
+
+
+def test_device_encode_liblzma_decodes():
+    """Stock liblzma is the strongest validity oracle for our bitstreams."""
+    p = LzmaParams(lc=3, lp=0, pb=2, dict_size=1 << 16, fast_bytes=32)
+    datas = [_corpus(i, 4000) for i in range(4)]
+    streams = encode_batch(datas, p)
+    for d, s in zip(datas, streams):
+        blob = p.encode_props() + len(d).to_bytes(8, "little") + s
+        assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == d
+
+
+def test_device_roundtrip_device_decode():
+    """Full on-device loop: device encoder -> device decoder."""
+    p = LzmaParams(dict_size=1 << 13, fast_bytes=32)
+    datas = [_corpus(i, 2000) for i in range(4)]
+    streams = encode_batch(datas, p)
+    out = decode_batch(streams, p, [len(d) for d in datas])
+    for o, d in zip(out, datas):
+        assert o == d
+
+
+@pytest.mark.parametrize("lc,lp,pb", [(0, 0, 0), (1, 1, 1), (4, 0, 2)])
+def test_device_encode_param_sweep(lc, lp, pb):
+    p = LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=1 << 13, fast_bytes=16)
+    datas = [_corpus(i, 1500) for i in range(3)]
+    streams = encode_batch(datas, p)
+    for d, s in zip(datas, streams):
+        assert decode_stream(s, p, out_size=len(d)) == d
+
+
+def test_device_encode_edge_sizes():
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    datas = [b"z", b"ab", b"aaaa", bytes(range(200))]
+    streams = encode_batch(datas, p)
+    for d, s in zip(datas, streams):
+        assert decode_stream(s, p, out_size=len(d)) == d
+
+
+def test_device_compression_is_real():
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=64)
+    d = (b"abcdefgh" * 1000)[:6000]
+    (s,) = encode_batch([d], p)
+    assert len(s) < len(d) // 8  # highly repetitive data must compress hard

@@ -19,8 +19,15 @@ every backend's container round-trips bit-exactly.
 """
 
 import json
+import os
 import sys
 import time
+
+# Persistent XLA compilation cache: device-kernel compiles are expensive
+# through the axon remote-compile relay; cache them across bench runs.
+os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"), exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 REPORT = {}
 
@@ -105,10 +112,10 @@ def main():
 
     # ---------------- device backend (TPU under the driver) ----------------
     # The XLA lane-FSM path is correctness-complete but its serial loops
-    # are dominated by per-iteration buffer copies (the Pallas in-VMEM
-    # kernels are the planned fast path); measure it only under a watchdog
-    # so the headline JSON always lands.  Skip with LZMA_TPU_BENCH_DEVICE=0.
-    import os
+    # are dominated by per-iteration buffer copies, and on this rig every
+    # host<->device byte crosses a ~MB/s tunnel; measure on-device compute
+    # rates (data resident) plus a small e2e sample under a watchdog so the
+    # headline JSON always lands.  Skip with LZMA_TPU_BENCH_DEVICE=0.
     import signal
 
     budget = int(os.environ.get("LZMA_TPU_BENCH_DEVICE_BUDGET", "240"))
@@ -123,9 +130,33 @@ def main():
         signal.alarm(budget)
         try:
             import jax
+            import jax.numpy as jnp
+            import numpy as np
 
+            jax.config.update(
+                "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+            )
             backend = jax.default_backend()
             log(f"jax backend: {backend} devices={jax.devices()}")
+
+            # on-device compute rate: sort-based match finding + greedy parse
+            # with data resident on the chip (the device-resident use case)
+            from lzma_tpu.ops.hybrid import _tokenize_lanes
+
+            bs, lanes_n = 1 << 16, 32
+            arr = np.frombuffer(data[: bs * lanes_n], dtype=np.uint8).reshape(
+                lanes_n, bs
+            )
+            dj = jnp.asarray(arr)
+            lens_j = jnp.full((lanes_n,), bs, dtype=jnp.int32)
+            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 2)
+            jax.block_until_ready(outs)
+            t0 = time.perf_counter()
+            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 2)
+            jax.block_until_ready(outs)
+            tok_rate = bs * lanes_n / (time.perf_counter() - t0) / 1e6
+            log(f"device match-find+parse (resident): {tok_rate:7.0f} MB/s on-chip")
+
             from lzma_tpu.ops import api as dev
 
             p = LzmaParams(dict_size=1 << 14, fast_bytes=32)

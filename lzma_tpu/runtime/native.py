@@ -65,7 +65,52 @@ def _lib():
         ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
     ]
+    lib.lzt_encode_token_blocks.restype = ctypes.c_int64
+    lib.lzt_encode_token_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
     return lib
+
+
+def encode_token_blocks(
+    data_padded, block_size: int, lc: int, lp: int, pb: int,
+    t_pos, t_len, t_dist, tok_offsets, tok_counts, num_threads: int = 0,
+):
+    """Serialize precomputed per-block token streams (hybrid TPU pipeline).
+
+    data_padded: contiguous uint8 buffer, block i at [i*block_size:...].
+    t_*: flat int32 arrays; tok_offsets/tok_counts: int64 per block.
+    Returns (payload bytes, [sizes]).
+    """
+    import numpy as np
+
+    lib = _lib()
+    num_blocks = len(tok_counts)
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    n = len(data_padded)
+    cap = lib.lzt_encode_bound(n) + 4096 * num_blocks
+    out = ctypes.create_string_buffer(cap)
+    sizes = (ctypes.c_uint32 * num_blocks)()
+    t_pos = np.ascontiguousarray(t_pos, dtype=np.int32)
+    t_len = np.ascontiguousarray(t_len, dtype=np.int32)
+    t_dist = np.ascontiguousarray(t_dist, dtype=np.int32)
+    offs = np.ascontiguousarray(tok_offsets, dtype=np.int64)
+    cnts = np.ascontiguousarray(tok_counts, dtype=np.int64)
+    data_padded = np.ascontiguousarray(data_padded, dtype=np.uint8)
+    total = lib.lzt_encode_token_blocks(
+        data_padded.ctypes.data, n, block_size, lc, lp, pb,
+        t_pos.ctypes.data, t_len.ctypes.data, t_dist.ctypes.data,
+        offs.ctypes.data, cnts.ctypes.data, num_blocks,
+        num_threads, out, cap, sizes,
+    )
+    if total < 0:
+        raise ValueError(f"native token serialize failed: {total}")
+    return out.raw[:total], list(sizes)
 
 
 def available() -> bool:

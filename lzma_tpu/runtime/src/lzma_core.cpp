@@ -1350,6 +1350,150 @@ class Encoder {
   }
 };
 
+// ------------------------------------------------------- token serializer
+// Serializes a precomputed parse (token stream) into an LZMA bitstream.
+// This is the host half of the hybrid TPU pipeline: the device's
+// sort-based matcher produces (pos, len, dist) tokens at GB/s
+// (lzma_tpu/ops/device_matcher.py) and this class performs the inherently
+// bit-serial tail — LZMA state machine, rep-distance MTF, literal
+// modeling, range coding — at memory speed.  Byte-identical to the
+// all-device serializer given the same tokens.
+class TokenEncoder {
+ public:
+  Layout L;
+  std::vector<uint16_t> probs;
+  RangeEnc rc;
+  int state = 0;
+  uint8_t prev_byte = 0;
+  int32_t rep[4] = {0, 0, 0, 0};
+  int pos_state_mask;
+  const uint8_t* data = nullptr;
+
+  TokenEncoder(int lc, int lp, int pb) : L(lc, lp, pb) {
+    pos_state_mask = L.pos_state_mask();
+  }
+
+  void encode_len_tok(int base, int symbol, int ps) {
+    if (symbol < 8) {
+      rc.encode_bit(probs.data(), base + kLenChoice, 0);
+      rc.encode_tree(probs.data(), base + kLenLow + (ps << 3), 3, symbol);
+    } else if (symbol < 16) {
+      rc.encode_bit(probs.data(), base + kLenChoice, 1);
+      rc.encode_bit(probs.data(), base + kLenChoice2, 0);
+      rc.encode_tree(probs.data(), base + kLenMid + (ps << 3), 3, symbol - 8);
+    } else {
+      rc.encode_bit(probs.data(), base + kLenChoice, 1);
+      rc.encode_bit(probs.data(), base + kLenChoice2, 1);
+      rc.encode_tree(probs.data(), base + kLenHigh, 8, symbol - 16);
+    }
+  }
+
+  void literal(uint32_t pos) {
+    int ps = (int)(pos & pos_state_mask);
+    rc.encode_bit(probs.data(), L.is_match + (state << kNumPosStatesBitsMax) + ps, 0);
+    uint8_t cur = data[pos];
+    int sub = L.lit_sub(pos, prev_byte);
+    if (state < 7) {
+      uint32_t context = 1;
+      for (int i = 7; i >= 0; i--) {
+        int bit = (cur >> i) & 1;
+        rc.encode_bit(probs.data(), sub + context, bit);
+        context = (context << 1) | bit;
+      }
+    } else {
+      uint8_t mb = data[pos - rep[0] - 1];
+      uint32_t context = 1;
+      bool same = true;
+      for (int i = 7; i >= 0; i--) {
+        int bit = (cur >> i) & 1;
+        uint32_t st = context;
+        if (same) {
+          int match_bit = (mb >> i) & 1;
+          st += (1 + match_bit) << 8;
+          same = match_bit == bit;
+        }
+        rc.encode_bit(probs.data(), sub + st, bit);
+        context = (context << 1) | bit;
+      }
+    }
+    prev_byte = cur;
+    state = next_lit(state);
+  }
+
+  void match(uint32_t pos, int length, int32_t dist) {
+    int ps = (int)(pos & pos_state_mask);
+    rc.encode_bit(probs.data(), L.is_match + (state << kNumPosStatesBitsMax) + ps, 1);
+    int rep_idx = dist == rep[0] ? 0
+                  : dist == rep[1] ? 1
+                  : dist == rep[2] ? 2
+                  : dist == rep[3] ? 3 : -1;
+    if (rep_idx >= 0) {
+      rc.encode_bit(probs.data(), L.is_rep + state, 1);
+      if (rep_idx == 0) {
+        rc.encode_bit(probs.data(), L.is_rep_g0 + state, 0);
+        rc.encode_bit(probs.data(),
+                      L.is_rep0_long + (state << kNumPosStatesBitsMax) + ps, 1);
+      } else {
+        rc.encode_bit(probs.data(), L.is_rep_g0 + state, 1);
+        if (rep_idx == 1) {
+          rc.encode_bit(probs.data(), L.is_rep_g1 + state, 0);
+        } else {
+          rc.encode_bit(probs.data(), L.is_rep_g1 + state, 1);
+          rc.encode_bit(probs.data(), L.is_rep_g2 + state, rep_idx - 2);
+        }
+        int32_t d = rep[rep_idx];
+        for (int i = rep_idx; i > 0; i--) rep[i] = rep[i - 1];
+        rep[0] = d;
+      }
+      encode_len_tok(L.rep_len_coder, length - kMatchMinLen, ps);
+      state = next_lrep(state);
+    } else {
+      rc.encode_bit(probs.data(), L.is_rep + state, 0);
+      state = next_match(state);
+      encode_len_tok(L.len_coder, length - kMatchMinLen, ps);
+      int slot = get_pos_slot((uint32_t)dist);
+      rc.encode_tree(probs.data(), L.pos_slot + len_to_pos_state(length) * 64, 6, slot);
+      if (slot >= kStartPosModelIndex) {
+        int footer = (slot >> 1) - 1;
+        uint32_t base_val = (uint32_t)(2 | (slot & 1)) << footer;
+        uint32_t reduced = (uint32_t)dist - base_val;
+        if (slot < kEndPosModelIndex) {
+          rc.encode_tree_rev(probs.data(), L.spec_pos + (int)base_val - slot - 1,
+                             footer, (int)reduced);
+        } else {
+          rc.encode_direct(reduced >> kNumAlignBits, footer - kNumAlignBits);
+          rc.encode_tree_rev(probs.data(), L.align_, kNumAlignBits,
+                             (int)(reduced & kAlignMask));
+        }
+      }
+      for (int i = 3; i > 0; i--) rep[i] = rep[i - 1];
+      rep[0] = dist;
+    }
+    prev_byte = data[pos + length - 1];
+  }
+
+  // tokens: (pos, len, dist) triplets; dist < 0 => literal run of 1 byte.
+  void encode(const uint8_t* d, const int32_t* t_pos, const int32_t* t_len,
+              const int32_t* t_dist, int64_t num_tokens,
+              std::vector<uint8_t>* out) {
+    data = d;
+    probs.assign(L.size, kProbInit);
+    rc = RangeEnc();
+    rc.out = out;
+    state = 0;
+    prev_byte = 0;
+    rep[0] = rep[1] = rep[2] = rep[3] = 0;
+    for (int64_t i = 0; i < num_tokens; i++) {
+      if (t_dist[i] < 0) {
+        literal((uint32_t)t_pos[i]);
+      } else {
+        match((uint32_t)t_pos[i], t_len[i], t_dist[i]);
+      }
+    }
+    rc.flush();
+  }
+};
+
 // ------------------------------------------------------------- decoder
 // Returns 0 ok, negative error.  out must hold out_size bytes.
 int decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp, int pb,
@@ -1586,6 +1730,49 @@ int lzt_decode_blocks(const uint8_t* payload, int64_t payload_len, int lc,
   worker();
   for (auto& t : pool) t.join();
   return error.load();
+}
+
+// Serialize precomputed token streams (hybrid TPU pipeline).  Blocks laid
+// out back-to-back: block i's tokens are tok_counts[i] triplets starting
+// at tok_offsets[i] in the flat t_* arrays; its data at data+i*block_size.
+// Writes concatenated LZMA streams + per-block sizes.  Threaded.
+int64_t lzt_encode_token_blocks(const uint8_t* data, int64_t n,
+                                int64_t block_size, int lc, int lp, int pb,
+                                const int32_t* t_pos, const int32_t* t_len,
+                                const int32_t* t_dist,
+                                const int64_t* tok_offsets,
+                                const int64_t* tok_counts, int64_t num_blocks,
+                                int num_threads, uint8_t* out, int64_t out_cap,
+                                uint32_t* sizes) {
+  std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);
+  std::atomic<int64_t> next(0);
+  int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
+  auto worker = [&]() {
+    TokenEncoder enc(lc, lp, pb);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= num_blocks) break;
+      int64_t off = i * block_size;
+      enc.encode(data + off, t_pos + tok_offsets[i], t_len + tok_offsets[i],
+                 t_dist + tok_offsets[i], tok_counts[i], &streams[(size_t)i]);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 1; i < threads; i++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  int64_t total = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    sizes[i] = (uint32_t)streams[(size_t)i].size();
+    total += (int64_t)streams[(size_t)i].size();
+  }
+  if (total > out_cap) return -6;
+  int64_t off = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    std::memcpy(out + off, streams[(size_t)i].data(), streams[(size_t)i].size());
+    off += (int64_t)streams[(size_t)i].size();
+  }
+  return total;
 }
 
 const char* lzt_version() { return "lzma_tpu-native-0.1"; }

@@ -183,6 +183,38 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    # ---------------- real-file corpus (secondary, stderr only) ----------
+    # No network on this rig (Silesia/enwik unavailable); use a
+    # deterministic mix of real local files: Python stdlib sources (text)
+    # + the liblzma shared object (binary).
+    try:
+        import glob
+
+        parts = []
+        for pat in ("/usr/local/lib/python3.12/*.py", "/usr/local/lib/python3.12/json/*.py"):
+            for f in sorted(glob.glob(pat))[:120]:
+                with open(f, "rb") as fh:
+                    parts.append(fh.read())
+        real = b"".join(parts)[: 6 << 20]
+        if len(real) > 1 << 20 and "native" in results:
+            from lzma_tpu.runtime import native as _nat
+
+            p = LzmaParams(dict_size=1 << 20, fast_bytes=32, match_finder="bt4")
+            blob, t_enc = timed(_nat.encode_blocks, real, p, block_size=1 << 20, num_threads=0)
+            out, t_dec = timed(_nat.decode_blocks, blob, num_threads=0)
+            assert out == real
+            comp_l, t_enc_l = timed(
+                lambda: _lzma.compress(real, format=_lzma.FORMAT_ALONE, preset=6)
+            )
+            log(
+                f"real files ({len(real)/1e6:.1f} MB): native enc "
+                f"{len(real)/t_enc/1e6:.1f} MB/s ratio {len(real)/len(blob):.2f} | "
+                f"liblzma p6 enc {len(real)/t_enc_l/1e6:.1f} MB/s ratio "
+                f"{len(real)/len(comp_l):.2f} | native dec {len(real)/t_dec/1e6:.1f} MB/s"
+            )
+    except Exception as e:
+        log(f"real-file corpus skipped: {e!r}")
+
     best_key = max((k for k in results if k != "liblzma"), key=lambda k: results[k], default=None)
     if best_key is None:
         log("no backend produced a result")

@@ -158,9 +158,13 @@ def _pick_backend(name):
     if name == "tpu":
         from .ops import api as tpu_api
 
-        return tpu_api.encode_alone, tpu_api.decode_alone, "tpu"
+        return (
+            lambda data, params, mode=None: tpu_api.encode_alone(data, params),
+            tpu_api.decode_alone,
+            "tpu",
+        )
     return (
-        lambda data, params: encode_alone(data, params),
+        lambda data, params, mode=None: encode_alone(data, params, mode=mode),
         lambda data: decode_alone(data),
         "scalar",
     )
@@ -197,12 +201,14 @@ def main(argv=None) -> int:
     enc, dec, backend = _pick_backend(cmd.backend)
     if cmd.command == "e":
         params = cmd.params().validated_for_encode()
+        mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
         if cmd.block_size:
             if backend == "native":
                 from .runtime import native
 
                 out = native.encode_blocks(
-                    data, params, block_size=cmd.block_size, num_threads=cmd.threads
+                    data, params, block_size=cmd.block_size,
+                    num_threads=cmd.threads, mode=mode,
                 )
             else:
                 from .parallel.blocks import encode_blocks
@@ -211,7 +217,7 @@ def main(argv=None) -> int:
                     data, params, block_size=cmd.block_size, num_threads=max(cmd.threads, 1)
                 )
         else:
-            out = enc(data, params)
+            out = enc(data, params, mode=mode)
     else:
         if data[:4] == b"LZTB":
             if backend == "native":

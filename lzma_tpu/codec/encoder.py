@@ -123,10 +123,18 @@ class LzmaEncoder:
     """One-shot block encoder.  `encode(data)` returns the raw LZMA stream
     (no container header)."""
 
-    def __init__(self, params: LzmaParams, optimal: bool = True, trace=None):
+    def __init__(self, params: LzmaParams, optimal: bool = True, trace=None,
+                 mode: str | None = None):
         self._trace = trace  # utils.trace.CodecTrace or None
         self.params = params.validated_for_encode()
-        self.optimal = optimal and params.match_finder != MF_HC4
+        if mode is None:
+            mode = "optimal" if optimal else "greedy"
+        if mode not in ("optimal", "lazy", "greedy"):
+            raise ValueError(f"unknown parse mode: {mode}")
+        if mode == "optimal" and params.match_finder == MF_HC4:
+            mode = "lazy"  # HC4 is the fast finder; pair it with the fast parse
+        self.mode = mode
+        self.optimal = mode == "optimal"
         self.layout = ProbLayout(params.lc, params.lp, params.pb)
         self.pos_state_mask = self.layout.pos_state_mask
         self.fb = params.fast_bytes
@@ -161,6 +169,7 @@ class LzmaEncoder:
         self.optimum_current_index = 0
         self.longest_match_found = False
         self.longest_match_length = 0
+        self.longest_match_dist = 0
         self.match_distances = []
         self.num_distance_pairs = 0
         self.match_price_count = 0
@@ -841,6 +850,62 @@ class LzmaEncoder:
                             break
                     len_test += 1
 
+    # ======================================================== lazy parse
+    def _get_lazy(self, position: int) -> _Decision:
+        """One-position-lookahead parse (our mode; the reference's fast
+        mode is a stub, Encoder.java:1127-1133).  Takes the best of
+        {match, rep} at the current position unless the next position
+        offers a strictly longer match, in which case it defers with a
+        literal — the classic LZ77 lazy evaluation."""
+        mf = self.mf
+        if self.longest_match_found:
+            len_main = self.longest_match_length
+            main_dist = self.longest_match_dist
+            self.longest_match_found = False
+        else:
+            len_main = self._read_match_distances()
+            main_dist = self.match_distances[-1][1] if self.num_distance_pairs else 0
+        num_avail = mf.available() + 1
+        if num_avail < 2:
+            return _Decision(-1, 1)
+
+        best_rep_len = 0
+        best_rep_idx = 0
+        for i in range(NUM_REP_DISTANCES):
+            l = mf.get_match_len(-1, self.rep_distances[i], MATCH_MAX_LEN)
+            if l > best_rep_len:
+                best_rep_len = l
+                best_rep_idx = i
+
+        # candidate: prefer reps at near-equal length (cheaper to code)
+        if best_rep_len >= 2 and best_rep_len + 1 >= len_main:
+            cand_len, cand_pos, cand_dist = best_rep_len, best_rep_idx, -1
+        elif len_main >= 2:
+            cand_len, cand_pos, cand_dist = len_main, main_dist + NUM_REP_DISTANCES, main_dist
+        else:
+            cur_byte = mf.get_byte(-1)
+            match_byte = mf.get_byte(-self.rep_distances[0] - 2)
+            return _Decision(0, 1) if cur_byte == match_byte else _Decision(-1, 1)
+
+        if cand_len >= self.fb or num_avail <= 2:
+            self._move_pos(cand_len - 1)
+            return _Decision(cand_pos, cand_len)
+
+        # peek one position ahead
+        next_len = self._read_match_distances()
+        next_dist = self.match_distances[-1][1] if self.num_distance_pairs else 0
+        if next_len > cand_len or (
+            next_len == cand_len and cand_dist >= 0 and next_dist * 64 < cand_dist
+        ):
+            self.longest_match_found = True
+            self.longest_match_length = next_len
+            self.longest_match_dist = next_dist
+            cur_byte = mf.get_byte(-2)
+            match_byte = mf.get_byte(-self.rep_distances[0] - 3)
+            return _Decision(0, 1) if cur_byte == match_byte else _Decision(-1, 1)
+        self._move_pos(cand_len - 2)
+        return _Decision(cand_pos, cand_len)
+
     # ====================================================== greedy parse
     def _get_greedy(self, position: int) -> _Decision:
         """Fast lazy-ish parse: longest of {best match, best rep}, preferring
@@ -883,7 +948,8 @@ class LzmaEncoder:
         self._init_state(data)
         rc, probs = self.rc, self.probs
         L = self.layout
-        get = self._get_optimum if self.optimal else self._get_greedy
+        get = {"optimal": self._get_optimum, "lazy": self._get_lazy,
+               "greedy": self._get_greedy}[self.mode]
 
         if self.mf.available() > 0:
             # first byte forced literal (Encoder.java:860-877)
@@ -1023,16 +1089,18 @@ class LzmaEncoder:
         rc.encode_tree_reverse(probs, L.align, NUM_ALIGN_BITS, pos_reduced & ALIGN_MASK)
 
 
-def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True) -> bytes:
+def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,
+                  mode: str | None = None) -> bytes:
     """One-shot raw-stream encode."""
-    return LzmaEncoder(params, optimal=optimal).encode(data)
+    return LzmaEncoder(params, optimal=optimal, mode=mode).encode(data)
 
 
-def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True) -> bytes:
+def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True,
+                 mode: str | None = None) -> bytes:
     """Full `.lzma` container encode (LzmaAlone.java:208-218)."""
     size = (-1 if params.write_eos else len(data)) & 0xFFFFFFFFFFFFFFFF
     return (
         params.encode_props()
         + size.to_bytes(8, "little")
-        + encode_stream(data, params, optimal=optimal)
+        + encode_stream(data, params, optimal=optimal, mode=mode)
     )

@@ -20,6 +20,13 @@ from ..core.rangecoder import CorruptStreamError
 from ..parallel import blocks as blk
 
 _MF_INDEX = {"bt2": 0, "bt4": 1, "hc4": 2}
+_MODE_INDEX = {"greedy": 0, "optimal": 1, "lazy": 2}
+
+
+def _mode_flag(optimal, mode):
+    if mode is not None:
+        return _MODE_INDEX[mode]
+    return 1 if optimal else 0
 
 
 class NativeUnavailable(RuntimeError):
@@ -121,7 +128,8 @@ def available() -> bool:
         return False
 
 
-def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True) -> bytes:
+def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,
+                  mode: str | None = None) -> bytes:
     params = params.validated_for_encode()
     lib = _lib()
     cap = lib.lzt_encode_bound(len(data))
@@ -129,7 +137,7 @@ def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True) -> byte
     n = lib.lzt_encode(
         data, len(data), params.lc, params.lp, params.pb, params.dict_size,
         params.fast_bytes, _MF_INDEX[params.match_finder],
-        1 if params.write_eos else 0, 1 if optimal else 0, out, cap,
+        1 if params.write_eos else 0, _mode_flag(optimal, mode), out, cap,
     )
     if n < 0:
         raise ValueError(f"native encode failed: {n}")
@@ -149,12 +157,13 @@ def decode_stream(comp: bytes, params: LzmaParams, out_size: int) -> bytes:
     return out.raw[:out_size]
 
 
-def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True) -> bytes:
+def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True,
+                 mode: str | None = None) -> bytes:
     size = (-1 if params.write_eos else len(data)) & 0xFFFFFFFFFFFFFFFF
     return (
         params.encode_props()
         + size.to_bytes(8, "little")
-        + encode_stream(data, params, optimal=optimal)
+        + encode_stream(data, params, optimal=optimal, mode=mode)
     )
 
 
@@ -176,6 +185,7 @@ def encode_blocks(
     block_size: int = blk.DEFAULT_BLOCK_SIZE,
     num_threads: int = 0,
     optimal: bool = True,
+    mode: str | None = None,
 ) -> bytes:
     """Multithreaded block-parallel encode to an LZTB container."""
     params = (params or LzmaParams()).validated_for_encode()
@@ -192,7 +202,7 @@ def encode_blocks(
     sizes = (ctypes.c_uint32 * num_blocks)()
     n = lib.lzt_encode_blocks(
         data, len(data), params.lc, params.lp, params.pb, params.dict_size,
-        params.fast_bytes, _MF_INDEX[params.match_finder], 1 if optimal else 0,
+        params.fast_bytes, _MF_INDEX[params.match_finder], _mode_flag(optimal, mode),
         block_size, num_threads, out, cap, sizes,
     )
     if n < 0:

@@ -583,6 +583,7 @@ class Encoder {
   int optimum_end = 0, optimum_cur = 0;
   bool longest_found = false;
   int longest_len = 0;
+  int32_t longest_dist = 0;
   int32_t md[2 * (kMatchMaxLen + 1)];
   int num_pairs = 0;
   int match_price_count = 0, align_price_count = 0;
@@ -603,7 +604,7 @@ class Encoder {
     int log = 0;
     while (P.dict_size > (1u << log)) log++;
     dist_table_size = log * 2;
-    if (P.mf == 2) P.optimal = 0;
+    if (P.mf == 2 && P.optimal == 1) P.optimal = 2;
   }
   ~Encoder() { delete mf; }
 
@@ -1173,6 +1174,65 @@ class Encoder {
     }
   }
 
+  // one-position-lookahead parse (mirrors LzmaEncoder._get_lazy)
+  std::pair<int, int> get_lazy(uint32_t position) {
+    (void)position;
+    int len_main;
+    int32_t main_dist;
+    if (longest_found) {
+      len_main = longest_len;
+      main_dist = longest_dist;
+      longest_found = false;
+    } else {
+      len_main = read_match_distances();
+      main_dist = num_pairs > 0 ? md[(num_pairs - 1) * 2 + 1] : 0;
+    }
+    int num_avail = (int)mf->available() + 1;
+    if (num_avail < 2) return {-1, 1};
+
+    int best_rep_len = 0, best_rep_idx = 0;
+    for (int i = 0; i < kNumRepDistances; i++) {
+      int l = mf->match_len(-1, rep_dist[i], kMatchMaxLen);
+      if (l > best_rep_len) {
+        best_rep_len = l;
+        best_rep_idx = i;
+      }
+    }
+    int cand_len, cand_pos;
+    int32_t cand_dist;
+    if (best_rep_len >= 2 && best_rep_len + 1 >= len_main) {
+      cand_len = best_rep_len;
+      cand_pos = best_rep_idx;
+      cand_dist = -1;
+    } else if (len_main >= 2) {
+      cand_len = len_main;
+      cand_pos = main_dist + kNumRepDistances;
+      cand_dist = main_dist;
+    } else {
+      uint8_t cur = mf->get_byte(-1);
+      uint8_t mb = mf->get_byte(-rep_dist[0] - 2);
+      return cur == mb ? std::pair<int, int>{0, 1} : std::pair<int, int>{-1, 1};
+    }
+    if (cand_len >= P.fb || num_avail <= 2) {
+      move_pos(cand_len - 1);
+      return {cand_pos, cand_len};
+    }
+    int next_len = read_match_distances();
+    int32_t next_dist = num_pairs > 0 ? md[(num_pairs - 1) * 2 + 1] : 0;
+    if (next_len > cand_len ||
+        (next_len == cand_len && cand_dist >= 0 &&
+         (int64_t)next_dist * 64 < cand_dist)) {
+      longest_found = true;
+      longest_len = next_len;
+      longest_dist = next_dist;
+      uint8_t cur = mf->get_byte(-2);
+      uint8_t mb = mf->get_byte(-rep_dist[0] - 3);
+      return cur == mb ? std::pair<int, int>{0, 1} : std::pair<int, int>{-1, 1};
+    }
+    move_pos(cand_len - 2);
+    return {cand_pos, cand_len};
+  }
+
   std::pair<int, int> get_greedy(uint32_t position) {
     (void)position;
     int len_main;
@@ -1318,8 +1378,9 @@ class Encoder {
     }
     if (mf->available() > 0) {
       for (;;) {
-        std::pair<int, int> d =
-            P.optimal ? get_optimum(now_pos) : get_greedy(now_pos);
+        std::pair<int, int> d = P.optimal == 1 ? get_optimum(now_pos)
+                                : P.optimal == 2 ? get_lazy(now_pos)
+                                                 : get_greedy(now_pos);
         int ps = (int)(now_pos & pos_state_mask);
         int complex_state = (state << kNumPosStatesBitsMax) + ps;
         if (d.first == -1 && d.second == 1) {
@@ -1337,7 +1398,7 @@ class Encoder {
         additional_offset -= d.second;
         now_pos += (uint32_t)d.second;
         if (additional_offset == 0) {
-          if (P.optimal) {
+          if (P.optimal == 1) {
             if (match_price_count >= (1 << 7)) fill_dist_prices();
             if (align_price_count >= kAlignTableSize) fill_align_prices();
           }

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from lzma_tpu.codec.decoder import decode_alone
-from lzma_tpu.codec.encoder import encode_alone, encode_stream
+from lzma_tpu.codec.encoder import LzmaEncoder, encode_alone, encode_stream
 from lzma_tpu.codec.decoder import decode_stream
 from lzma_tpu.format.properties import LzmaParams
 
@@ -107,3 +107,29 @@ def test_param_validation():
         LzmaParams(fast_bytes=274).validated_for_encode()
     with pytest.raises(ValueError):
         LzmaParams(dict_size=1 << 30).validated_for_encode()
+
+
+@pytest.mark.parametrize("mode", ["greedy", "lazy", "optimal"])
+def test_parse_mode_ladder(mode):
+    data = _data("lz", 40000)
+    p = LzmaParams(dict_size=1 << 15, fast_bytes=32)
+    comp = encode_stream(data, p, mode=mode)
+    assert decode_stream(comp, p, out_size=len(data)) == data
+    assert lzma.decompress(
+        p.encode_props() + len(data).to_bytes(8, "little") + comp,
+        format=lzma.FORMAT_ALONE,
+    ) == data
+
+
+def test_mode_ratio_ordering():
+    data = _data("lz", 60000)
+    p = LzmaParams(dict_size=1 << 15, fast_bytes=64)
+    sizes = {
+        m: len(encode_stream(data, p, mode=m)) for m in ("greedy", "lazy", "optimal")
+    }
+    assert sizes["optimal"] <= sizes["lazy"] <= sizes["greedy"] * 1.02
+
+
+def test_invalid_mode_rejected():
+    with pytest.raises(ValueError):
+        LzmaEncoder(LzmaParams(), mode="turbo")

@@ -107,3 +107,11 @@ def test_native_golden_parity_full_sweep(name):
     comp = native.encode_alone(fixture_bytes(), p)
     assert len(comp) == size
     assert hashlib.md5(comp).hexdigest() == md5
+
+
+@pytest.mark.parametrize("mode", ["greedy", "lazy", "optimal"])
+@pytest.mark.parametrize("mf", ["bt4", "hc4"])
+def test_native_modes_match_scalar(mode, mf):
+    data = _data(40_000, seed=21)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32, match_finder=mf)
+    assert native.encode_stream(data, p, mode=mode) == py_encode(data, p, mode=mode)

@@ -67,8 +67,8 @@ def run_benchmark(
     digest = crc32(data)
 
     if encode_fn is None:
-        def encode_fn(d):
-            return LzmaEncoder(params).encode(d)
+        def encode_fn(d, progress=None):
+            return LzmaEncoder(params).encode(d, progress=progress)
 
     if decode_fn is None:
         def decode_fn(comp, out_size):
@@ -77,9 +77,28 @@ def run_benchmark(
     result = BenchResult(dict_size=dict_size, buffer_size=buffer_size)
     comp_ref = None
     for _ in range(num_passes):
+        # warm-up exclusion: like the reference (CProgressInfo.ApprovedStart,
+        # LzmaBench.java:208-224, 337-338, 385), the timed region starts when
+        # dict_size input bytes have been consumed; benchSize is the rest.
+        approved = {"t": None, "in": 0}
+
+        def on_progress(in_size, out_size):
+            if in_size >= dict_size and approved["t"] is None:
+                approved["t"] = time.perf_counter()
+                approved["in"] = in_size
+
         t0 = time.perf_counter()
-        comp = encode_fn(data)
-        enc_ms = (time.perf_counter() - t0) * 1000
+        try:
+            comp = encode_fn(data, progress=on_progress)
+        except TypeError:  # backend without progress support: time it whole
+            comp = encode_fn(data)
+        t_end = time.perf_counter()
+        if approved["t"] is not None:
+            enc_ms = (t_end - approved["t"]) * 1000
+            bench_size = buffer_size - approved["in"]
+        else:
+            enc_ms = (t_end - t0) * 1000
+            bench_size = buffer_size
         if comp_ref is None:
             comp_ref = comp
         elif len(comp) != len(comp_ref):
@@ -91,6 +110,6 @@ def run_benchmark(
             dec_ms = (time.perf_counter() - t0) * 1000
             if crc32(out_bytes) != digest:
                 raise AssertionError("benchmark CRC mismatch after decode")
-        result.passes.append((enc_ms, dec_ms, buffer_size, len(comp)))
+        result.passes.append((enc_ms, dec_ms, bench_size, len(comp)))
     result.report(out=out)
     return result

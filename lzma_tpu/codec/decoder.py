@@ -16,12 +16,10 @@ re-expresses this loop as a lane-parallel bit FSM.
 from __future__ import annotations
 
 from ..core.constants import (
-    ALIGN_MASK,
     END_POS_MODEL_INDEX,
     INITIAL_STATE,
     MATCH_MIN_LEN,
     NUM_ALIGN_BITS,
-    NUM_LEN_TO_POS_STATES,
     NUM_POS_STATES_BITS_MAX,
     START_POS_MODEL_INDEX,
     NEXT_STATE_LITERAL,

@@ -46,7 +46,6 @@ from ..core.layout import (
     LEN_HIGH,
     LEN_LOW,
     LEN_MID,
-    LITERAL_CODER_SIZE,
     POS_SLOT_TREE_SIZE,
     ProbLayout,
 )

@@ -84,11 +84,6 @@ def len_to_pos_state(length: int) -> int:
     return length if length < NUM_LEN_TO_POS_STATES else NUM_LEN_TO_POS_STATES - 1
 
 
-# Vectorized variant for device price tables.
-def len_to_pos_state_np(lengths):
-    v = np.asarray(lengths) - MATCH_MIN_LEN
-    return np.minimum(v, NUM_LEN_TO_POS_STATES - 1)
-
 
 # ------------------------------------------------------------ pos slots
 # Slot of a distance: slot < 4 encodes the distance directly; otherwise

@@ -13,7 +13,7 @@ decoding accepts lc<=8, lp<=4, pb<=4 and any u32 dict size
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 from ..core.constants import (
     DICT_LOG_SIZE_MAX_COMPRESS,
@@ -93,7 +93,3 @@ def decode_props(props: bytes) -> LzmaParams:
     dict_size = struct.unpack("<I", props[1:5])[0]
     return LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=dict_size)
 
-
-def with_dict_for_input(params: LzmaParams, n: int) -> LzmaParams:
-    """Clamp nothing; kept for parity — the reference never shrinks dict to input."""
-    return replace(params)

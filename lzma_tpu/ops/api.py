@@ -8,8 +8,6 @@ the multi-chip version).
 
 from __future__ import annotations
 
-import struct
-
 from ..core.rangecoder import CorruptStreamError
 from ..format.properties import LzmaParams, decode_props
 from ..parallel import blocks as blk

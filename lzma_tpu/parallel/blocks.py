@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from ..codec.decoder import decode_stream
 from ..codec.encoder import encode_stream
 from ..core.rangecoder import CorruptStreamError
-from ..format.properties import PROPS_SIZE, LzmaParams, decode_props
+from ..format.properties import LzmaParams, decode_props
 
 MAGIC = b"LZTB"
 VERSION = 1

@@ -1668,7 +1668,13 @@ int decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp, int pb,
     size_t src = now - rep0 - 1;
     size_t remaining = out_size - now;
     size_t l = (size_t)length < remaining ? (size_t)length : remaining;
-    for (size_t i = 0; i < l; i++) out[now + i] = out[src + i];
+    if (rep0 + 1 >= 8) {  // non-overlapping: copy in 8-byte chunks
+      size_t i = 0;
+      for (; i + 8 <= l; i += 8) std::memcpy(out + now + i, out + src + i, 8);
+      for (; i < l; i++) out[now + i] = out[src + i];
+    } else {
+      for (size_t i = 0; i < l; i++) out[now + i] = out[src + i];
+    }
     now += l;
     if ((size_t)length > remaining) return -5;
     prev = out[now - 1];

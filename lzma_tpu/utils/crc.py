@@ -25,9 +25,6 @@ def _build_table() -> np.ndarray:
 
 
 CRC_TABLE = _build_table()
-# int32 view used by the BT4 hash mix, matching the reference's signed-int
-# table arithmetic (BinTree.java:171-175 uses Java ints).
-CRC_TABLE_I64 = CRC_TABLE.astype(np.int64)
 
 
 class CRC:

@@ -61,3 +61,11 @@ def test_harness_smoke():
         out=lambda *_: None,
     )
     assert len(res.passes) == 1
+
+
+def test_total_rating_is_mean_of_parts():
+    from lzma_tpu.bench.rating import total_rating
+
+    c = compress_rating(1 << 22, 500, 1 << 20)
+    d = decompress_rating(250, 1 << 20, 1 << 18)
+    assert total_rating(1 << 22, 500, 1 << 20, 250, 1 << 18, 1 << 20) == (c + d) // 2

@@ -68,3 +68,16 @@ def test_phase_timer():
         pass
     assert set(t.totals) == {"a", "b"}
     assert "a" in t.report()
+
+
+def test_enable_trace_attaches_handler():
+    import logging
+
+    from lzma_tpu.utils.trace import enable_trace, logger
+
+    h = enable_trace(io.StringIO())
+    try:
+        assert h in logger.handlers
+        assert logger.isEnabledFor(logging.DEBUG)
+    finally:
+        logger.removeHandler(h)

@@ -1,0 +1,236 @@
+"""Pallas range-coder serializer: the adaptive bit-serial coder in VMEM.
+
+The on-device counterpart of `ops/device_encoder.serialize`: consumes the
+precomputed per-lane (ctx, bit) streams and produces LZMA bytes, with the
+probability arena resident in VMEM for the kernel's whole lifetime — the
+formulation XLA cannot express (its scatter into a loop carry copies the
+arena every iteration; see DESIGN-NOTES.md).
+
+Memory plan (N lanes, arena S, max_bits B):
+  probs   (N, S)  int32  VMEM scratch   — adaptive model, one-hot updates
+  out     (N, max_out) int32 VMEM out   — compressed bytes (as i32)
+  ring    (N, RING) int32 VMEM scratch  — staged bytes between out flushes
+  ctx/bit (N, B) int32 HBM inputs       — DMA'd in (N, CHUNK) tiles,
+                                          double-buffered
+Per-lane coder registers (low/carry/range/cache/...) live as loop-carried
+vectors.  One (ctx, bit) is consumed per inner step, exactly mirroring the
+XLA serializer's semantics (bit-exact, asserted in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RING = 256
+CHUNK = 512  # (ctx,bit) entries DMA'd per tile
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("arena_size", "max_out", "interpret"))
+def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
+                     interpret: bool = False):
+    """Drop-in replacement for device_encoder.serialize (same contract)."""
+    N, B = ctx.shape
+    S = _round_up(arena_size, 128)
+    B_pad = _round_up(B, CHUNK)
+    if B_pad != B:
+        pad = ((0, 0), (0, B_pad - B))
+        ctx = jnp.pad(ctx, pad, constant_values=-3)
+        bits = jnp.pad(bits, pad)
+    max_out_pad = _round_up(max_out, RING)
+    num_chunks = B_pad // CHUNK
+
+    def kernel(totals_ref, ctx_hbm, bits_hbm, out_ref, lens_ref,
+               probs, ring, ctx_tile, bits_tile, sems):
+        # lens_ref[:, 0] = emitted bytes; lens_ref[:, 1] = consumed bits or
+        # -1 on staging-ring overflow — the wrapper falls back to the XLA
+        # serializer unless lens_ref[:, 1] == totals for every lane.
+        out_ref[:] = jnp.zeros_like(out_ref)
+        probs[:] = jnp.full_like(probs, 1024)
+        ring[:] = jnp.zeros_like(ring)
+        arena_cols = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
+        ring_cols = jax.lax.broadcasted_iota(jnp.int32, (N, RING), 1)
+        out_cols = jax.lax.broadcasted_iota(jnp.int32, (N, max_out_pad), 1)
+        tot = totals_ref[:, 0]
+
+        def copy_chunk(slot, chunk_idx):
+            c = pltpu.make_async_copy(
+                ctx_hbm.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
+                ctx_tile.at[slot], sems.at[slot, 0])
+            b = pltpu.make_async_copy(
+                bits_hbm.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
+                bits_tile.at[slot], sems.at[slot, 1])
+            return c, b
+
+        ca, cb = copy_chunk(0, 0)
+        ca.start()
+        cb.start()
+
+        def flush(out_vals, ring_vals, flush_base, out_pos):
+            # ring is indexed by absolute position mod RING, so the staged
+            # byte for output column j is ring[:, j % RING] — a static tile,
+            # not a gather (Mosaic supports only full-shape dynamic gathers)
+            m = (out_cols >= flush_base[:, None]) & (out_cols < out_pos[:, None])
+            vals = jnp.tile(ring_vals, (1, max_out_pad // RING))
+            return jnp.where(m, vals, out_vals)
+
+        # global registers
+        def chunk_body(chunk_idx, carry):
+            (low, carry_f, rng, cache, pending, drain, drain_byte,
+             bit_pos, out_pos, flush_i, flush_base, err) = carry
+            slot = chunk_idx % 2
+
+            @pl.when(chunk_idx + 1 < num_chunks)
+            def _():
+                c, b = copy_chunk((chunk_idx + 1) % 2, chunk_idx + 1)
+                c.start()
+                b.start()
+
+            ca, cb = copy_chunk(slot, chunk_idx)
+            ca.wait()
+            cb.wait()
+
+            def bit_body(t, inner):
+                (low, carry_f, rng, cache, pending, drain, drain_byte,
+                 bit_pos, out_pos, flush_i, err) = inner
+                draining = drain > 0
+                in_chunk = (bit_pos >= chunk_idx * CHUNK) & (
+                    bit_pos < (chunk_idx + 1) * CHUNK)
+                has_bits = (bit_pos < tot) & in_chunk
+                flushing = (~draining) & (bit_pos >= tot) & (flush_i < 5) & (
+                    chunk_idx == num_chunks - 1)
+                coding = (~draining) & has_bits
+
+                local = jnp.clip(bit_pos - chunk_idx * CHUNK, 0, CHUNK - 1)
+                # Mosaic gathers need indices of the input's full shape
+                idx_full = jnp.broadcast_to(local[:, None], (N, CHUNK))
+                cx = jnp.take_along_axis(ctx_tile[slot], idx_full, axis=1)[:, 0]
+                bt = jnp.take_along_axis(bits_tile[slot], idx_full, axis=1)[:, 0]
+                adaptive = coding & (cx >= 0)
+                direct = coding & (cx == -1)
+
+                mask = (arena_cols == cx[:, None]) & adaptive[:, None]
+                prob = jnp.sum(jnp.where(mask, probs[:], 0), axis=1)
+                bound = (rng >> 11) * prob.astype(jnp.uint32)
+                new_prob = jnp.where(
+                    bt == 0, prob + ((2048 - prob) >> 5), prob - (prob >> 5))
+                probs[:] = jnp.where(mask, new_prob[:, None], probs[:])
+
+                low_add_a = jnp.where(bt == 1, bound, jnp.uint32(0))
+                rng_a = jnp.where(bt == 0, bound, rng - bound)
+                rng_d = rng >> 1
+                low_add_d = jnp.where(bt == 1, rng_d, jnp.uint32(0))
+                rng1 = jnp.where(adaptive, rng_a, jnp.where(direct, rng_d, rng))
+                low_add = jnp.where(
+                    adaptive, low_add_a, jnp.where(direct, low_add_d, jnp.uint32(0)))
+                new_low = low + low_add
+                new_carry = carry_f | (new_low < low).astype(jnp.int32)
+
+                need_shift = (coding & (rng1 < (1 << 24))) | flushing
+                rng2 = jnp.where(coding & (rng1 < (1 << 24)), rng1 << 8, rng1)
+                fire = need_shift & (
+                    (new_carry == 1) | (new_low < jnp.uint32(0xFF000000)))
+                stall = need_shift & ~fire
+                emit_byte = (cache + new_carry) & 0xFF
+                filler = (0xFF + new_carry) & 0xFF
+
+                wflag = draining | fire
+                wbyte = jnp.where(draining, drain_byte, emit_byte)
+                err = err | (wflag & (out_pos - flush_base >= RING))
+                rslot = out_pos & (RING - 1)
+                ring[:] = jnp.where(
+                    (ring_cols == rslot[:, None]) & wflag[:, None],
+                    wbyte[:, None], ring[:])
+
+                out_pos = out_pos + jnp.where(wflag, 1, 0)
+                drain = jnp.where(
+                    draining, drain - 1, jnp.where(fire, pending, drain))
+                drain_byte = jnp.where(fire, filler, drain_byte)
+                pending = jnp.where(
+                    fire, 0, jnp.where(stall, pending + 1, pending))
+                cache = jnp.where(
+                    fire, (new_low >> 24).astype(jnp.int32) & 0xFF, cache)
+                low2 = jnp.where(need_shift, (new_low & 0xFFFFFF) << 8, new_low)
+                carry2 = jnp.where(need_shift, 0, new_carry)
+                bit_pos = bit_pos + jnp.where(coding, 1, 0)
+                flush_i = flush_i + jnp.where(flushing, 1, 0)
+                return (low2, carry2, rng2, cache, pending, drain, drain_byte,
+                        bit_pos, out_pos, flush_i, err)
+
+            # CHUNK bit-steps plus slack for stalls/drains/finals
+            inner = (low, carry_f, rng, cache, pending, drain, drain_byte,
+                     bit_pos, out_pos, flush_i, err)
+            inner = jax.lax.fori_loop(0, CHUNK + CHUNK // 2 + 16, bit_body, inner)
+            (low, carry_f, rng, cache, pending, drain, drain_byte,
+             bit_pos, out_pos, flush_i, err) = inner
+
+            # flush staged ring into out
+            out_ref[:] = flush(out_ref[:], ring[:], flush_base, out_pos)
+            flush_base = out_pos
+            return (low, carry_f, rng, cache, pending, drain, drain_byte,
+                    bit_pos, out_pos, flush_i, flush_base, err)
+
+        z = jnp.zeros((N,), dtype=jnp.int32)
+        err0 = z > 1
+        init = (jnp.zeros((N,), jnp.uint32), z,
+                jnp.full((N,), 0xFFFFFFFF, jnp.uint32), z, z, z, z, z, z, z, z,
+                err0)
+        final = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
+        lens_ref[:, 0] = final[8]
+        lens_ref[:, 1] = jnp.where(final[11], -1, final[7])
+
+    out, lens = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, max_out_pad), jnp.int32),
+            jax.ShapeDtypeStruct((N, 2), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # totals
+            pl.BlockSpec(memory_space=pltpu.ANY),       # ctx (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # bits (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, S), jnp.int32),              # probs
+            pltpu.VMEM((N, RING), jnp.int32),           # ring
+            pltpu.VMEM((2, N, CHUNK), jnp.int32),       # ctx tiles
+            pltpu.VMEM((2, N, CHUNK), jnp.int32),       # bits tiles
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(totals.reshape(-1, 1), ctx, bits)
+    return out[:, :max_out].astype(jnp.uint8), lens[:, 0], lens[:, 1]
+
+
+def serialize_with_fallback(ctx, bits, totals, arena_size: int, max_out: int):
+    """Pallas fast path with a guaranteed-correct XLA fallback.
+
+    The kernel's staging envelope (per-chunk step slack, RING-byte flush
+    windows) covers all realistic streams; `consumed` reports whether every
+    lane finished inside it, and any shortfall reroutes the whole batch to
+    the XLA serializer.
+    """
+    from .device_encoder import serialize
+
+    import jax as _jax
+
+    interpret = _jax.default_backend() != "tpu"
+    out, lens, consumed = serialize_pallas(
+        ctx, bits, totals, arena_size, max_out, interpret=interpret
+    )
+    if bool(jnp.all(consumed == totals)):
+        return out, lens
+    return serialize(ctx, bits, totals, arena_size, max_out)

@@ -448,10 +448,13 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2):
     return serialize(ctx, bits, totals, layout.size, max_out)
 
 
-def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2):
+def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
+                 use_pallas: bool = False):
     """Encode independent blocks lane-parallel on device.
 
     blocks: list of bytes.  Returns list of raw LZMA streams.
+    use_pallas routes range coding through the in-VMEM Pallas kernel
+    (ops/pallas_serializer.py) with automatic XLA fallback.
     """
     if not blocks:
         return []
@@ -465,16 +468,35 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2):
     for i, b in enumerate(blocks):
         data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i] = len(b)
-    out, out_lens = encode_lanes(
-        jnp.asarray(data),
-        jnp.asarray(lens),
-        jnp.int32(min(params.dict_size, max_n)),
-        lc=params.lc,
-        lp=params.lp,
-        pb=params.pb,
-        fb=fb,
-        num_candidates=num_candidates,
-    )
+    if use_pallas:
+        from .pallas_serializer import serialize_with_fallback
+
+        dj, lj = jnp.asarray(data), jnp.asarray(lens)
+        dict_j = jnp.int32(min(params.dict_size, max_n))
+        tok = jax.vmap(
+            lambda d, n: tokenize(d, n, dict_j, fb, num_candidates)
+        )(dj, lj)
+        t_pos, t_len, t_dist, t_valid, _ = tok
+        meta = classify_tokens(dj, t_pos, t_len, t_dist, t_valid)
+        layout = ProbLayout(params.lc, params.lp, params.pb)
+        ctx, bits, totals = lower_tokens(
+            dj, meta, t_pos, t_len, t_dist, t_valid,
+            params.lc, params.lp, params.pb, 10 * max_n + 128,
+        )
+        out, out_lens = serialize_with_fallback(
+            ctx, bits, totals, layout.size, max_n + max_n // 4 + 128
+        )
+    else:
+        out, out_lens = encode_lanes(
+            jnp.asarray(data),
+            jnp.asarray(lens),
+            jnp.int32(min(params.dict_size, max_n)),
+            lc=params.lc,
+            lp=params.lp,
+            pb=params.pb,
+            fb=fb,
+            num_candidates=num_candidates,
+        )
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)
     return [out[i, : out_lens[i]].tobytes() for i in range(n_lanes)]

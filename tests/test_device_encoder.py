@@ -79,3 +79,12 @@ def test_device_compression_is_real():
     d = (b"abcdefgh" * 1000)[:6000]
     (s,) = encode_batch([d], p)
     assert len(s) < len(d) // 8  # highly repetitive data must compress hard
+
+
+def test_device_encode_pallas_serializer_path():
+    """encode_batch(use_pallas=True) must equal the XLA path bit-for-bit."""
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=32)
+    datas = [_corpus(i, 1500) for i in range(3)]
+    a = encode_batch(datas, p)
+    b = encode_batch(datas, p, use_pallas=True)
+    assert a == b

@@ -195,8 +195,8 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # totals
-            pl.BlockSpec(memory_space=pltpu.ANY),       # ctx (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # bits (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # ctx (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # bits (HBM)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),

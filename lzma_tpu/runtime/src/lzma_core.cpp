@@ -323,12 +323,9 @@ class MatchFinder {
   inline int32_t available() const { return n - pos; }
   inline uint8_t get_byte(int off) const { return buf[pos + off]; }
 
-  inline int match_len(int index, int32_t dist, int limit) const {
-    int32_t avail = n - (pos + index);
-    if (limit > avail) limit = (int)avail;
-    const uint8_t* a = buf + pos + index;
-    const uint8_t* b = a - dist - 1;
-    int i = 0;
+  // First mismatch index in [i, limit) between a[] and b[]; limit if equal.
+  static inline int first_diff(const uint8_t* a, const uint8_t* b, int i,
+                               int limit) {
     while (i + 8 <= limit) {
       uint64_t x, y;
       std::memcpy(&x, a + i, 8);
@@ -339,6 +336,13 @@ class MatchFinder {
     }
     while (i < limit && a[i] == b[i]) i++;
     return i;
+  }
+
+  inline int match_len(int index, int32_t dist, int limit) const {
+    int32_t avail = n - (pos + index);
+    if (limit > avail) limit = (int)avail;
+    const uint8_t* a = buf + pos + index;
+    return first_diff(a, a - dist - 1, 0, limit);
   }
 
   inline void advance() {
@@ -405,8 +409,7 @@ class MatchFinder {
       while (cur_match > match_min_pos && cnt-- > 0) {
         int32_t delta = pos - cur_match;
         if (max_len < len_limit && buf[cur_match + max_len] == buf[pos + max_len]) {
-          int len = 0;
-          while (len < len_limit && buf[cur_match + len] == buf[pos + len]) len++;
+          int len = first_diff(buf + pos, buf + cur_match, 0, len_limit);
           if (len > max_len) {
             max_len = len;
             out[count_out * 2] = len;
@@ -418,6 +421,13 @@ class MatchFinder {
         int32_t cyc = delta <= cyclic_pos ? cyclic_pos - delta
                                           : cyclic_pos - delta + cyclic_size;
         cur_match = son[cyc];
+        if (cur_match > match_min_pos) {
+          int32_t d2 = pos - cur_match;
+          int32_t c2 = d2 <= cyclic_pos ? cyclic_pos - d2
+                                        : cyclic_pos - d2 + cyclic_size;
+          __builtin_prefetch(&son[c2]);
+          __builtin_prefetch(buf + cur_match + max_len);
+        }
       }
       advance();
       return count_out;
@@ -446,8 +456,7 @@ class MatchFinder {
                     << 1;
       int len = std::min(len0, len1);
       if (buf[cur_match + len] == buf[pos + len]) {
-        while (++len != len_limit)
-          if (buf[cur_match + len] != buf[pos + len]) break;
+        len = first_diff(buf + pos, buf + cur_match, len + 1, len_limit);
         if (max_len < len) {
           max_len = len;
           out[count_out * 2] = len;
@@ -470,6 +479,15 @@ class MatchFinder {
         ptr0 = cyc;
         cur_match = son[ptr0];
         len0 = len;
+      }
+      if (cur_match > match_min_pos) {
+        // Overlap the next hop's two dependent misses with this iteration.
+        int32_t d2 = pos - cur_match;
+        int32_t c2 = (d2 <= cyclic_pos ? cyclic_pos - d2
+                                       : cyclic_pos - d2 + cyclic_size)
+                     << 1;
+        __builtin_prefetch(&son[c2]);
+        __builtin_prefetch(buf + cur_match + std::min(len0, len1));
       }
     }
     advance();
@@ -521,8 +539,7 @@ class MatchFinder {
                       << 1;
         int len = std::min(len0, len1);
         if (buf[cur_match + len] == buf[pos + len]) {
-          while (++len != len_limit)
-            if (buf[cur_match + len] != buf[pos + len]) break;
+          len = first_diff(buf + pos, buf + cur_match, len + 1, len_limit);
           if (len == len_limit) {
             son[ptr1] = son[cyc];
             son[ptr0] = son[cyc + 1];
@@ -539,6 +556,14 @@ class MatchFinder {
           ptr0 = cyc;
           cur_match = son[ptr0];
           len0 = len;
+        }
+        if (cur_match > match_min_pos) {
+          int32_t d2 = pos - cur_match;
+          int32_t c2 = (d2 <= cyclic_pos ? cyclic_pos - d2
+                                         : cyclic_pos - d2 + cyclic_size)
+                       << 1;
+          __builtin_prefetch(&son[c2]);
+          __builtin_prefetch(buf + cur_match + std::min(len0, len1));
         }
       }
       advance();

@@ -34,6 +34,12 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _mask2d(m):
+    """(N,) bool -> (N,1) bool; Mosaic only lowers minor-dim insertion for
+    32-bit types, so the reshape routes through int32."""
+    return m.astype(jnp.int32)[:, None] != 0
+
+
 @partial(jax.jit, static_argnames=("arena_size", "max_out", "interpret"))
 def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                      interpret: bool = False):
@@ -110,14 +116,15 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                 coding = (~draining) & has_bits
 
                 local = jnp.clip(bit_pos - chunk_idx * CHUNK, 0, CHUNK - 1)
-                # Mosaic gathers need indices of the input's full shape
-                idx_full = jnp.broadcast_to(local[:, None], (N, CHUNK))
-                cx = jnp.take_along_axis(ctx_tile[slot], idx_full, axis=1)[:, 0]
-                bt = jnp.take_along_axis(bits_tile[slot], idx_full, axis=1)[:, 0]
+                # tpu.dynamic_gather spans one vreg only; use masked sums
+                tile_cols = jax.lax.broadcasted_iota(jnp.int32, (N, CHUNK), 1)
+                sel = tile_cols == local[:, None]
+                cx = jnp.sum(jnp.where(sel, ctx_tile[slot], 0), axis=1)
+                bt = jnp.sum(jnp.where(sel, bits_tile[slot], 0), axis=1)
                 adaptive = coding & (cx >= 0)
                 direct = coding & (cx == -1)
 
-                mask = (arena_cols == cx[:, None]) & adaptive[:, None]
+                mask = (arena_cols == cx[:, None]) & _mask2d(adaptive)
                 prob = jnp.sum(jnp.where(mask, probs[:], 0), axis=1)
                 bound = (rng >> 11) * prob.astype(jnp.uint32)
                 new_prob = jnp.where(
@@ -144,10 +151,11 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
 
                 wflag = draining | fire
                 wbyte = jnp.where(draining, drain_byte, emit_byte)
-                err = err | (wflag & (out_pos - flush_base >= RING))
+                # err is i32 0/1: Mosaic cannot legalize i1 loop carries
+                err = err | (wflag & (out_pos - flush_base >= RING)).astype(jnp.int32)
                 rslot = out_pos & (RING - 1)
                 ring[:] = jnp.where(
-                    (ring_cols == rslot[:, None]) & wflag[:, None],
+                    (ring_cols == rslot[:, None]) & _mask2d(wflag),
                     wbyte[:, None], ring[:])
 
                 out_pos = out_pos + jnp.where(wflag, 1, 0)
@@ -179,13 +187,13 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                     bit_pos, out_pos, flush_i, flush_base, err)
 
         z = jnp.zeros((N,), dtype=jnp.int32)
-        err0 = z > 1
+        err0 = z
         init = (jnp.zeros((N,), jnp.uint32), z,
                 jnp.full((N,), 0xFFFFFFFF, jnp.uint32), z, z, z, z, z, z, z, z,
                 err0)
         final = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
         lens_ref[:, 0] = final[8]
-        lens_ref[:, 1] = jnp.where(final[11], -1, final[7])
+        lens_ref[:, 1] = jnp.where(final[11] != 0, -1, final[7])
 
     out, lens = pl.pallas_call(
         kernel,

@@ -1,0 +1,67 @@
+"""Pallas decode kernel: bit-exact vs the scalar oracle and the XLA FSM."""
+
+import lzma as pylzma
+
+import numpy as np
+import pytest
+
+from lzma_tpu.codec.encoder import encode_stream
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.ops.pallas_decoder import decode_batch_pallas
+
+
+def _mixed_payloads(rng):
+    word = rng.integers(0, 256, 17, dtype=np.uint8).tobytes()
+    return [
+        b"",
+        b"a" * 400,
+        (word * 40)[:500],
+        rng.integers(0, 256, 300, dtype=np.uint8).tobytes(),
+        (b"the quick brown fox " * 30)[:450],
+    ]
+
+
+def test_pallas_decode_matches_oracle_streams():
+    rng = np.random.default_rng(11)
+    params = LzmaParams(dict_size=1 << 16, fast_bytes=32)
+    payloads = [p for p in _mixed_payloads(rng) if p]
+    streams = [encode_stream(p, params) for p in payloads]
+    outs = decode_batch_pallas(
+        streams, params, [len(p) for p in payloads], fallback=False)
+    for got, want in zip(outs, payloads):
+        assert got == want
+
+
+def test_pallas_decode_liblzma_streams():
+    # cross-oracle: streams produced by stock liblzma
+    params = LzmaParams(lc=3, lp=0, pb=2, dict_size=1 << 16)
+    filt = [{"id": pylzma.FILTER_LZMA1, "preset": 6, "dict_size": 1 << 16}]
+    payloads = [b"hello pallas " * 40, bytes(range(256)) * 3]
+    streams = []
+    for p in payloads:
+        blob = pylzma.compress(p, format=pylzma.FORMAT_ALONE, filters=filt)
+        streams.append(blob[13:])  # strip 5-byte props + 8-byte size header
+    outs = decode_batch_pallas(
+        streams, params, [len(p) for p in payloads], fallback=False)
+    for got, want in zip(outs, payloads):
+        assert got == want
+
+
+@pytest.mark.parametrize("lc,lp,pb", [(0, 2, 0), (1, 1, 1)])
+def test_pallas_decode_param_combos(lc, lp, pb):
+    rng = np.random.default_rng(7 + lc * 9 + lp * 3 + pb)
+    params = LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=1 << 14, fast_bytes=16)
+    word = rng.integers(0, 256, 23, dtype=np.uint8).tobytes()
+    payload = (word * 30)[:600]
+    stream = encode_stream(payload, params)
+    (out,) = decode_batch_pallas([stream], params, [len(payload)], fallback=False)
+    assert out == payload
+
+
+def test_pallas_decode_corrupt_lane_falls_back_to_typed_error():
+    params = LzmaParams(dict_size=1 << 14)
+    payload = np.random.default_rng(3).integers(0, 256, 300, dtype=np.uint8).tobytes()
+    stream = bytearray(encode_stream(payload, params))
+    stream[len(stream) // 2] ^= 0xFF  # corrupt mid-stream
+    with pytest.raises(Exception):
+        decode_batch_pallas([bytes(stream)], params, [len(payload)])

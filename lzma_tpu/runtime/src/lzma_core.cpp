@@ -375,6 +375,12 @@ class MatchFinder {
       uint32_t h3 = temp & (kHash3Size - 1);
       hash_value = (temp ^ (T.crc[buf[pos + 3]] << 5)) & hash_mask;
       cur_match = hash[fix_hash_size + hash_value];
+      if (pos + 4 < n) {  // hide the next position's hash-head miss
+        uint32_t t2 = T.crc[buf[pos + 1]] ^ buf[pos + 2];
+        t2 ^= (uint32_t)buf[pos + 3] << 8;
+        __builtin_prefetch(
+            &hash[fix_hash_size + ((t2 ^ (T.crc[buf[pos + 4]] << 5)) & hash_mask)]);
+      }
       int32_t cm2 = hash[h2];
       int32_t cm3 = hash[kHash3Offset + h3];
       hash[h2] = pos;
@@ -514,6 +520,12 @@ class MatchFinder {
         temp ^= (uint32_t)buf[pos + 2] << 8;
         hash[kHash3Offset + (temp & (kHash3Size - 1))] = pos;
         hash_value = (temp ^ (T.crc[buf[pos + 3]] << 5)) & hash_mask;
+        if (pos + 4 < n) {
+          uint32_t t2 = T.crc[buf[pos + 1]] ^ buf[pos + 2];
+          t2 ^= (uint32_t)buf[pos + 3] << 8;
+          __builtin_prefetch(
+              &hash[fix_hash_size + ((t2 ^ (T.crc[buf[pos + 4]] << 5)) & hash_mask)], 1);
+        }
       } else {
         hash_value = (uint32_t)buf[pos] ^ ((uint32_t)buf[pos + 1] << 8);
       }

@@ -51,16 +51,25 @@ def encode_blocks(
     data: bytes,
     params: LzmaParams | None = None,
     block_size: int = 1 << 18,
+    use_pallas: bool = False,
 ) -> bytes:
-    """Lane-parallel block encode to an LZTB container."""
+    """Lane-parallel block encode to an LZTB container.
+
+    use_pallas routes range coding through the in-VMEM Pallas serializer
+    (ops/pallas_serializer.py) instead of the XLA serializer.
+    """
     params = (params or LzmaParams()).validated_for_encode()
     blocks = blk.split_blocks(data, block_size)
-    streams = encode_batch(blocks, params) if blocks else []
+    streams = encode_batch(blocks, params, use_pallas=use_pallas) if blocks else []
     return blk.build_container(params, block_size, len(data), streams)
 
 
-def decode_blocks(blob) -> bytes:
-    """Lane-parallel block decode of an LZTB container."""
+def decode_blocks(blob, use_pallas: bool = False) -> bytes:
+    """Lane-parallel block decode of an LZTB container.
+
+    use_pallas routes the decode FSM through the in-VMEM Pallas kernel
+    (ops/pallas_decoder.py) instead of the XLA while_loop backend.
+    """
     frame = blk.parse_container(blob)
     n = len(frame.comp_sizes)
     if n == 0:
@@ -73,7 +82,12 @@ def decode_blocks(blob) -> bytes:
         frame.block_size if i < n - 1 else frame.total_size - frame.block_size * (n - 1)
         for i in range(n)
     ]
-    parts = decode_batch(streams, frame.params, sizes)
+    if use_pallas:
+        from .pallas_decoder import decode_batch_pallas
+
+        parts = decode_batch_pallas(streams, frame.params, sizes)
+    else:
+        parts = decode_batch(streams, frame.params, sizes)
     out = b"".join(parts)
     if len(out) != frame.total_size:
         raise CorruptStreamError("decoded size mismatch")

@@ -65,3 +65,14 @@ def test_pallas_decode_corrupt_lane_falls_back_to_typed_error():
     stream[len(stream) // 2] ^= 0xFF  # corrupt mid-stream
     with pytest.raises(Exception):
         decode_batch_pallas([bytes(stream)], params, [len(payload)])
+
+
+def test_api_decode_blocks_use_pallas_roundtrip():
+    from lzma_tpu.ops import api as dev
+
+    rng = np.random.default_rng(21)
+    word = rng.integers(0, 256, 29, dtype=np.uint8).tobytes()
+    data = (word * 60)[:1500]
+    params = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    blob = dev.encode_blocks(data, params, block_size=512)
+    assert dev.decode_blocks(blob, use_pallas=True) == data

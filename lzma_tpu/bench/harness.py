@@ -37,15 +37,20 @@ class BenchResult:
             tb += bench_size
             tc += comp_size
         out("---------------------------------------------------")
+        # average decode totals over bufferSize*numPasses output bytes and
+        # the summed compressed size (LzmaBench.java:397-400)
         n = max(len(self.passes), 1)
-        out(self._line(te, td, tb, tc // n, suffix="    Average"))
+        out(self._line(te, td, tb, tc, out_size=self.buffer_size * n,
+                       suffix="    Average"))
 
-    def _line(self, enc_ms, dec_ms, bench_size, comp_size, suffix=""):
+    def _line(self, enc_ms, dec_ms, bench_size, comp_size, out_size=None,
+              suffix=""):
+        out_size = self.buffer_size if out_size is None else out_size
         er = compress_rating(self.dict_size, enc_ms, bench_size) // 1_000_000
-        dr = decompress_rating(dec_ms, self.buffer_size, comp_size) // 1_000_000
+        dr = decompress_rating(dec_ms, out_size, comp_size) // 1_000_000
         return (
             f"{speed_kb_s(bench_size, enc_ms):6d} KB/s  {er:6d} MIPS"
-            f"     {speed_kb_s(self.buffer_size, dec_ms):6d} KB/s  {dr:6d} MIPS{suffix}"
+            f"     {speed_kb_s(out_size, dec_ms):6d} KB/s  {dr:6d} MIPS{suffix}"
         )
 
 

@@ -185,7 +185,33 @@ def main(argv=None) -> int:
         from .bench.harness import run_benchmark
 
         dict_size = cmd.dict_size if cmd.dict_defined else (1 << 21)
-        run_benchmark(cmd.num_passes, dict_size)
+        # rate the selected backend (default: native when built, like e/d)
+        enc_fn = dec_fn = None
+        bench_params = LzmaParams(dict_size=dict_size)
+        if cmd.backend in (None, "native"):
+            try:
+                from .runtime import native as _native
+
+                if _native.available():
+                    def enc_fn(d):
+                        return _native.encode_stream(d, bench_params)
+
+                    def dec_fn(comp, out_size):
+                        return _native.decode_stream(comp, bench_params, out_size)
+            except Exception:
+                if cmd.backend == "native":
+                    raise
+        elif cmd.backend == "tpu":
+            from .ops import api as _tpu
+
+            def enc_fn(d):
+                return _tpu.encode_stream(d, bench_params)
+
+            def dec_fn(comp, out_size):
+                return _tpu.decode_stream(comp, bench_params, out_size)
+
+        run_benchmark(cmd.num_passes, dict_size, params=bench_params,
+                      encode_fn=enc_fn, decode_fn=dec_fn)
         return 0
 
     if not cmd.in_file or not cmd.out_file:

@@ -57,6 +57,12 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.lzt_decode_eos.restype = ctypes.c_int64
+    lib.lzt_decode_eos.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.lzt_encode_blocks.restype = ctypes.c_int64
     lib.lzt_encode_blocks.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -146,7 +152,7 @@ def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,
 
 def decode_stream(comp: bytes, params: LzmaParams, out_size: int) -> bytes:
     if out_size < 0:
-        raise ValueError("native decode requires known out_size (EOS: use scalar)")
+        return decode_stream_eos(comp, params)
     lib = _lib()
     out = ctypes.create_string_buffer(max(out_size, 1))
     rc = lib.lzt_decode(
@@ -155,6 +161,25 @@ def decode_stream(comp: bytes, params: LzmaParams, out_size: int) -> bytes:
     if rc != 0:
         raise CorruptStreamError(f"native decode failed: {rc}")
     return out.raw[:out_size]
+
+
+def decode_stream_eos(comp: bytes, params: LzmaParams) -> bytes:
+    """Decode an EOS-terminated stream, growing the buffer as needed."""
+    lib = _lib()
+    cap = max(16 * len(comp), 1 << 16)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = lib.lzt_decode_eos(
+            comp, len(comp), params.lc, params.lp, params.pb,
+            params.dict_size, out, cap,
+        )
+        if n >= 0:
+            return out.raw[: int(n)]
+        if n != -6:
+            raise CorruptStreamError(f"native decode failed: {n}")
+        if cap >= (1 << 33):  # ~8 GB guard against corrupt never-ending streams
+            raise CorruptStreamError("EOS stream exceeds decode size limit")
+        cap *= 4
 
 
 def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True,
@@ -172,10 +197,8 @@ def decode_alone(data: bytes) -> bytes:
         raise CorruptStreamError(".lzma input too short")
     params = decode_props(data[:5])
     out_size = int.from_bytes(data[5:13], "little")
-    if out_size == 0xFFFFFFFFFFFFFFFF:  # EOS-terminated: scalar fallback
-        from ..codec.decoder import decode_stream as py_decode
-
-        return py_decode(data, params, out_size=-1, start=13)
+    if out_size == 0xFFFFFFFFFFFFFFFF:  # EOS-terminated (unknown size)
+        return decode_stream_eos(data[13:], params)
     return decode_stream(data[13:], params, out_size)
 
 

@@ -1593,9 +1593,13 @@ class TokenEncoder {
 };
 
 // ------------------------------------------------------------- decoder
-// Returns 0 ok, negative error.  out must hold out_size bytes.
-int decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp, int pb,
-                 uint32_t dict_size, uint8_t* out, size_t out_size) {
+// Known-size mode (eos_mode=false): decodes exactly out_size bytes,
+// returns 0 ok / negative error.  EOS mode: decodes until the end marker,
+// returns bytes decoded, or -6 when out_size (the capacity) was reached
+// first — caller grows the buffer and retries.
+int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
+                     int pb, uint32_t dict_size, uint8_t* out, size_t out_size,
+                     bool eos_mode = false) {
   Layout L(lc, lp, pb);
   std::vector<uint16_t> probs(L.size, kProbInit);
   uint16_t* pr = probs.data();
@@ -1607,6 +1611,7 @@ int decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp, int pb,
   uint32_t rep0 = 0, rep1 = 0, rep2 = 0, rep3 = 0;
   size_t now = 0;
   uint8_t prev = 0;
+  bool hit_eos = false;
   while (now < out_size) {
     if (rc.overrun > 32) return -2;
     int ps = (int)(now & pos_state_mask);
@@ -1693,7 +1698,10 @@ int decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp, int pb,
           rep0 += rc.decode_direct(direct_bits - kNumAlignBits) << kNumAlignBits;
           rep0 += (uint32_t)rc.decode_tree_rev(pr, L.align_, kNumAlignBits);
           if (rep0 >= 0x80000000u) {
-            if (rep0 == 0xFFFFFFFFu) break;  // EOS
+            if (rep0 == 0xFFFFFFFFu) {  // EOS
+              hit_eos = true;
+              break;
+            }
             return -3;
           }
         }
@@ -1713,8 +1721,13 @@ int decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp, int pb,
       for (size_t i = 0; i < l; i++) out[now + i] = out[src + i];
     }
     now += l;
-    if ((size_t)length > remaining) return -5;
+    if ((size_t)length > remaining) return eos_mode ? -6 : -5;
     prev = out[now - 1];
+  }
+  if (eos_mode) {
+    // exiting without the marker means the capacity filled first: the
+    // caller's buffer was too small
+    return hit_eos ? (int64_t)now : -6;
   }
   if (now != out_size) return -9;  // premature EOS in a known-size stream
   return 0;
@@ -1752,8 +1765,19 @@ int64_t lzt_encode_bound(int64_t n) { return n + n / 8 + 4096; }
 int lzt_decode(const uint8_t* comp, int64_t comp_len, int lc, int lp, int pb,
                uint32_t dict_size, uint8_t* out, int64_t out_size) {
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  return (int)decode_block(comp, (size_t)comp_len, lc, lp, pb, dict_size, out,
+                           (size_t)out_size);
+}
+
+// Decode an EOS-terminated raw LZMA stream (unknown size, Decoder.java:219
+// outSize<0 mode).  Returns decoded length, -6 when out_cap filled before
+// the end marker (retry with a larger buffer), or a negative error.
+int64_t lzt_decode_eos(const uint8_t* comp, int64_t comp_len, int lc, int lp,
+                       int pb, uint32_t dict_size, uint8_t* out,
+                       int64_t out_cap) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
   return decode_block(comp, (size_t)comp_len, lc, lp, pb, dict_size, out,
-                      (size_t)out_size);
+                      (size_t)out_cap, true);
 }
 
 // Block-parallel encode: splits data into blocks of block_size, encodes each

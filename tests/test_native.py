@@ -115,3 +115,28 @@ def test_native_modes_match_scalar(mode, mf):
     data = _data(40_000, seed=21)
     p = LzmaParams(dict_size=1 << 14, fast_bytes=32, match_finder=mf)
     assert native.encode_stream(data, p, mode=mode) == py_encode(data, p, mode=mode)
+
+
+def test_native_eos_decode_roundtrip_and_liblzma():
+    import lzma as pylzma
+
+    import numpy as np
+
+    rng = np.random.default_rng(44)
+    word = rng.integers(0, 256, 31, dtype=np.uint8).tobytes()
+    data = (word * 500)[:12000] + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+    p = LzmaParams(dict_size=1 << 16, write_eos=True)
+    blob = native.encode_alone(data, p)
+    assert blob[5:13] == b"\xff" * 8  # unknown-size header
+    assert native.decode_alone(blob) == data
+    assert pylzma.decompress(blob, format=pylzma.FORMAT_ALONE) == data
+    # liblzma's ALONE containers are EOS-terminated; decode them natively
+    lb = pylzma.compress(data, format=pylzma.FORMAT_ALONE, preset=6)
+    assert native.decode_alone(lb) == data
+
+
+def test_native_eos_decode_growth_loop():
+    # high-ratio stream forces the capacity-retry path (-6)
+    data = b"B" * (2 << 20)
+    blob = native.encode_alone(data, LzmaParams(dict_size=1 << 16, write_eos=True))
+    assert native.decode_alone(blob) == data

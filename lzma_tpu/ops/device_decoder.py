@@ -74,7 +74,8 @@ TK_POS_SLOT = 2
 RK_SPEC = 0
 RK_ALIGN = 1
 
-_TOP = jnp.uint32(1 << 24)
+_TOP = 1 << 24  # plain int: a jnp scalar here would initialize the XLA
+#                 backend at import time (fatal before jax.distributed)
 _U8 = jnp.uint8
 _I32 = jnp.int32
 _U32 = jnp.uint32

@@ -35,12 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.constants import (
-    NEXT_STATE_LITERAL,
-    NEXT_STATE_LONGREP,
-    NEXT_STATE_MATCH,
-    NUM_POS_STATES_BITS_MAX,
-)
+from ..core.constants import NUM_POS_STATES_BITS_MAX
 from ..core.layout import (
     LEN_CHOICE,
     LEN_CHOICE2,
@@ -54,9 +49,10 @@ from ..core.layout import (
 from ..format.properties import LzmaParams
 from .device_matcher import tokenize
 
-_NSL = jnp.asarray(NEXT_STATE_LITERAL)
-_NSM = jnp.asarray(NEXT_STATE_MATCH)
-_NSR = jnp.asarray(NEXT_STATE_LONGREP)
+# closed-form 12-state transitions (validated against the NEXT_STATE_*
+# tables in device_decoder) — no module-level jnp constants, which would
+# initialize the XLA backend at import and break jax.distributed setup
+from .device_decoder import _next_lit, _next_longrep, _next_match  # noqa: E402
 
 K_LIT = 0
 K_MATCH = 1
@@ -110,7 +106,8 @@ def classify_tokens(data, t_pos, t_len, t_dist, t_valid):
         n2 = jnp.where(is_match | is_r2 | is_r3, r1, r2)
         n3 = jnp.where(is_match | is_r3, r2, r3)
         new_state = jnp.where(
-            is_lit, _NSL[state], jnp.where(is_rep, _NSR[state], _NSM[state])
+            is_lit, _next_lit(state),
+            jnp.where(is_rep, _next_longrep(state), _next_match(state))
         )
         out = (kind, rep_idx, state, match_mode, match_byte, prev_byte, lit_byte)
         state = jnp.where(valid, new_state, state)

@@ -7,9 +7,11 @@ within a slice and DCN across slices.  Input distribution and final
 ordered concat stay on host 0 (process_index 0) — the natural layout for
 a file codec.
 
-This module cannot be exercised on the single-host CI rig; its mesh math
-is validated by the 8-virtual-device tests and the driver's
-dryrun_multichip.
+Validated three ways on the single-host rig: the 8-virtual-device mesh
+tests, the driver's dryrun_multichip, and a REAL two-process
+jax.distributed run (tests/test_multihost.py::test_two_process_pod_roundtrip
+— two clients, 4 virtual CPU devices each, cross-process all_gathers over
+gloo standing in for ICI/DCN).
 """
 
 from __future__ import annotations
@@ -25,9 +27,14 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Join the distributed job (idempotent).  With no args, uses the TPU
-    runtime's automatic configuration (GKE/TPU-VM metadata)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    runtime's automatic configuration (GKE/TPU-VM metadata).
+
+    Must run before anything initializes the XLA backend — so the check
+    uses jax.distributed.is_initialized(), NOT jax.process_count() (which
+    would itself initialize the backend and poison the real init).
+    """
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(

@@ -1,0 +1,55 @@
+"""Worker for the real two-process multi-host test (test_multihost.py).
+
+Each process = one "host": own jax.distributed client, 4 virtual CPU
+devices, global 8-device mesh.  Exercises the actual pod code path —
+jax.distributed.initialize, global mesh construction, sharded
+encode/decode with cross-process all_gathers (gloo over localhost
+standing in for ICI/DCN) — not the single-process simulation.
+"""
+
+import os
+import sys
+
+
+def main():
+    process_id = int(sys.argv[1])
+    num_processes = int(sys.argv[2])
+    port = sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from lzma_tpu.format.properties import LzmaParams
+    from lzma_tpu.parallel import multihost
+    from lzma_tpu.parallel.mesh import decode_blocks_mesh, encode_blocks_mesh
+
+    multihost.initialize(f"localhost:{port}", num_processes, process_id)
+    assert jax.process_count() == num_processes, jax.process_count()
+    assert jax.local_device_count() == 4
+    assert jax.device_count() == 4 * num_processes
+    assert multihost.is_coordinator() == (process_id == 0)
+
+    # deterministic corpus, identical on every process (SPMD input contract)
+    word = bytes((i * 37 + 11) % 256 for i in range(23))
+    data = (word * 200)[: 1 << 12] * 3  # 12 KB, 12 blocks over 8 devices
+    params = LzmaParams(dict_size=1 << 10, fast_bytes=16)
+
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == 4 * num_processes
+    blob = encode_blocks_mesh(data, params, block_size=1 << 10, mesh=mesh)
+    out = decode_blocks_mesh(blob, mesh=mesh)
+    assert out == data, "pod round-trip mismatch"
+
+    # the coordinator-filtered wrappers
+    blob2 = multihost.encode_blocks_pod(data, params, block_size=1 << 10)
+    if multihost.is_coordinator():
+        assert blob2 == blob
+    else:
+        assert blob2 is None
+    print(f"worker {process_id}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1098,9 +1098,11 @@ class Encoder {
         int len_test = mf->match_len(-1, reps[rep_index], num_avail);
         if (len_test < 2) continue;
         int len_test_temp = len_test;
+        // hoist the length-invariant part (Encoder.java:565 does the same)
+        uint32_t rep_base_price = rep_match_price + pure_rep_price(rep_index, st, ps);
         do {
           while (len_end < cur + len_test) opt[++len_end].price = kInfinityPrice;
-          uint32_t calp = rep_match_price + rep_price(rep_index, len_test, st, ps);
+          uint32_t calp = rep_base_price + len_price(true, len_test - kMatchMinLen, ps);
           Optimal& o = opt[cur + len_test];
           if (calp < o.price) {
             o.price = calp;

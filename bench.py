@@ -63,9 +63,11 @@ def main():
     import lzma as _lzma
 
     comp_lib, t_enc_lib = timed(
-        lambda: _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=6)
+        lambda: _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=6), repeat=2
     )
-    out_lib, t_dec_lib = timed(lambda: _lzma.decompress(comp_lib, format=_lzma.FORMAT_ALONE))
+    out_lib, t_dec_lib = timed(
+        lambda: _lzma.decompress(comp_lib, format=_lzma.FORMAT_ALONE), repeat=3
+    )
     assert crc32(out_lib) == digest
     lib_rt = corpus_size / (t_enc_lib + t_dec_lib) / 1e6
     log(
@@ -81,9 +83,9 @@ def main():
 
         p = LzmaParams(dict_size=1 << 20, fast_bytes=32, match_finder="bt4")
         blob, t_enc = timed(
-            native.encode_blocks, data, p, block_size=1 << 20, num_threads=0, repeat=2
+            native.encode_blocks, data, p, block_size=1 << 20, num_threads=0, repeat=3
         )
-        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=2)
+        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=3)
         assert crc32(out) == digest
         rt = corpus_size / (t_enc + t_dec) / 1e6
         log(
@@ -96,9 +98,9 @@ def main():
         p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=16, match_finder="hc4")
         blob, t_enc = timed(
             native.encode_blocks, data, p_fast, block_size=1 << 20,
-            num_threads=0, optimal=False, repeat=2,
+            num_threads=0, optimal=False, repeat=3,
         )
-        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=2)
+        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=3)
         assert crc32(out) == digest
         rt = corpus_size / (t_enc + t_dec) / 1e6
         log(

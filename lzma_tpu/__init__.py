@@ -21,11 +21,33 @@ from .codec.decoder import decode_alone, decode_stream  # noqa: F401
 __version__ = "0.1.0"
 
 
+def _native_or_none():
+    try:
+        from .runtime import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def compress(data: bytes, params: LzmaParams | None = None, **kw) -> bytes:
-    """Compress to a `.lzma` (LZMA_Alone) container."""
-    return encode_alone(data, params or LzmaParams(**kw))
+    """Compress to a `.lzma` (LZMA_Alone) container.
+
+    Routes through the native runtime when built (byte-identical to the
+    scalar oracle — pinned by tests), scalar otherwise.
+    """
+    params = params or LzmaParams(**kw)
+    native = _native_or_none()
+    if native is not None:
+        return native.encode_alone(data, params)
+    return encode_alone(data, params)
 
 
 def decompress(data: bytes) -> bytes:
     """Decompress a `.lzma` (LZMA_Alone) container."""
+    native = _native_or_none()
+    if native is not None:
+        return native.decode_alone(data)
     return decode_alone(data)

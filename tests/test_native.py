@@ -140,3 +140,16 @@ def test_native_eos_decode_growth_loop():
     data = b"B" * (2 << 20)
     blob = native.encode_alone(data, LzmaParams(dict_size=1 << 16, write_eos=True))
     assert native.decode_alone(blob) == data
+
+
+def test_top_level_api_routes_native_and_matches_scalar():
+    import lzma_tpu
+
+    data = fixture_bytes()[:40000]
+    p = LzmaParams(dict_size=1 << 16, fast_bytes=32)
+    blob = lzma_tpu.compress(data, p)
+    # top-level output must equal the scalar oracle's container byte-for-byte
+    from lzma_tpu.codec.encoder import encode_alone as scalar_alone
+
+    assert blob == scalar_alone(data, p)
+    assert lzma_tpu.decompress(blob) == data

@@ -299,7 +299,13 @@ class MatchFinder {
   MatchFinder(const uint8_t* b, int32_t len, int32_t dict, int mml, Kind k)
       : buf(b), n(len), match_max_len(mml), kind(k) {
     cut_value = (k == HC4) ? 8 + (mml >> 2) : 16 + (mml >> 1);
-    cyclic_size = dict + 1;
+    // When dict >= len the window never wraps, so the cyclic buffer only
+    // needs len+1 slots — identical match behavior (match_min_pos stays 0,
+    // cyclic_pos == pos in both sizings), but son[] shrinks from
+    // O(dict) to O(len): a 64 MB dict on a 1 MB block allocates 2 MB,
+    // not 512 MB.  Hash sizing stays dict-derived (hash values must be
+    // bit-identical to the reference's).
+    cyclic_size = (dict < len ? dict : len) + 1;
     if (k == BT2) {
       num_direct_bytes = 2;
       min_match_check = 3;

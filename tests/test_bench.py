@@ -69,3 +69,15 @@ def test_total_rating_is_mean_of_parts():
     c = compress_rating(1 << 22, 500, 1 << 20)
     d = decompress_rating(250, 1 << 20, 1 << 18)
     assert total_rating(1 << 22, 500, 1 << 20, 250, 1 << 18, 1 << 20) == (c + d) // 2
+
+
+def test_sweep_smoke(capsys=None):
+    from lzma_tpu.bench import sweep
+
+    data = sweep.mixed_corpus(1 << 18)
+    assert len(data) == 1 << 18
+    lines = []
+    from lzma_tpu.format.properties import LzmaParams
+
+    r, e, d = sweep._run(data, LzmaParams(dict_size=1 << 16, fast_bytes=16), 1 << 16)
+    assert r > 1.0 and e > 0 and d > 0

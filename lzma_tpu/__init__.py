@@ -21,15 +21,22 @@ from .codec.decoder import decode_alone, decode_stream  # noqa: F401
 __version__ = "0.1.0"
 
 
-def _native_or_none():
-    try:
-        from .runtime import native
+_NATIVE_PROBE = [None, False]  # [module_or_None, probed]
 
-        if native.available():
-            return native
-    except Exception:
-        pass
-    return None
+
+def _native_or_none():
+    # cache the probe: a failed build must not re-spawn the compiler on
+    # every compress()/decompress() call
+    if not _NATIVE_PROBE[1]:
+        _NATIVE_PROBE[1] = True
+        try:
+            from .runtime import native
+
+            if native.available():
+                _NATIVE_PROBE[0] = native
+        except Exception:
+            pass
+    return _NATIVE_PROBE[0]
 
 
 def compress(data: bytes, params: LzmaParams | None = None, **kw) -> bytes:

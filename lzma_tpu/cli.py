@@ -189,18 +189,17 @@ def main(argv=None) -> int:
         enc_fn = dec_fn = None
         bench_params = LzmaParams(dict_size=dict_size)
         if cmd.backend in (None, "native"):
-            try:
-                from .runtime import native as _native
+            from .runtime import native as _native
 
-                if _native.available():
-                    def enc_fn(d):
-                        return _native.encode_stream(d, bench_params)
+            if _native.available():
+                def enc_fn(d):
+                    return _native.encode_stream(d, bench_params)
 
-                    def dec_fn(comp, out_size):
-                        return _native.decode_stream(comp, bench_params, out_size)
-            except Exception:
-                if cmd.backend == "native":
-                    raise
+                def dec_fn(comp, out_size):
+                    return _native.decode_stream(comp, bench_params, out_size)
+            elif cmd.backend == "native":
+                # explicit request must not silently rate the scalar codec
+                _native._lib()  # raises NativeUnavailable with the cause
         elif cmd.backend == "tpu":
             from .ops import api as _tpu
 

@@ -90,8 +90,14 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
     S = _round_up(layout.size, 128)
     MO = _round_up(max_out, 128)
     if not max_iters:
-        # every iteration consumes an input bit or emits an output byte
-        max_iters = 8 * (max_in + 48) + MO + 128
+        # Iterations are bounded by decoded BITS, not input bytes — on
+        # highly compressible data many bits decode per input byte.  Worst
+        # case per output byte: a literal is 9 bit-iterations + 1 emit; a
+        # len-2 match is <=51 bit-iterations (isMatch+isRep*4+2 choice+8
+        # len tree+6 slot+26 direct+4 align) + 2 copies => <28/byte.  Valid
+        # streams exit early via `any(active)`; corrupt ones die on the
+        # overrun check long before this cap.
+        max_iters = 28 * MO + 8 * max_in + 256
     dict_check = max(int(dict_size), 1)
 
     def kernel(comp_ref, lens_ref, sizes_ref, out_ref, ok_ref, probs, outb):
@@ -206,7 +212,7 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[:n] = np.asarray(out_sizes, dtype=np.int32)
     mo = int(max_out if max_out is not None else max(out_sizes))
-    mo = max(mo, 128)
+    mo = 1 << (max(mo, 128) - 1).bit_length()  # pow2 bucket: stable jit shapes
     interpret = jax.default_backend() != "tpu"
     out, ok, _ = decode_pallas(
         jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(sizes),

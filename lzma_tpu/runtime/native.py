@@ -163,10 +163,16 @@ def decode_stream(comp: bytes, params: LzmaParams, out_size: int) -> bytes:
     return out.raw[:out_size]
 
 
-def decode_stream_eos(comp: bytes, params: LzmaParams) -> bytes:
-    """Decode an EOS-terminated stream, growing the buffer as needed."""
+def decode_stream_eos(comp: bytes, params: LzmaParams,
+                      size_limit: int = 1 << 33) -> bytes:
+    """Decode an EOS-terminated stream, growing the buffer as needed.
+
+    size_limit (~8 GB default) bounds both the allocation and the decode
+    work against corrupt never-ending streams; it is enforced BEFORE each
+    allocation so a huge input cannot trigger an outsized first buffer.
+    """
     lib = _lib()
-    cap = max(16 * len(comp), 1 << 16)
+    cap = min(max(16 * len(comp), 1 << 16), size_limit)
     while True:
         out = ctypes.create_string_buffer(cap)
         n = lib.lzt_decode_eos(
@@ -177,9 +183,9 @@ def decode_stream_eos(comp: bytes, params: LzmaParams) -> bytes:
             return out.raw[: int(n)]
         if n != -6:
             raise CorruptStreamError(f"native decode failed: {n}")
-        if cap >= (1 << 33):  # ~8 GB guard against corrupt never-ending streams
+        if cap >= size_limit:
             raise CorruptStreamError("EOS stream exceeds decode size limit")
-        cap *= 4
+        cap = min(cap * 4, size_limit)
 
 
 def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True,

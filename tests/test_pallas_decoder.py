@@ -76,3 +76,16 @@ def test_api_decode_blocks_use_pallas_roundtrip():
     params = LzmaParams(dict_size=1 << 12, fast_bytes=16)
     blob = dev.encode_blocks(data, params, block_size=512)
     assert dev.decode_blocks(blob, use_pallas=True) == data
+
+
+def test_pallas_decode_match_heavy_iteration_budget():
+    # Highly compressible data decodes far more bits+copies than
+    # 8*comp_len; the iteration budget must be output-driven (a zero
+    # block needs ~9.7K iterations where an input-driven 8*max_in bound
+    # allows ~9.2K — this exact case exhausted the old budget).
+    params = LzmaParams(dict_size=1 << 13, fast_bytes=64)
+    payload = b"\x00" * 8192
+    stream = encode_stream(payload, params)
+    assert len(stream) < 120  # sanity: the case is genuinely match-heavy
+    (out,) = decode_batch_pallas([stream], params, [len(payload)], fallback=False)
+    assert out == payload

@@ -53,8 +53,24 @@ def compress(data: bytes, params: LzmaParams | None = None, **kw) -> bytes:
 
 
 def decompress(data: bytes) -> bytes:
-    """Decompress a `.lzma` (LZMA_Alone) container."""
+    """Decompress a `.lzma` (LZMA_Alone) or LZTB block-parallel container
+    (auto-detected by magic)."""
     native = _native_or_none()
+    if data[:4] == b"LZTB":
+        if native is not None:
+            return native.decode_blocks(data)
+        from .parallel import blocks as _blk
+        from .codec.decoder import decode_stream as _dec
+
+        frame = _blk.parse_container(data)
+        out, off = [], frame.payload_offset
+        for i, sz in enumerate(frame.comp_sizes):
+            n = len(frame.comp_sizes)
+            out_size = (frame.block_size if i < n - 1
+                        else frame.total_size - frame.block_size * (n - 1))
+            out.append(_dec(bytes(data[off:off + sz]), frame.params, out_size))
+            off += sz
+        return b"".join(out)
     if native is not None:
         return native.decode_alone(data)
     return decode_alone(data)

@@ -70,3 +70,20 @@ def test_split_blocks():
 def test_eos_rejected():
     with pytest.raises(ValueError):
         encode_blocks(b"abc", LzmaParams(write_eos=True))
+
+
+def test_top_level_decompress_autodetects_lztb():
+    import lzma_tpu
+    from lzma_tpu.runtime import native
+
+    data = (b"lztb autodetect " * 1000)[:12000]
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    blob = native.encode_blocks(data, p, block_size=1 << 12)
+    assert lzma_tpu.decompress(blob) == data
+    # scalar fallback route
+    probe = lzma_tpu._NATIVE_PROBE[:]
+    lzma_tpu._NATIVE_PROBE[:] = [None, True]
+    try:
+        assert lzma_tpu.decompress(blob) == data
+    finally:
+        lzma_tpu._NATIVE_PROBE[:] = probe

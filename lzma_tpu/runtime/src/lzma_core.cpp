@@ -161,16 +161,17 @@ class RangeEnc {
     low = (low & 0xFFFFFF) << 8;
   }
   inline void encode_bit(uint16_t* probs, int idx, int bit) {
+    // Branchless select on the bit value: literal/data bits are
+    // high-entropy, so a data-dependent branch here mispredicts ~half
+    // the time on the hottest path of the whole encoder.
     uint32_t prob = probs[idx];
     uint32_t bound = (range >> kNumBitModelTotalBits) * prob;
-    if (bit == 0) {
-      range = bound;
-      probs[idx] = (uint16_t)(prob + ((kBitModelTotal - prob) >> kNumMoveBits));
-    } else {
-      low += bound;
-      range -= bound;
-      probs[idx] = (uint16_t)(prob - (prob >> kNumMoveBits));
-    }
+    uint32_t mask = (uint32_t)0 - (uint32_t)bit;
+    low += (uint64_t)(bound & mask);
+    range = bound + ((range - (bound << 1)) & mask);
+    uint32_t p0 = prob + ((kBitModelTotal - prob) >> kNumMoveBits);
+    uint32_t p1 = prob - (prob >> kNumMoveBits);
+    probs[idx] = (uint16_t)(p0 ^ ((p0 ^ p1) & mask));
     if (range < kTopValue) {
       range <<= 8;
       shift_low();
@@ -230,24 +231,21 @@ class RangeDec {
     return 0;
   }
   inline int decode_bit(uint16_t* probs, int idx) {
+    // Branchless mirror of RangeEnc::encode_bit: the decoded bit IS the
+    // data, so `code < bound` is inherently unpredictable.
     uint32_t prob = probs[idx];
     uint32_t bound = (range >> kNumBitModelTotalBits) * prob;
-    int bit;
-    if (code < bound) {
-      range = bound;
-      probs[idx] = (uint16_t)(prob + ((kBitModelTotal - prob) >> kNumMoveBits));
-      bit = 0;
-    } else {
-      range -= bound;
-      code -= bound;
-      probs[idx] = (uint16_t)(prob - (prob >> kNumMoveBits));
-      bit = 1;
-    }
+    uint32_t mask = (uint32_t)0 - (uint32_t)(code >= bound);
+    code -= bound & mask;
+    range = bound + ((range - (bound << 1)) & mask);
+    uint32_t p0 = prob + ((kBitModelTotal - prob) >> kNumMoveBits);
+    uint32_t p1 = prob - (prob >> kNumMoveBits);
+    probs[idx] = (uint16_t)(p0 ^ ((p0 ^ p1) & mask));
     if (range < kTopValue) {
       code = (code << 8) | next_byte();
       range <<= 8;
     }
-    return bit;
+    return (int)(mask & 1);
   }
   uint32_t decode_direct(int nbits) {
     uint32_t result = 0;

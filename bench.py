@@ -95,7 +95,9 @@ def main():
         )
         results["native"] = rt
 
-        p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=16, match_finder="hc4")
+        # fb=8 measured fastest round-trip for the greedy profile (sweep in
+        # MEASUREMENTS.md) at ~2% ratio cost vs fb=16
+        p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=8, match_finder="hc4")
         blob, t_enc = timed(
             native.encode_blocks, data, p_fast, block_size=1 << 20,
             num_threads=0, optimal=False, repeat=3,

@@ -74,3 +74,33 @@ def decompress(data: bytes) -> bytes:
     if native is not None:
         return native.decode_alone(data)
     return decode_alone(data)
+
+
+def compress_file(src, dst, params: LzmaParams | None = None,
+                  block_size: int = 1 << 20, num_threads: int = 0, **kw) -> int:
+    """Stream-compress a file into an LZTB block container with O(batch)
+    memory — the large-file counterpart of :func:`compress` (the
+    reference's streaming InWindow design, realized as block parallelism).
+    Returns the container size."""
+    from .parallel import filestream
+
+    params = params or (LzmaParams(**kw) if kw else None)
+    return filestream.encode_file(
+        src, dst, params, block_size=block_size, num_threads=num_threads
+    )
+
+
+def decompress_file(src, dst, num_threads: int = 0) -> int:
+    """Stream-decompress an LZTB container file (or an in-memory `.lzma`
+    single stream) to `dst`.  Returns the decompressed size."""
+    with open(src, "rb") as f:
+        magic = f.read(4)
+    if magic == b"LZTB":
+        from .parallel import filestream
+
+        return filestream.decode_file(src, dst, num_threads=num_threads)
+    with open(src, "rb") as f:
+        out = decompress(f.read())
+    with open(dst, "wb") as f:
+        f.write(out)
+    return len(out)

@@ -216,6 +216,42 @@ def main(argv=None) -> int:
     if not cmd.in_file or not cmd.out_file:
         print(HELP)
         return 1
+
+    import os
+
+    # Block-parallel file paths stream with O(batch) memory
+    # (parallel/filestream.py); .lzma single streams are in-memory.
+    try:
+        if cmd.command == "e" and cmd.block_size and cmd.backend in (None, "native"):
+            from .parallel import filestream
+
+            params = cmd.params().validated_for_encode()
+            mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
+            in_size = os.path.getsize(cmd.in_file)
+            out_size = filestream.encode_file(
+                cmd.in_file, cmd.out_file, params,
+                block_size=cmd.block_size, num_threads=cmd.threads, mode=mode,
+            )
+            if not cmd.quiet:
+                print(f"e: {in_size} -> {out_size} bytes [stream]")
+            return 0
+        if cmd.command == "d" and cmd.backend in (None, "native"):
+            with open(cmd.in_file, "rb") as f:
+                magic = f.read(4)
+            if magic == b"LZTB":
+                from .parallel import filestream
+
+                in_size = os.path.getsize(cmd.in_file)
+                out_size = filestream.decode_file(
+                    cmd.in_file, cmd.out_file, num_threads=cmd.threads
+                )
+                if not cmd.quiet:
+                    print(f"d: {in_size} -> {out_size} bytes [stream]")
+                return 0
+    except OSError as e:
+        print(f"error: {e.strerror}: {e.filename}")
+        return 1
+
     try:
         with open(cmd.in_file, "rb") as f:
             data = f.read()
@@ -228,27 +264,25 @@ def main(argv=None) -> int:
         params = cmd.params().validated_for_encode()
         mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
         if cmd.block_size:
-            if backend == "native":
-                from .runtime import native
+            if backend == "tpu":
+                from .ops import api as tpu_api
 
-                out = native.encode_blocks(
-                    data, params, block_size=cmd.block_size,
-                    num_threads=cmd.threads, mode=mode,
-                )
+                out = tpu_api.encode_blocks(data, params, block_size=cmd.block_size)
             else:
                 from .parallel.blocks import encode_blocks
 
                 out = encode_blocks(
-                    data, params, block_size=cmd.block_size, num_threads=max(cmd.threads, 1)
+                    data, params, block_size=cmd.block_size,
+                    num_threads=max(cmd.threads, 1),
                 )
         else:
             out = enc(data, params, mode=mode)
     else:
         if data[:4] == b"LZTB":
-            if backend == "native":
-                from .runtime import native
+            if backend == "tpu":
+                from .ops import api as tpu_api
 
-                out = native.decode_blocks(data, num_threads=cmd.threads)
+                out = tpu_api.decode_blocks(data)
             else:
                 from .parallel.blocks import decode_blocks
 

@@ -208,22 +208,25 @@ def decode_alone(data: bytes) -> bytes:
     return decode_stream(data[13:], params, out_size)
 
 
-def encode_blocks(
+def encode_block_payload(
     data: bytes,
-    params: LzmaParams | None = None,
-    block_size: int = blk.DEFAULT_BLOCK_SIZE,
+    params: LzmaParams,
+    block_size: int,
     num_threads: int = 0,
     optimal: bool = True,
     mode: str | None = None,
-) -> bytes:
-    """Multithreaded block-parallel encode to an LZTB container."""
-    params = (params or LzmaParams()).validated_for_encode()
-    if params.write_eos:
-        raise ValueError("block container uses known sizes; EOS not supported")
+):
+    """Encode `data` as independent block streams (no container framing).
+
+    Returns `(payload, sizes)` — the concatenated raw LZMA streams and the
+    per-block compressed sizes.  The building block for both the in-memory
+    LZTB container and the constant-memory file streamer
+    (parallel/filestream.py), which feeds batches of blocks through here.
+    """
     lib = _lib()
     num_blocks = (len(data) + block_size - 1) // block_size
     if num_blocks == 0:
-        return blk.build_container(params, block_size, 0, [])
+        return b"", []
     if num_threads <= 0:
         num_threads = os.cpu_count() or 1
     cap = lib.lzt_encode_bound(len(data)) + 4096 * num_blocks
@@ -236,29 +239,69 @@ def encode_blocks(
     )
     if n < 0:
         raise ValueError(f"native block encode failed: {n}")
-    head = blk._HEAD.pack(
-        blk.MAGIC, blk.VERSION, params.encode_props(), block_size, len(data), num_blocks
-    )
-    return head + struct.pack(f"<{num_blocks}I", *sizes) + out.raw[:n]
+    return out.raw[:n], list(sizes)
 
 
-def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
-    """Multithreaded block-parallel decode of an LZTB container."""
-    frame = blk.parse_container(blob)
-    n = len(frame.comp_sizes)
+def decode_block_payload(
+    payload,
+    params: LzmaParams,
+    block_size: int,
+    total_size: int,
+    comp_sizes,
+    num_threads: int = 0,
+) -> bytes:
+    """Decode concatenated block streams (no container framing).
+
+    `total_size` sizes the final block: every block decodes to
+    `block_size` bytes except the last, which gets the remainder.
+    """
+    n = len(comp_sizes)
     if n == 0:
         return b""
     lib = _lib()
     if num_threads <= 0:
         num_threads = os.cpu_count() or 1
-    payload = bytes(blob[frame.payload_offset :])
-    sizes = (ctypes.c_uint32 * n)(*frame.comp_sizes)
-    out = ctypes.create_string_buffer(max(frame.total_size, 1))
+    payload = bytes(payload)
+    sizes = (ctypes.c_uint32 * n)(*comp_sizes)
+    out = ctypes.create_string_buffer(max(total_size, 1))
     rc = lib.lzt_decode_blocks(
-        payload, len(payload), frame.params.lc, frame.params.lp, frame.params.pb,
-        frame.params.dict_size, frame.block_size, frame.total_size,
-        sizes, n, num_threads, out,
+        payload, len(payload), params.lc, params.lp, params.pb,
+        params.dict_size, block_size, total_size, sizes, n, num_threads, out,
     )
     if rc != 0:
         raise CorruptStreamError(f"native block decode failed: {rc}")
-    return out.raw[: frame.total_size]
+    return out.raw[:total_size]
+
+
+def encode_blocks(
+    data: bytes,
+    params: LzmaParams | None = None,
+    block_size: int = blk.DEFAULT_BLOCK_SIZE,
+    num_threads: int = 0,
+    optimal: bool = True,
+    mode: str | None = None,
+) -> bytes:
+    """Multithreaded block-parallel encode to an LZTB container."""
+    params = (params or LzmaParams()).validated_for_encode()
+    if params.write_eos:
+        raise ValueError("block container uses known sizes; EOS not supported")
+    payload, sizes = encode_block_payload(
+        data, params, block_size, num_threads, optimal=optimal, mode=mode
+    )
+    if not sizes:
+        return blk.build_container(params, block_size, 0, [])
+    head = blk._HEAD.pack(
+        blk.MAGIC, blk.VERSION, params.encode_props(), block_size, len(data), len(sizes)
+    )
+    return head + struct.pack(f"<{len(sizes)}I", *sizes) + payload
+
+
+def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
+    """Multithreaded block-parallel decode of an LZTB container."""
+    frame = blk.parse_container(blob)
+    if not frame.comp_sizes:
+        return b""
+    return decode_block_payload(
+        blob[frame.payload_offset :], frame.params, frame.block_size,
+        frame.total_size, frame.comp_sizes, num_threads,
+    )

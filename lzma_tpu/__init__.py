@@ -60,33 +60,27 @@ def decompress(data: bytes) -> bytes:
         if native is not None:
             return native.decode_blocks(data)
         from .parallel import blocks as _blk
-        from .codec.decoder import decode_stream as _dec
 
-        frame = _blk.parse_container(data)
-        out, off = [], frame.payload_offset
-        for i, sz in enumerate(frame.comp_sizes):
-            n = len(frame.comp_sizes)
-            out_size = (frame.block_size if i < n - 1
-                        else frame.total_size - frame.block_size * (n - 1))
-            out.append(_dec(bytes(data[off:off + sz]), frame.params, out_size))
-            off += sz
-        return b"".join(out)
+        return _blk.decode_blocks(data)
     if native is not None:
         return native.decode_alone(data)
     return decode_alone(data)
 
 
 def compress_file(src, dst, params: LzmaParams | None = None,
-                  block_size: int = 1 << 20, num_threads: int = 0, **kw) -> int:
+                  block_size: int = 1 << 20, num_threads: int = 0,
+                  preset_len: int = 0, **kw) -> int:
     """Stream-compress a file into an LZTB block container with O(batch)
     memory — the large-file counterpart of :func:`compress` (the
     reference's streaming InWindow design, realized as block parallelism).
-    Returns the container size."""
+    `preset_len` shares the file's first bytes as a dictionary for every
+    block after block 0 (LZTB v2).  Returns the container size."""
     from .parallel import filestream
 
     params = params or (LzmaParams(**kw) if kw else None)
     return filestream.encode_file(
-        src, dst, params, block_size=block_size, num_threads=num_threads
+        src, dst, params, block_size=block_size, num_threads=num_threads,
+        preset_len=preset_len,
     )
 
 

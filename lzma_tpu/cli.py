@@ -33,6 +33,7 @@ Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
   -eos:   write End Of Stream marker
   -backend{B}: scalar | native | tpu (default: native if built, else scalar)
   -bs{N}: block size (bytes) -> block-parallel LZTB container
+  -ps{N}: shared preset-dictionary bytes for block-parallel mode (LZTB v2)
   -t{N}:  worker threads for block-parallel mode
 """
 
@@ -52,6 +53,7 @@ class CommandLine:
         self.match_finder = "bt4"
         self.backend = None
         self.block_size = 0
+        self.preset_len = 0
         self.threads = 0
         self.quiet = False
         self.in_file = None
@@ -77,6 +79,8 @@ class CommandLine:
                 self.lp = int(s[2:])
             elif s.startswith("pb"):
                 self.pb = int(s[2:])
+            elif s.startswith("ps"):
+                self.preset_len = int(s[2:])
             elif s.startswith("eos"):
                 self.eos = True
             elif s.startswith("mf"):
@@ -231,6 +235,7 @@ def main(argv=None) -> int:
             out_size = filestream.encode_file(
                 cmd.in_file, cmd.out_file, params,
                 block_size=cmd.block_size, num_threads=cmd.threads, mode=mode,
+                preset_len=cmd.preset_len,
             )
             if not cmd.quiet:
                 print(f"e: {in_size} -> {out_size} bytes [stream]")
@@ -274,6 +279,7 @@ def main(argv=None) -> int:
                 out = encode_blocks(
                     data, params, block_size=cmd.block_size,
                     num_threads=max(cmd.threads, 1),
+                    preset_len=cmd.preset_len,
                 )
         else:
             out = enc(data, params, mode=mode)

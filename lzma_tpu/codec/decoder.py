@@ -62,10 +62,14 @@ def decode_stream(
     out_size: int = -1,
     start: int = 0,
     end: int | None = None,
+    preset: bytes = b"",
 ) -> bytes:
     """Decode one raw LZMA stream.
 
     out_size < 0 decodes until the EOS marker (Decoder.java:219).
+    `preset` primes the dictionary window: match distances may reach into
+    it, but position contexts count coded bytes only and `out_size`/the
+    return value cover only the coded bytes.
     Returns the decompressed bytes; raises CorruptStreamError on invalid
     streams (mirroring the reference's `return false` paths,
     Decoder.java:281-291).
@@ -74,7 +78,8 @@ def decode_stream(
     probs = layout.new_arena()
     rc = RangeDecoder(data, start=start, end=end)
 
-    out = bytearray()
+    base = len(preset)
+    out = bytearray(preset)
     dict_size_check = max(params.dict_size, 1)
     pos_state_mask = layout.pos_state_mask
     lit_pos_mask = layout.literal_pos_mask
@@ -82,14 +87,14 @@ def decode_stream(
 
     state = INITIAL_STATE
     rep0 = rep1 = rep2 = rep3 = 0
-    prev_byte = 0
+    prev_byte = preset[-1] if preset else 0
 
     decode_bit = rc.decode_bit
     decode_tree = rc.decode_tree
     L = layout
 
-    while out_size < 0 or len(out) < out_size:
-        now_pos = len(out)
+    while out_size < 0 or len(out) - base < out_size:
+        now_pos = len(out) - base
         pos_state = now_pos & pos_state_mask
         if decode_bit(probs, L.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state) == 0:
             # ---- literal (Decoder.java:222-230) ----
@@ -101,7 +106,7 @@ def decode_stream(
                 while symbol < 0x100:
                     symbol = (symbol << 1) | decode_bit(probs, sub + symbol)
             else:
-                match_byte = out[now_pos - rep0 - 1]
+                match_byte = out[base + now_pos - rep0 - 1]
                 symbol = 1
                 while symbol < 0x100:
                     match_bit = (match_byte >> 7) & 1
@@ -165,12 +170,12 @@ def decode_stream(
             else:
                 rep0 = pos_slot
 
-        if rep0 >= now_pos or rep0 >= dict_size_check:
+        if rep0 >= base + now_pos or rep0 >= dict_size_check:
             raise CorruptStreamError(
                 f"distance {rep0} out of window at position {now_pos}"
             )  # Decoder.java:288-291
         # copy match (OutWindow.CopyBlock semantics, overlap-safe)
-        src = now_pos - rep0 - 1
+        src = base + now_pos - rep0 - 1
         if rep0 == 0:
             out.extend(out[src:src + 1] * length)
         elif rep0 + 1 >= length:
@@ -181,7 +186,7 @@ def decode_stream(
                 src += 1
         prev_byte = out[-1]
 
-    return bytes(out)
+    return bytes(out[base:]) if base else bytes(out)
 
 
 def decode_alone(data) -> bytes:

@@ -148,19 +148,30 @@ class LzmaEncoder:
         self._len_table_size = self.fb + 1 - MATCH_MIN_LEN
 
     # ================================================================ setup
-    def _init_state(self, data: bytes):
+    def _init_state(self, data: bytes, preset: bytes = b""):
+        """Reset coder state for one stream.
+
+        `preset` primes the dictionary window (the analogue of liblzma's
+        preset_dict; absent from the reference — README.md lists no
+        preset API): matches and literal context may reach into it, but
+        only `data` is coded and position contexts start at 0.
+        """
         p = self.params
-        self.buf = data
+        buf = preset + data if preset else data
+        self.buf = buf
+        self.preset_len = len(preset)
         self.probs = self.layout.new_arena().tolist()  # python list: fast scalar access
         self.rc = RangeEncoder()
         if p.match_finder == MF_BT2:
-            self.mf = BinTreeMatchFinder(data, p.dict_size, self.fb, num_hash_bytes=2)
+            self.mf = BinTreeMatchFinder(buf, p.dict_size, self.fb, num_hash_bytes=2)
         elif p.match_finder == MF_BT4:
-            self.mf = BinTreeMatchFinder(data, p.dict_size, self.fb, num_hash_bytes=4)
+            self.mf = BinTreeMatchFinder(buf, p.dict_size, self.fb, num_hash_bytes=4)
         else:
-            self.mf = HashChainMatchFinder(data, p.dict_size, self.fb)
+            self.mf = HashChainMatchFinder(buf, p.dict_size, self.fb)
+        if preset:
+            self.mf.skip(len(preset))  # insert the preset positions
         self.state = INITIAL_STATE
-        self.prev_byte = 0
+        self.prev_byte = preset[-1] if preset else 0
         self.rep_distances = [0] * NUM_REP_DISTANCES
         self.now_pos = 0
         self.additional_offset = 0
@@ -942,15 +953,19 @@ class LzmaEncoder:
         return _Decision(-1, 1)
 
     # ========================================================== main loop
-    def encode(self, data: bytes, progress=None) -> bytes:
-        """Encode one block; returns the raw LZMA stream (flushed)."""
-        self._init_state(data)
+    def encode(self, data: bytes, progress=None, preset: bytes = b"") -> bytes:
+        """Encode one block; returns the raw LZMA stream (flushed).
+
+        With a `preset` dictionary the first byte is NOT force-coded as a
+        literal (history exists, so matches are legal from position 0).
+        """
+        self._init_state(data, preset)
         rc, probs = self.rc, self.probs
         L = self.layout
         get = {"optimal": self._get_optimum, "lazy": self._get_lazy,
                "greedy": self._get_greedy}[self.mode]
 
-        if self.mf.available() > 0:
+        if not preset and self.mf.available() > 0:
             # first byte forced literal (Encoder.java:860-877)
             self._read_match_distances()
             ps = 0
@@ -1089,9 +1104,9 @@ class LzmaEncoder:
 
 
 def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,
-                  mode: str | None = None) -> bytes:
-    """One-shot raw-stream encode."""
-    return LzmaEncoder(params, optimal=optimal, mode=mode).encode(data)
+                  mode: str | None = None, preset: bytes = b"") -> bytes:
+    """One-shot raw-stream encode (optionally with a preset dictionary)."""
+    return LzmaEncoder(params, optimal=optimal, mode=mode).encode(data, preset=preset)
 
 
 def encode_alone(data: bytes, params: LzmaParams, optimal: bool = True,

@@ -71,6 +71,11 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
     (ops/pallas_decoder.py) instead of the XLA while_loop backend.
     """
     frame = blk.parse_container(blob)
+    if frame.preset_len:
+        raise ValueError(
+            "LZTB v2 preset containers are not supported by the device "
+            "decoder; use the native or scalar backend"
+        )
     n = len(frame.comp_sizes)
     if n == 0:
         return b""

@@ -10,16 +10,26 @@ the LZMA analogue of data parallelism called for by SURVEY.md §5.7/§5.8.
 Container layout (all little-endian):
 
     magic  b"LZTB"                      4
-    version u8 = 1                      1
+    version u8 = 1 | 2                  1
     props   5 bytes (lc/lp/pb + dict)   5   -- shared by every block
     block_size u32                      4   -- uncompressed bytes per block
     total_size u64                      8   -- original length
     num_blocks u32                      4
+    preset_len u32                      4   -- version 2 only
     comp_sizes u32[num_blocks]          4*n -- ragged-gather size table
     payload: concatenated raw LZMA streams (no per-block headers)
 
 Each block is a fresh LZMA stream with its own dictionary window, known
 uncompressed size (block_size, except possibly the last), no EOS marker.
+
+Version 2 adds a SHARED preset dictionary: the first `preset_len` bytes
+of the original data (a prefix of block 0) prime the window of every
+block i >= 1.  Block 0 itself is coded plain, so decode order is:
+block 0 first, then all other blocks in parallel — full decode
+parallelism is preserved while independent blocks recover most of the
+ratio lost to chunking.  This is the "broadcast preset dictionary" of
+the scaling design (SURVEY.md §5.8): on a mesh the preset is exactly
+the buffer broadcast to every device.
 """
 
 from __future__ import annotations
@@ -35,7 +45,9 @@ from ..format.properties import LzmaParams, decode_props
 
 MAGIC = b"LZTB"
 VERSION = 1
+VERSION_PRESET = 2
 _HEAD = struct.Struct("<4sB5sIQI")
+_PRESET_FIELD = struct.Struct("<I")
 DEFAULT_BLOCK_SIZE = 1 << 20
 
 
@@ -48,16 +60,29 @@ class BlockFrame:
     total_size: int
     comp_sizes: tuple
     payload_offset: int
+    preset_len: int = 0
 
 
 def split_blocks(data: bytes, block_size: int):
     return [data[i : i + block_size] for i in range(0, len(data), block_size)]
 
 
-def build_container(params: LzmaParams, block_size: int, total_size: int, streams) -> bytes:
+def validated_preset_len(preset_len: int, block_size: int, total_size: int) -> int:
+    """Clamp-and-check a requested shared-preset length: it must be a
+    prefix of block 0, so at most min(block_size, total_size)."""
+    if preset_len < 0:
+        raise ValueError("preset_len must be >= 0")
+    return min(preset_len, block_size, total_size)
+
+
+def build_container(params: LzmaParams, block_size: int, total_size: int,
+                    streams, preset_len: int = 0) -> bytes:
+    version = VERSION_PRESET if preset_len else VERSION
     head = _HEAD.pack(
-        MAGIC, VERSION, params.encode_props(), block_size, total_size, len(streams)
+        MAGIC, version, params.encode_props(), block_size, total_size, len(streams)
     )
+    if preset_len:
+        head += _PRESET_FIELD.pack(preset_len)
     sizes = struct.pack(f"<{len(streams)}I", *(len(s) for s in streams))
     return head + sizes + b"".join(streams)
 
@@ -66,15 +91,25 @@ def parse_container(blob) -> BlockFrame:
     if len(blob) < _HEAD.size or bytes(blob[:4]) != MAGIC:
         raise CorruptStreamError("not an LZTB container")
     magic, version, props, block_size, total_size, n = _HEAD.unpack_from(blob, 0)
-    if version != VERSION:
+    off = _HEAD.size
+    preset_len = 0
+    if version == VERSION_PRESET:
+        if len(blob) < off + _PRESET_FIELD.size:
+            raise CorruptStreamError("LZTB v2 header truncated")
+        (preset_len,) = _PRESET_FIELD.unpack_from(blob, off)
+        off += _PRESET_FIELD.size
+        if preset_len > min(block_size, max(total_size, 1)):
+            raise CorruptStreamError("preset_len exceeds block 0")
+    elif version != VERSION:
         raise CorruptStreamError(f"unsupported LZTB version {version}")
-    sizes = struct.unpack_from(f"<{n}I", blob, _HEAD.size)
+    sizes = struct.unpack_from(f"<{n}I", blob, off)
     return BlockFrame(
         params=decode_props(props),
         block_size=block_size,
         total_size=total_size,
         comp_sizes=sizes,
-        payload_offset=_HEAD.size + 4 * n,
+        payload_offset=off + 4 * n,
+        preset_len=preset_len,
     )
 
 
@@ -85,27 +120,46 @@ def encode_blocks(
     num_threads: int = 1,
     optimal: bool = True,
     encode_fn=None,
+    preset_len: int = 0,
 ) -> bytes:
     """Chunk + encode data-parallel + ordered concat.
 
     `encode_fn(block_bytes) -> stream_bytes` lets callers swap the backend
-    (native C++ / TPU lanes) while reusing the framing.
+    (native C++ / TPU lanes) while reusing the framing.  `preset_len`
+    shares the first bytes of block 0 as a preset dictionary for every
+    other block (LZTB v2); only the default scalar backend supports it.
     """
     params = (params or LzmaParams()).validated_for_encode()
     if params.write_eos:
         raise ValueError("block container uses known sizes; EOS not supported")
+    preset_len = validated_preset_len(preset_len, block_size, len(data))
+    if preset_len and encode_fn is not None:
+        raise ValueError("preset_len requires the default scalar backend")
     blocks = split_blocks(data, block_size)
-    fn = encode_fn or (lambda b: encode_stream(b, params, optimal=optimal))
+    preset = data[:preset_len] if preset_len else b""
+    fn = encode_fn or (
+        lambda b, pre=b"": encode_stream(b, params, optimal=optimal, preset=pre)
+    )
     if num_threads > 1 and len(blocks) > 1:
         with ThreadPoolExecutor(num_threads) as ex:
-            streams = list(ex.map(fn, blocks))
+            streams = list(
+                ex.map(lambda ib: fn(ib[1], preset if ib[0] else b"")
+                       if preset_len else fn(ib[1]), enumerate(blocks))
+            )
     else:
-        streams = [fn(b) for b in blocks]
-    return build_container(params, block_size, len(data), streams)
+        streams = [
+            fn(b, preset if i else b"") if preset_len else fn(b)
+            for i, b in enumerate(blocks)
+        ]
+    return build_container(params, block_size, len(data), streams, preset_len)
 
 
 def decode_blocks(blob, num_threads: int = 1, decode_fn=None) -> bytes:
-    """Parse + decode data-parallel + ordered concat."""
+    """Parse + decode data-parallel + ordered concat.
+
+    LZTB v2 (shared preset): block 0 decodes first, yielding the preset
+    for every other block, which then decode in parallel.
+    """
     frame = parse_container(blob)
     n = len(frame.comp_sizes)
     offsets = [frame.payload_offset]
@@ -119,16 +173,30 @@ def decode_blocks(blob, num_threads: int = 1, decode_fn=None) -> bytes:
             return frame.block_size
         return frame.total_size - frame.block_size * (n - 1)
 
-    fn = decode_fn or (
-        lambda i: decode_stream(
-            blob, frame.params, out_size=out_size(i), start=offsets[i], end=offsets[i + 1]
+    if frame.preset_len and decode_fn is not None:
+        raise ValueError("preset containers require the default scalar backend")
+
+    preset = b""
+
+    def default_fn(i: int) -> bytes:
+        return decode_stream(
+            blob, frame.params, out_size=out_size(i),
+            start=offsets[i], end=offsets[i + 1],
+            preset=preset if i else b"",
         )
-    )
-    if num_threads > 1 and n > 1:
+
+    fn = decode_fn or default_fn
+    first = 0
+    parts = []
+    if frame.preset_len and n > 0:
+        parts.append(fn(0))  # the preset source must exist first
+        preset = parts[0][: frame.preset_len]
+        first = 1
+    if num_threads > 1 and n - first > 1:
         with ThreadPoolExecutor(num_threads) as ex:
-            parts = list(ex.map(fn, range(n)))
+            parts.extend(ex.map(fn, range(first, n)))
     else:
-        parts = [fn(i) for i in range(n)]
+        parts.extend(fn(i) for i in range(first, n))
     out = b"".join(parts)
     if len(out) != frame.total_size:
         raise CorruptStreamError("decoded size mismatch")

@@ -35,21 +35,25 @@ DEFAULT_BATCH_BYTES = 64 << 20
 def _backend(num_threads: int):
     """Return (encode_batch, decode_batch) callables for the best backend.
 
-    encode_batch(data, params, block_size, mode) -> (payload, sizes)
-    decode_batch(payload, params, block_size, batch_total, sizes) -> bytes
+    encode_batch(data, params, block_size, mode, preset) -> (payload, sizes)
+    decode_batch(payload, params, block_size, batch_total, sizes, preset) -> bytes
+
+    `preset` applies to every block in the batch (the LZTB v2 shared
+    dictionary); pass b"" for plain blocks.
     """
     try:
         from ..runtime import native
 
         if native.available():
-            def enc(data, params, block_size, mode):
-                return native.encode_block_payload(
-                    data, params, block_size, num_threads, mode=mode
+            def enc(data, params, block_size, mode, preset=b""):
+                return native.encode_block_payload_pre(
+                    data, preset, params, block_size, num_threads, mode=mode
                 )
 
-            def dec(payload, params, block_size, batch_total, sizes):
-                return native.decode_block_payload(
-                    payload, params, block_size, batch_total, sizes, num_threads
+            def dec(payload, params, block_size, batch_total, sizes, preset=b""):
+                return native.decode_block_payload_pre(
+                    payload, preset, params, block_size, batch_total, sizes,
+                    num_threads,
                 )
 
             return enc, dec
@@ -59,9 +63,9 @@ def _backend(num_threads: int):
     from ..codec.decoder import decode_stream
     from ..codec.encoder import encode_stream
 
-    def enc(data, params, block_size, mode):
+    def enc(data, params, block_size, mode, preset=b""):
         pieces = blk.split_blocks(data, block_size)
-        fn = lambda b: encode_stream(b, params, mode=mode)  # noqa: E731
+        fn = lambda b: encode_stream(b, params, mode=mode, preset=preset)  # noqa: E731
         if num_threads > 1 and len(pieces) > 1:
             with ThreadPoolExecutor(num_threads) as ex:
                 streams = list(ex.map(fn, pieces))
@@ -69,7 +73,7 @@ def _backend(num_threads: int):
             streams = [fn(b) for b in pieces]
         return b"".join(streams), [len(s) for s in streams]
 
-    def dec(payload, params, block_size, batch_total, sizes):
+    def dec(payload, params, block_size, batch_total, sizes, preset=b""):
         offs = [0]
         for s in sizes:
             offs.append(offs[-1] + s)
@@ -77,7 +81,8 @@ def _backend(num_threads: int):
         def one(i):
             out_size = min(block_size, batch_total - i * block_size)
             return decode_stream(
-                bytes(payload[offs[i] : offs[i + 1]]), params, out_size
+                bytes(payload[offs[i] : offs[i + 1]]), params, out_size,
+                preset=preset,
             )
 
         if num_threads > 1 and len(sizes) > 1:
@@ -99,13 +104,15 @@ def encode_file(
     mode: str | None = None,
     batch_bytes: int = DEFAULT_BATCH_BYTES,
     progress=None,
+    preset_len: int = 0,
 ) -> int:
     """Stream-encode file `src` into an LZTB container at `dst`.
 
     Memory use is O(batch_bytes + compressed batch), independent of file
     size.  `progress(in_bytes, out_bytes)` mirrors the reference's
-    ICodeProgress callback (ICodeProgress.java:4).  Returns the container
-    size in bytes.
+    ICodeProgress callback (ICodeProgress.java:4).  `preset_len` shares
+    the file's first bytes as a preset dictionary for every block after
+    block 0 (LZTB v2).  Returns the container size in bytes.
     """
     params = (params or LzmaParams()).validated_for_encode()
     if params.write_eos:
@@ -117,15 +124,22 @@ def encode_file(
     batch_bytes = max(block_size, (batch_bytes // block_size) * block_size)
     total_size = os.path.getsize(src)
     num_blocks = (total_size + block_size - 1) // block_size
+    preset_len = blk.validated_preset_len(preset_len, block_size, total_size)
+    if num_blocks < 2:
+        preset_len = 0  # single block: a preset would be pointless
     enc, _ = _backend(num_threads)
 
     sizes: list[int] = []
     written = 0
+    preset = b""
     with open(src, "rb") as fi, open(dst, "wb") as fo:
+        version = blk.VERSION_PRESET if preset_len else blk.VERSION
         head = blk._HEAD.pack(
-            blk.MAGIC, blk.VERSION, params.encode_props(),
+            blk.MAGIC, version, params.encode_props(),
             block_size, total_size, num_blocks,
         )
+        if preset_len:
+            head += blk._PRESET_FIELD.pack(preset_len)
         fo.write(head)
         table_offset = len(head)
         fo.write(b"\x00" * (4 * num_blocks))  # patched after the payload
@@ -137,7 +151,15 @@ def encode_file(
             consumed += len(chunk)
             if consumed > total_size:
                 raise ValueError(f"{src} grew while encoding")
-            payload, bsizes = enc(chunk, params, block_size, mode)
+            if preset_len and not sizes:
+                # first batch: block 0 plain (it IS the preset source),
+                # the rest of the batch against the preset
+                preset = chunk[:preset_len]
+                p0, s0 = enc(chunk[:block_size], params, block_size, mode)
+                p1, s1 = enc(chunk[block_size:], params, block_size, mode, preset)
+                payload, bsizes = p0 + p1, s0 + s1
+            else:
+                payload, bsizes = enc(chunk, params, block_size, mode, preset)
             fo.write(payload)
             written += len(payload)
             sizes.extend(bsizes)
@@ -170,11 +192,20 @@ def decode_file(
         if len(head) < blk._HEAD.size or head[:4] != blk.MAGIC:
             raise CorruptStreamError("not an LZTB container")
         magic, version, props, block_size, total_size, n = blk._HEAD.unpack(head)
-        if version != blk.VERSION:
+        preset_len = 0
+        if version == blk.VERSION_PRESET:
+            field = fi.read(blk._PRESET_FIELD.size)
+            if len(field) < blk._PRESET_FIELD.size:
+                raise CorruptStreamError("LZTB v2 header truncated")
+            (preset_len,) = blk._PRESET_FIELD.unpack(field)
+            if preset_len > min(block_size, max(total_size, 1)):
+                raise CorruptStreamError("preset_len exceeds block 0")
+        elif version != blk.VERSION:
             raise CorruptStreamError(f"unsupported LZTB version {version}")
         if block_size < 1 or n != (total_size + block_size - 1) // block_size:
             raise CorruptStreamError("block count inconsistent with sizes")
         params = decode_props(props)
+        head_size = blk._HEAD.size + (blk._PRESET_FIELD.size if preset_len else 0)
         table = fi.read(4 * n)
         if len(table) < 4 * n:
             raise CorruptStreamError("container size table truncated")
@@ -183,6 +214,7 @@ def decode_file(
         blocks_per_batch = max(1, batch_bytes // block_size)
         done = 0  # uncompressed bytes written
         comp_done = 0  # compressed payload bytes consumed
+        preset = b""
         for start in range(0, n, blocks_per_batch):
             batch = comp_sizes[start : start + blocks_per_batch]
             need = sum(batch)
@@ -190,14 +222,24 @@ def decode_file(
             if len(payload) < need:
                 raise CorruptStreamError("container payload truncated")
             batch_total = min(block_size * len(batch), total_size - done)
-            out = dec(payload, params, block_size, batch_total, batch)
+            if preset_len and start == 0:
+                # block 0 is the preset source: decode it plain first
+                b0_total = min(block_size, batch_total)
+                out0 = dec(payload[: batch[0]], params, block_size,
+                           b0_total, batch[:1])
+                preset = out0[:preset_len]
+                rest = dec(payload[batch[0] :], params, block_size,
+                           batch_total - b0_total, batch[1:], preset)
+                out = out0 + rest
+            else:
+                out = dec(payload, params, block_size, batch_total, batch, preset)
             if len(out) != batch_total:
                 raise CorruptStreamError("decoded size mismatch")
             fo.write(out)
             done += batch_total
             comp_done += need
             if progress is not None:
-                progress(done, blk._HEAD.size + 4 * n + comp_done)
+                progress(done, head_size + 4 * n + comp_done)
         if done != total_size:
             raise CorruptStreamError("decoded size mismatch")
     return done

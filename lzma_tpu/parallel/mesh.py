@@ -141,6 +141,11 @@ def encode_blocks_mesh(
 def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
     """Data-parallel block decode over every device in the mesh."""
     frame = blk.parse_container(blob)
+    if frame.preset_len:
+        raise ValueError(
+            "LZTB v2 preset containers are not supported by the device "
+            "decoder; use the native or scalar backend"
+        )
     mesh = mesh or make_mesh()
     d = mesh.devices.size
     n = len(frame.comp_sizes)

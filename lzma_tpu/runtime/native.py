@@ -78,6 +78,37 @@ def _lib():
         ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
     ]
+    lib.lzt_encode_pre.restype = ctypes.c_int64
+    lib.lzt_encode_pre.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.lzt_decode_pre.restype = ctypes.c_int
+    lib.lzt_decode_pre.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.lzt_encode_blocks_pre.restype = ctypes.c_int64
+    lib.lzt_encode_blocks_pre.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.lzt_decode_blocks_pre.restype = ctypes.c_int
+    lib.lzt_decode_blocks_pre.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+    ]
     lib.lzt_encode_token_blocks.restype = ctypes.c_int64
     lib.lzt_encode_token_blocks.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -135,29 +166,47 @@ def available() -> bool:
 
 
 def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,
-                  mode: str | None = None) -> bytes:
+                  mode: str | None = None, preset: bytes = b"") -> bytes:
     params = params.validated_for_encode()
     lib = _lib()
     cap = lib.lzt_encode_bound(len(data))
     out = ctypes.create_string_buffer(cap)
-    n = lib.lzt_encode(
-        data, len(data), params.lc, params.lp, params.pb, params.dict_size,
-        params.fast_bytes, _MF_INDEX[params.match_finder],
-        1 if params.write_eos else 0, _mode_flag(optimal, mode), out, cap,
-    )
+    if preset:
+        buf = preset + data
+        n = lib.lzt_encode_pre(
+            buf, len(buf), len(preset), params.lc, params.lp, params.pb,
+            params.dict_size, params.fast_bytes, _MF_INDEX[params.match_finder],
+            1 if params.write_eos else 0, _mode_flag(optimal, mode), out, cap,
+        )
+    else:
+        n = lib.lzt_encode(
+            data, len(data), params.lc, params.lp, params.pb, params.dict_size,
+            params.fast_bytes, _MF_INDEX[params.match_finder],
+            1 if params.write_eos else 0, _mode_flag(optimal, mode), out, cap,
+        )
     if n < 0:
         raise ValueError(f"native encode failed: {n}")
     return out.raw[:n]
 
 
-def decode_stream(comp: bytes, params: LzmaParams, out_size: int) -> bytes:
+def decode_stream(comp: bytes, params: LzmaParams, out_size: int,
+                  preset: bytes = b"") -> bytes:
     if out_size < 0:
+        if preset:
+            raise ValueError("EOS decode with preset: use known-size streams")
         return decode_stream_eos(comp, params)
     lib = _lib()
     out = ctypes.create_string_buffer(max(out_size, 1))
-    rc = lib.lzt_decode(
-        comp, len(comp), params.lc, params.lp, params.pb, params.dict_size, out, out_size
-    )
+    if preset:
+        rc = lib.lzt_decode_pre(
+            comp, len(comp), params.lc, params.lp, params.pb, params.dict_size,
+            preset, len(preset), out, out_size,
+        )
+    else:
+        rc = lib.lzt_decode(
+            comp, len(comp), params.lc, params.lp, params.pb, params.dict_size,
+            out, out_size,
+        )
     if rc != 0:
         raise CorruptStreamError(f"native decode failed: {rc}")
     return out.raw[:out_size]
@@ -273,6 +322,88 @@ def decode_block_payload(
     return out.raw[:total_size]
 
 
+def encode_block_payload_pre(
+    data: bytes,
+    preset: bytes,
+    params: LzmaParams,
+    block_size: int,
+    num_threads: int = 0,
+    optimal: bool = True,
+    mode: str | None = None,
+):
+    """Encode blocks that ALL share one preset dictionary (no framing).
+
+    Returns `(payload, sizes)`.  Pass `preset=b""` for plain blocks.
+    """
+    if not preset:
+        return encode_block_payload(
+            data, params, block_size, num_threads, optimal=optimal, mode=mode
+        )
+    lib = _lib()
+    num_blocks = (len(data) + block_size - 1) // block_size
+    if num_blocks == 0:
+        return b"", []
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    cap = lib.lzt_encode_bound(len(data)) + 4096 * num_blocks
+    out = ctypes.create_string_buffer(cap)
+    sizes = (ctypes.c_uint32 * num_blocks)()
+    n = lib.lzt_encode_blocks_pre(
+        data, len(data), preset, len(preset),
+        params.lc, params.lp, params.pb, params.dict_size,
+        params.fast_bytes, _MF_INDEX[params.match_finder], _mode_flag(optimal, mode),
+        block_size, num_threads, out, cap, sizes,
+    )
+    if n < 0:
+        raise ValueError(f"native block encode failed: {n}")
+    return out.raw[:n], list(sizes)
+
+
+def decode_block_payload_pre(
+    payload,
+    preset: bytes,
+    params: LzmaParams,
+    block_size: int,
+    total_size: int,
+    comp_sizes,
+    num_threads: int = 0,
+    out_buffer=None,
+    out_offset: int = 0,
+) -> bytes:
+    """Decode blocks that all share one preset dictionary (no framing).
+
+    `out_buffer`/`out_offset` let callers decode into a larger buffer
+    in place (used by the v2 container path to stitch block 0 + rest).
+    """
+    n = len(comp_sizes)
+    own = out_buffer is None
+    if own:
+        out_buffer = ctypes.create_string_buffer(max(total_size, 1))
+        out_offset = 0
+    if n == 0:
+        return b"" if own else None
+    lib = _lib()
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    payload = bytes(payload)
+    sizes = (ctypes.c_uint32 * n)(*comp_sizes)
+    dst = ctypes.addressof(out_buffer) + out_offset
+    if preset:
+        rc = lib.lzt_decode_blocks_pre(
+            payload, len(payload), preset, len(preset),
+            params.lc, params.lp, params.pb, params.dict_size,
+            block_size, total_size, sizes, n, num_threads, dst,
+        )
+    else:
+        rc = lib.lzt_decode_blocks(
+            payload, len(payload), params.lc, params.lp, params.pb,
+            params.dict_size, block_size, total_size, sizes, n, num_threads, dst,
+        )
+    if rc != 0:
+        raise CorruptStreamError(f"native block decode failed: {rc}")
+    return out_buffer.raw[:total_size] if own else None
+
+
 def encode_blocks(
     data: bytes,
     params: LzmaParams | None = None,
@@ -280,28 +411,69 @@ def encode_blocks(
     num_threads: int = 0,
     optimal: bool = True,
     mode: str | None = None,
+    preset_len: int = 0,
 ) -> bytes:
-    """Multithreaded block-parallel encode to an LZTB container."""
+    """Multithreaded block-parallel encode to an LZTB container.
+
+    `preset_len > 0` writes LZTB v2: the first preset_len bytes of the
+    data (a prefix of block 0) prime every other block's window.
+    """
     params = (params or LzmaParams()).validated_for_encode()
     if params.write_eos:
         raise ValueError("block container uses known sizes; EOS not supported")
-    payload, sizes = encode_block_payload(
-        data, params, block_size, num_threads, optimal=optimal, mode=mode
-    )
+    preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    if preset_len and len(data) > block_size:
+        b0, rest = data[:block_size], data[block_size:]
+        preset = data[:preset_len]
+        p0, s0 = encode_block_payload(
+            b0, params, block_size, num_threads, optimal=optimal, mode=mode
+        )
+        p1, s1 = encode_block_payload_pre(
+            rest, preset, params, block_size, num_threads, optimal=optimal, mode=mode
+        )
+        payload, sizes = p0 + p1, s0 + s1
+    else:
+        preset_len = 0  # single block: a preset would be pointless
+        payload, sizes = encode_block_payload(
+            data, params, block_size, num_threads, optimal=optimal, mode=mode
+        )
     if not sizes:
         return blk.build_container(params, block_size, 0, [])
+    version = blk.VERSION_PRESET if preset_len else blk.VERSION
     head = blk._HEAD.pack(
-        blk.MAGIC, blk.VERSION, params.encode_props(), block_size, len(data), len(sizes)
+        blk.MAGIC, version, params.encode_props(), block_size, len(data), len(sizes)
     )
+    if preset_len:
+        head += blk._PRESET_FIELD.pack(preset_len)
     return head + struct.pack(f"<{len(sizes)}I", *sizes) + payload
 
 
 def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
-    """Multithreaded block-parallel decode of an LZTB container."""
+    """Multithreaded block-parallel decode of an LZTB container.
+
+    LZTB v2 (shared preset): block 0 decodes first, then every other
+    block decodes in parallel against the shared preset window.
+    """
     frame = blk.parse_container(blob)
     if not frame.comp_sizes:
         return b""
-    return decode_block_payload(
-        blob[frame.payload_offset :], frame.params, frame.block_size,
-        frame.total_size, frame.comp_sizes, num_threads,
+    payload = blob[frame.payload_offset :]
+    if not frame.preset_len:
+        return decode_block_payload(
+            payload, frame.params, frame.block_size,
+            frame.total_size, frame.comp_sizes, num_threads,
+        )
+    out = ctypes.create_string_buffer(max(frame.total_size, 1))
+    b0_size = min(frame.block_size, frame.total_size)
+    decode_block_payload_pre(
+        payload[: frame.comp_sizes[0]], b"", frame.params, frame.block_size,
+        b0_size, frame.comp_sizes[:1], num_threads,
+        out_buffer=out, out_offset=0,
     )
+    preset = out.raw[: frame.preset_len]
+    decode_block_payload_pre(
+        payload[frame.comp_sizes[0] :], preset, frame.params, frame.block_size,
+        frame.total_size - b0_size, frame.comp_sizes[1:], num_threads,
+        out_buffer=out, out_offset=b0_size,
+    )
+    return out.raw[: frame.total_size]

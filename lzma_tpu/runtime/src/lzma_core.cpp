@@ -1386,7 +1386,12 @@ class Encoder {
     rc.encode_tree_rev(probs.data(), L.align_, kNumAlignBits, (int)(reduced & kAlignMask));
   }
 
-  void encode(const uint8_t* data, size_t n, std::vector<uint8_t>* out) {
+  // `data` spans preset||payload; only data[preset_len..n) is coded.  The
+  // preset primes the dictionary: matches and literal context may reach
+  // into it, position contexts start at 0 at the first coded byte, and
+  // the first byte is NOT force-coded as a literal (history exists).
+  void encode(const uint8_t* data, size_t n, std::vector<uint8_t>* out,
+              size_t preset_len = 0) {
     probs.assign(L.size, kProbInit);
     rc = RangeEnc();
     rc.out = out;
@@ -1394,8 +1399,10 @@ class Encoder {
     mf = new MatchFinder(data, (int32_t)n, (int32_t)P.dict_size, P.fb,
                          P.mf == 0 ? MatchFinder::BT2
                                    : (P.mf == 2 ? MatchFinder::HC4 : MatchFinder::BT4));
+    if (preset_len > 0 && (size_t)mf->available() >= preset_len)
+      mf->skip((int)preset_len);  // insert the preset positions
     state = 0;
-    prev_byte = 0;
+    prev_byte = preset_len ? data[preset_len - 1] : 0;
     for (int i = 0; i < kNumRepDistances; i++) rep_dist[i] = 0;
     now_pos = 0;
     additional_offset = 0;
@@ -1409,7 +1416,7 @@ class Encoder {
       update_len_table(true, ps);
     }
 
-    if (mf->available() > 0) {
+    if (preset_len == 0 && mf->available() > 0) {
       read_match_distances();
       rc.encode_bit(probs.data(), L.is_match + (state << kNumPosStatesBitsMax), 0);
       state = next_lit(state);
@@ -1603,9 +1610,14 @@ class TokenEncoder {
 // returns 0 ok / negative error.  EOS mode: decodes until the end marker,
 // returns bytes decoded, or -6 when out_size (the capacity) was reached
 // first — caller grows the buffer and retries.
+// `preset`/`preset_len` prime the dictionary window (two-buffer form so
+// threaded block decode writes straight into the final output): match
+// distances may reach into the preset, position contexts count coded
+// bytes only, and `out`/`out_size` cover only the coded bytes.
 int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
                      int pb, uint32_t dict_size, uint8_t* out, size_t out_size,
-                     bool eos_mode = false) {
+                     bool eos_mode = false, const uint8_t* preset = nullptr,
+                     size_t preset_len = 0) {
   Layout L(lc, lp, pb);
   std::vector<uint16_t> probs(L.size, kProbInit);
   uint16_t* pr = probs.data();
@@ -1616,8 +1628,12 @@ int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
   int state = 0;
   uint32_t rep0 = 0, rep1 = 0, rep2 = 0, rep3 = 0;
   size_t now = 0;
-  uint8_t prev = 0;
+  uint8_t prev = preset_len ? preset[preset_len - 1] : 0;
   bool hit_eos = false;
+  // conceptual stream index i in [-preset_len, out_size): byte at i
+  auto hist_byte = [&](int64_t i) -> uint8_t {
+    return i >= 0 ? out[i] : preset[(int64_t)preset_len + i];
+  };
   while (now < out_size) {
     if (rc.overrun > 32) return -2;
     int ps = (int)(now & pos_state_mask);
@@ -1628,7 +1644,7 @@ int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
         do symbol = (symbol << 1) | rc.decode_bit(pr, sub + symbol);
         while (symbol < 0x100);
       } else {
-        unsigned match_byte = out[now - rep0 - 1];
+        unsigned match_byte = hist_byte((int64_t)now - rep0 - 1);
         do {
           unsigned match_bit = (match_byte >> 7) & 1;
           match_byte = (match_byte << 1) & 0xFF;
@@ -1715,16 +1731,23 @@ int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
         rep0 = (uint32_t)slot;
       }
     }
-    if (rep0 >= now || rep0 >= dict_check) return -4;
-    size_t src = now - rep0 - 1;
+    if (rep0 >= now + preset_len || rep0 >= dict_check) return -4;
+    int64_t src = (int64_t)now - rep0 - 1;
     size_t remaining = out_size - now;
     size_t l = (size_t)length < remaining ? (size_t)length : remaining;
+    size_t i = 0;
+    if (src < 0) {  // leading bytes come from the preset window
+      size_t from_preset = (size_t)(-src) < l ? (size_t)(-src) : l;
+      for (; i < from_preset; i++)
+        out[now + i] = preset[(size_t)((int64_t)preset_len + src + (int64_t)i)];
+    }
+    // src + i >= 0 from here on (the preset loop above covered i < -src)
     if (rep0 + 1 >= 8) {  // non-overlapping: copy in 8-byte chunks
-      size_t i = 0;
-      for (; i + 8 <= l; i += 8) std::memcpy(out + now + i, out + src + i, 8);
-      for (; i < l; i++) out[now + i] = out[src + i];
+      for (; i + 8 <= l; i += 8)
+        std::memcpy(out + now + i, out + (size_t)(src + (int64_t)i), 8);
+      for (; i < l; i++) out[now + i] = out[(size_t)(src + (int64_t)i)];
     } else {
-      for (size_t i = 0; i < l; i++) out[now + i] = out[src + i];
+      for (; i < l; i++) out[now + i] = out[(size_t)(src + (int64_t)i)];
     }
     now += l;
     if ((size_t)length > remaining) return eos_mode ? -6 : -5;
@@ -1832,6 +1855,137 @@ int64_t lzt_encode_blocks(const uint8_t* data, int64_t n, int lc, int lp,
     off += (int64_t)streams[(size_t)i].size();
   }
   return total;
+}
+
+// --- preset-dictionary variants ------------------------------------------
+// The preset primes the dictionary window (matches and literal context may
+// reach into it); only the payload bytes are coded.  Position contexts
+// start at 0 at the first payload byte and the first byte is not
+// force-coded as a literal.  (No analogue in the reference — SURVEY.md §0
+// lists "no preset-dictionary API" as an explicit non-goal there; this is
+// the shared-dictionary half of the block-parallel scaling design.)
+
+// Encode payload with a preset dictionary.  `buf` holds preset||payload
+// contiguously (total_n bytes); the first preset_len bytes are preset.
+int64_t lzt_encode_pre(const uint8_t* buf, int64_t total_n, int64_t preset_len,
+                       int lc, int lp, int pb, uint32_t dict_size, int fb,
+                       int mf, int eos, int optimal, uint8_t* out,
+                       int64_t out_cap) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (fb < 5 || fb > kMatchMaxLen) return -1;
+  if (dict_size < 1 || dict_size > (1u << 29)) return -1;
+  if (preset_len < 0 || preset_len > total_n) return -1;
+  EncParams p;
+  p.lc = lc; p.lp = lp; p.pb = pb;
+  p.dict_size = dict_size;
+  p.fb = fb; p.mf = mf; p.eos = eos; p.optimal = optimal;
+  std::vector<uint8_t> sink;
+  sink.reserve((size_t)(total_n - preset_len) + (size_t)(total_n - preset_len) / 8 + 256);
+  Encoder enc(p);
+  enc.encode(buf, (size_t)total_n, &sink, (size_t)preset_len);
+  if ((int64_t)sink.size() > out_cap) return -6;
+  std::memcpy(out, sink.data(), sink.size());
+  return (int64_t)sink.size();
+}
+
+// Decode a stream that was encoded with a preset dictionary.
+int lzt_decode_pre(const uint8_t* comp, int64_t comp_len, int lc, int lp,
+                   int pb, uint32_t dict_size, const uint8_t* preset,
+                   int64_t preset_len, uint8_t* out, int64_t out_size) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (preset_len < 0) return -1;
+  return (int)decode_block(comp, (size_t)comp_len, lc, lp, pb, dict_size, out,
+                           (size_t)out_size, false, preset, (size_t)preset_len);
+}
+
+// Block-parallel encode where EVERY block shares one preset dictionary
+// (the broadcast-dictionary design: preset distributed to all workers /
+// chips, blocks stay independent so decode parallelism is preserved).
+int64_t lzt_encode_blocks_pre(const uint8_t* data, int64_t n,
+                              const uint8_t* preset, int64_t preset_len,
+                              int lc, int lp, int pb, uint32_t dict_size,
+                              int fb, int mf, int optimal, int64_t block_size,
+                              int num_threads, uint8_t* out, int64_t out_cap,
+                              uint32_t* sizes) {
+  if (block_size < 1 || preset_len < 0) return -1;
+  int64_t num_blocks = (n + block_size - 1) / block_size;
+  if (num_blocks == 0) return 0;
+  std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);
+  std::atomic<int64_t> next(0);
+  std::atomic<int> error(0);
+  int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
+  auto worker = [&]() {
+    EncParams p;
+    p.lc = lc; p.lp = lp; p.pb = pb;
+    p.dict_size = dict_size;
+    p.fb = fb; p.mf = mf; p.eos = 0; p.optimal = optimal;
+    Encoder enc(p);
+    // per-thread scratch: preset stays at the front, blocks rotate behind it
+    std::vector<uint8_t> scratch((size_t)(preset_len + block_size));
+    if (preset_len > 0) std::memcpy(scratch.data(), preset, (size_t)preset_len);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= num_blocks || error.load()) break;
+      int64_t off = i * block_size;
+      int64_t len = std::min(block_size, n - off);
+      std::memcpy(scratch.data() + preset_len, data + off, (size_t)len);
+      enc.encode(scratch.data(), (size_t)(preset_len + len), &streams[(size_t)i],
+                 (size_t)preset_len);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 1; i < threads; i++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  if (error.load()) return -7;
+  int64_t total = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    sizes[i] = (uint32_t)streams[(size_t)i].size();
+    total += (int64_t)streams[(size_t)i].size();
+  }
+  if (total > out_cap) return -6;
+  int64_t off = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    std::memcpy(out + off, streams[(size_t)i].data(), streams[(size_t)i].size());
+    off += (int64_t)streams[(size_t)i].size();
+  }
+  return total;
+}
+
+// Block-parallel decode with one shared preset dictionary for every block.
+int lzt_decode_blocks_pre(const uint8_t* payload, int64_t payload_len,
+                          const uint8_t* preset, int64_t preset_len, int lc,
+                          int lp, int pb, uint32_t dict_size,
+                          int64_t block_size, int64_t total_size,
+                          const uint32_t* sizes, int64_t num_blocks,
+                          int num_threads, uint8_t* out) {
+  if (preset_len < 0) return -1;
+  std::vector<int64_t> offsets((size_t)num_blocks + 1);
+  offsets[0] = 0;
+  for (int64_t i = 0; i < num_blocks; i++)
+    offsets[(size_t)i + 1] = offsets[(size_t)i] + sizes[i];
+  if (offsets[(size_t)num_blocks] > payload_len) return -8;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> error(0);
+  int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= num_blocks || error.load()) break;
+      int64_t out_off = i * block_size;
+      int64_t out_len = (i == num_blocks - 1) ? total_size - out_off : block_size;
+      int rc = (int)decode_block(payload + offsets[(size_t)i], (size_t)sizes[i],
+                                 lc, lp, pb, dict_size, out + out_off,
+                                 (size_t)out_len, false, preset,
+                                 (size_t)preset_len);
+      if (rc != 0) error.store(rc);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 1; i < threads; i++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  return error.load();
 }
 
 // Block-parallel decode of concatenated streams.  sizes[num_blocks] are the

@@ -1,0 +1,206 @@
+"""Preset-dictionary support (LZTB v2 shared dictionary).
+
+The reference has no preset API (SURVEY.md §0 non-goals); this is the
+shared-dictionary half of the block-parallel scaling design: blocks stay
+independent (parallel decode preserved) while a broadcast preset window
+recovers ratio lost to chunking.  Scalar and native implementations must
+be byte-identical and cross-decodable.
+"""
+
+import pytest
+
+from lzma_tpu.codec.decoder import decode_stream as s_dec
+from lzma_tpu.codec.encoder import encode_stream as s_enc
+from lzma_tpu.core.rangecoder import CorruptStreamError
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.parallel import blocks as blk
+
+
+def _repetitive(n=60_000, seed=5, period=97):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    word = rng.integers(0, 256, period, dtype=np.uint8).tobytes()
+    return (word * (n // period + 1))[:n]
+
+
+def _mixed(n=60_000, seed=6):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rep = _repetitive(n // 2, seed=seed)
+    rnd = rng.integers(0, 256, n - len(rep), dtype=np.uint8).tobytes()
+    return rep + rnd
+
+
+def _native_or_skip():
+    native = pytest.importorskip("lzma_tpu.runtime.native")
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    return native
+
+
+PARAMS = LzmaParams(dict_size=1 << 16, fast_bytes=32)
+
+
+@pytest.mark.parametrize("mf,mode", [
+    ("bt4", "optimal"), ("bt2", "optimal"), ("hc4", "greedy"), ("bt4", "lazy"),
+])
+def test_scalar_preset_round_trip(mf, mode):
+    p = LzmaParams(dict_size=1 << 16, fast_bytes=32, match_finder=mf)
+    data = _mixed(20_000)
+    preset = _repetitive(4_000)
+    comp = s_enc(data, p, mode=mode, preset=preset)
+    assert s_dec(comp, p, out_size=len(data), preset=preset) == data
+    # a preset built from the data itself must shrink the stream
+    comp2 = s_enc(data, p, mode=mode, preset=data[:4096])
+    assert len(comp2) < len(s_enc(data, p, mode=mode))
+    assert s_dec(comp2, p, out_size=len(data), preset=data[:4096]) == data
+
+
+def test_scalar_preset_eos_round_trip():
+    p = LzmaParams(dict_size=1 << 16, fast_bytes=32, write_eos=True)
+    data = _mixed(10_000)
+    preset = data[:2048]
+    comp = s_enc(data, p, preset=preset)
+    assert s_dec(comp, p, out_size=-1, preset=preset) == data
+
+
+def test_empty_preset_is_plain_stream():
+    data = _mixed(5_000)
+    assert s_enc(data, PARAMS, preset=b"") == s_enc(data, PARAMS)
+
+
+@pytest.mark.parametrize("mf,mode", [
+    ("bt4", "optimal"), ("bt2", "optimal"), ("hc4", "greedy"), ("bt4", "lazy"),
+])
+def test_native_matches_scalar(mf, mode):
+    native = _native_or_skip()
+    p = LzmaParams(dict_size=1 << 16, fast_bytes=32, match_finder=mf)
+    data = _mixed(30_000)
+    preset = _repetitive(5_000, seed=11)
+    a = s_enc(data, p, mode=mode, preset=preset)
+    b = native.encode_stream(data, p, mode=mode, preset=preset)
+    assert a == b
+    assert native.decode_stream(a, p, len(data), preset=preset) == data
+    assert s_dec(b, p, out_size=len(data), preset=preset) == data
+
+
+def test_native_preset_wrong_preset_fails_or_differs():
+    native = _native_or_skip()
+    data = _repetitive(20_000)
+    preset = data[:4096]
+    comp = native.encode_stream(data, PARAMS, preset=preset)
+    try:
+        wrong = native.decode_stream(comp, PARAMS, len(data), preset=bytes(4096))
+        assert wrong != data  # garbage in, garbage (or error) out
+    except CorruptStreamError:
+        pass
+
+
+def test_container_v2_round_trip_native():
+    native = _native_or_skip()
+    data = _repetitive(200_000)
+    plain = native.encode_blocks(data, PARAMS, block_size=1 << 15)
+    pre = native.encode_blocks(data, PARAMS, block_size=1 << 15, preset_len=1 << 14)
+    assert pre[4] == blk.VERSION_PRESET
+    assert len(pre) < len(plain)  # shared dictionary must pay for itself here
+    assert native.decode_blocks(pre) == data
+    assert native.decode_blocks(pre, num_threads=2) == data
+
+
+def test_container_v2_scalar_native_identical():
+    native = _native_or_skip()
+    data = _mixed(120_000)
+    a = blk.encode_blocks(data, PARAMS, block_size=1 << 15, preset_len=1 << 13)
+    b = native.encode_blocks(data, PARAMS, block_size=1 << 15, preset_len=1 << 13)
+    assert a == b
+    assert blk.decode_blocks(b, num_threads=2) == data
+    assert native.decode_blocks(a) == data
+
+
+def test_container_v2_parse_fields():
+    data = _mixed(100_000)
+    pre = blk.encode_blocks(data, PARAMS, block_size=1 << 15, preset_len=1 << 13)
+    frame = blk.parse_container(pre)
+    assert frame.preset_len == 1 << 13
+    assert frame.block_size == 1 << 15
+    assert frame.total_size == len(data)
+
+
+def test_preset_len_clamped_to_block0():
+    data = _mixed(50_000)
+    pre = blk.encode_blocks(data, PARAMS, block_size=1 << 14, preset_len=1 << 20)
+    frame = blk.parse_container(pre)
+    assert frame.preset_len == 1 << 14  # clamped to one block
+    assert blk.decode_blocks(pre) == data
+
+
+def test_corrupt_preset_len_rejected():
+    data = _mixed(50_000)
+    pre = bytearray(blk.encode_blocks(data, PARAMS, block_size=1 << 14,
+                                      preset_len=1 << 12))
+    # preset_len field sits right after the fixed header
+    blk._PRESET_FIELD.pack_into(pre, blk._HEAD.size, (1 << 14) + 1)
+    with pytest.raises(CorruptStreamError):
+        blk.parse_container(bytes(pre))
+
+
+def test_v1_still_parses():
+    data = _mixed(40_000)
+    v1 = blk.encode_blocks(data, PARAMS, block_size=1 << 14)
+    assert v1[4] == blk.VERSION
+    frame = blk.parse_container(v1)
+    assert frame.preset_len == 0
+    assert blk.decode_blocks(v1) == data
+
+
+def test_device_backend_rejects_preset_containers():
+    data = _mixed(40_000)
+    pre = blk.encode_blocks(data, PARAMS, block_size=1 << 14, preset_len=1 << 12)
+    from lzma_tpu.ops import api as dev
+
+    with pytest.raises(ValueError, match="preset"):
+        dev.decode_blocks(pre)
+
+
+def test_filestream_preset(tmp_path):
+    data = _repetitive(300_000, seed=7)
+    src = tmp_path / "in.bin"
+    a = tmp_path / "plain.lztb"
+    b = tmp_path / "preset.lztb"
+    out = tmp_path / "out.bin"
+    src.write_bytes(data)
+    from lzma_tpu.parallel import filestream
+
+    filestream.encode_file(src, a, PARAMS, block_size=1 << 15, batch_bytes=1 << 16)
+    filestream.encode_file(src, b, PARAMS, block_size=1 << 15, batch_bytes=1 << 16,
+                           preset_len=1 << 14)
+    assert b.stat().st_size < a.stat().st_size
+    # streamed v2 must equal the in-memory v2 container byte for byte
+    try:
+        from lzma_tpu.runtime import native
+
+        expect = native.encode_blocks(data, PARAMS, block_size=1 << 15,
+                                      preset_len=1 << 14)
+    except Exception:
+        expect = blk.encode_blocks(data, PARAMS, block_size=1 << 15,
+                                   preset_len=1 << 14)
+    assert b.read_bytes() == expect
+    assert filestream.decode_file(b, out, batch_bytes=1 << 16) == len(data)
+    assert out.read_bytes() == data
+
+
+def test_cli_preset_switch(tmp_path):
+    from lzma_tpu.cli import main
+
+    data = _repetitive(150_000, seed=8)
+    src = tmp_path / "in.bin"
+    mid = tmp_path / "c.lztb"
+    out = tmp_path / "o.bin"
+    src.write_bytes(data)
+    assert main(["e", "-d16", "-bs16384", "-ps8192", "-q",
+                 str(src), str(mid)]) == 0
+    assert mid.read_bytes()[4] == blk.VERSION_PRESET
+    assert main(["d", "-q", str(mid), str(out)]) == 0
+    assert out.read_bytes() == data

@@ -77,6 +77,10 @@ def compress_file(src, dst, params: LzmaParams | None = None,
     block after block 0 (LZTB v2).  Returns the container size."""
     from .parallel import filestream
 
+    if params is not None and kw:
+        raise TypeError(
+            f"pass either params= or keyword overrides, not both: {sorted(kw)}"
+        )
     params = params or (LzmaParams(**kw) if kw else None)
     return filestream.encode_file(
         src, dst, params, block_size=block_size, num_threads=num_threads,

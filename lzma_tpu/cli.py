@@ -256,6 +256,13 @@ def main(argv=None) -> int:
     except OSError as e:
         print(f"error: {e.strerror}: {e.filename}")
         return 1
+    except ValueError as e:
+        print(f"error: {e}")
+        return 1
+
+    if cmd.preset_len and cmd.backend == "tpu":
+        print("error: -ps is not supported by the tpu backend")
+        return 1
 
     try:
         with open(cmd.in_file, "rb") as f:

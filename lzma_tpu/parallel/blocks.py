@@ -75,36 +75,61 @@ def validated_preset_len(preset_len: int, block_size: int, total_size: int) -> i
     return min(preset_len, block_size, total_size)
 
 
-def build_container(params: LzmaParams, block_size: int, total_size: int,
-                    streams, preset_len: int = 0) -> bytes:
+def pack_header(params: LzmaParams, block_size: int, total_size: int,
+                num_blocks: int, preset_len: int = 0) -> bytes:
+    """Fixed container header (everything before the size table) — the ONE
+    place the header layout is written; build_container, the native
+    runtime, and the file streamer all call this."""
     version = VERSION_PRESET if preset_len else VERSION
     head = _HEAD.pack(
-        MAGIC, version, params.encode_props(), block_size, total_size, len(streams)
+        MAGIC, version, params.encode_props(), block_size, total_size, num_blocks
     )
     if preset_len:
         head += _PRESET_FIELD.pack(preset_len)
+    return head
+
+
+def build_container(params: LzmaParams, block_size: int, total_size: int,
+                    streams, preset_len: int = 0) -> bytes:
+    head = pack_header(params, block_size, total_size, len(streams), preset_len)
     sizes = struct.pack(f"<{len(streams)}I", *(len(s) for s in streams))
     return head + sizes + b"".join(streams)
 
 
-def parse_container(blob) -> BlockFrame:
-    if len(blob) < _HEAD.size or bytes(blob[:4]) != MAGIC:
+def read_header(fileobj):
+    """Stream-parse the fixed header from a file object — the reading twin
+    of pack_header.  Returns (params, block_size, total_size, num_blocks,
+    preset_len, header_size).  Raises CorruptStreamError like
+    parse_container."""
+    head = fileobj.read(_HEAD.size)
+    if len(head) < _HEAD.size or head[:4] != MAGIC:
         raise CorruptStreamError("not an LZTB container")
-    magic, version, props, block_size, total_size, n = _HEAD.unpack_from(blob, 0)
-    off = _HEAD.size
+    magic, version, props, block_size, total_size, n = _HEAD.unpack(head)
     preset_len = 0
+    header_size = _HEAD.size
     if version == VERSION_PRESET:
-        if len(blob) < off + _PRESET_FIELD.size:
+        field = fileobj.read(_PRESET_FIELD.size)
+        if len(field) < _PRESET_FIELD.size:
             raise CorruptStreamError("LZTB v2 header truncated")
-        (preset_len,) = _PRESET_FIELD.unpack_from(blob, off)
-        off += _PRESET_FIELD.size
+        (preset_len,) = _PRESET_FIELD.unpack(field)
+        header_size += _PRESET_FIELD.size
         if preset_len > min(block_size, max(total_size, 1)):
             raise CorruptStreamError("preset_len exceeds block 0")
     elif version != VERSION:
         raise CorruptStreamError(f"unsupported LZTB version {version}")
+    return decode_props(props), block_size, total_size, n, preset_len, header_size
+
+
+def parse_container(blob) -> BlockFrame:
+    import io
+
+    head = io.BytesIO(bytes(blob[: _HEAD.size + _PRESET_FIELD.size]))
+    params, block_size, total_size, n, preset_len, off = read_header(head)
+    if len(blob) < off + 4 * n:
+        raise CorruptStreamError("container size table truncated")
     sizes = struct.unpack_from(f"<{n}I", blob, off)
     return BlockFrame(
-        params=decode_props(props),
+        params=params,
         block_size=block_size,
         total_size=total_size,
         comp_sizes=sizes,
@@ -133,6 +158,8 @@ def encode_blocks(
     if params.write_eos:
         raise ValueError("block container uses known sizes; EOS not supported")
     preset_len = validated_preset_len(preset_len, block_size, len(data))
+    if len(data) <= block_size:
+        preset_len = 0  # single block: a preset would be pointless
     if preset_len and encode_fn is not None:
         raise ValueError("preset_len requires the default scalar backend")
     blocks = split_blocks(data, block_size)
@@ -140,17 +167,16 @@ def encode_blocks(
     fn = encode_fn or (
         lambda b, pre=b"": encode_stream(b, params, optimal=optimal, preset=pre)
     )
+
+    def job(ib):
+        i, b = ib
+        return fn(b, preset if i else b"") if preset_len else fn(b)
+
     if num_threads > 1 and len(blocks) > 1:
         with ThreadPoolExecutor(num_threads) as ex:
-            streams = list(
-                ex.map(lambda ib: fn(ib[1], preset if ib[0] else b"")
-                       if preset_len else fn(ib[1]), enumerate(blocks))
-            )
+            streams = list(ex.map(job, enumerate(blocks)))
     else:
-        streams = [
-            fn(b, preset if i else b"") if preset_len else fn(b)
-            for i, b in enumerate(blocks)
-        ]
+        streams = [job(ib) for ib in enumerate(blocks)]
     return build_container(params, block_size, len(data), streams, preset_len)
 
 

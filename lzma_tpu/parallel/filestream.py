@@ -25,7 +25,7 @@ import struct
 from concurrent.futures import ThreadPoolExecutor
 
 from ..core.rangecoder import CorruptStreamError
-from ..format.properties import LzmaParams, decode_props
+from ..format.properties import LzmaParams
 from . import blocks as blk
 
 #: uncompressed bytes fed to the encoder per batch (multiple of block_size)
@@ -133,13 +133,8 @@ def encode_file(
     written = 0
     preset = b""
     with open(src, "rb") as fi, open(dst, "wb") as fo:
-        version = blk.VERSION_PRESET if preset_len else blk.VERSION
-        head = blk._HEAD.pack(
-            blk.MAGIC, version, params.encode_props(),
-            block_size, total_size, num_blocks,
-        )
-        if preset_len:
-            head += blk._PRESET_FIELD.pack(preset_len)
+        head = blk.pack_header(params, block_size, total_size, num_blocks,
+                               preset_len)
         fo.write(head)
         table_offset = len(head)
         fo.write(b"\x00" * (4 * num_blocks))  # patched after the payload
@@ -188,24 +183,11 @@ def decode_file(
         num_threads = os.cpu_count() or 1
     _, dec = _backend(num_threads)
     with open(src, "rb") as fi, open(dst, "wb") as fo:
-        head = fi.read(blk._HEAD.size)
-        if len(head) < blk._HEAD.size or head[:4] != blk.MAGIC:
-            raise CorruptStreamError("not an LZTB container")
-        magic, version, props, block_size, total_size, n = blk._HEAD.unpack(head)
-        preset_len = 0
-        if version == blk.VERSION_PRESET:
-            field = fi.read(blk._PRESET_FIELD.size)
-            if len(field) < blk._PRESET_FIELD.size:
-                raise CorruptStreamError("LZTB v2 header truncated")
-            (preset_len,) = blk._PRESET_FIELD.unpack(field)
-            if preset_len > min(block_size, max(total_size, 1)):
-                raise CorruptStreamError("preset_len exceeds block 0")
-        elif version != blk.VERSION:
-            raise CorruptStreamError(f"unsupported LZTB version {version}")
+        params, block_size, total_size, n, preset_len, head_size = (
+            blk.read_header(fi)
+        )
         if block_size < 1 or n != (total_size + block_size - 1) // block_size:
             raise CorruptStreamError("block count inconsistent with sizes")
-        params = decode_props(props)
-        head_size = blk._HEAD.size + (blk._PRESET_FIELD.size if preset_len else 0)
         table = fi.read(4 * n)
         if len(table) < 4 * n:
             raise CorruptStreamError("container size table truncated")

@@ -439,12 +439,7 @@ def encode_blocks(
         )
     if not sizes:
         return blk.build_container(params, block_size, 0, [])
-    version = blk.VERSION_PRESET if preset_len else blk.VERSION
-    head = blk._HEAD.pack(
-        blk.MAGIC, version, params.encode_props(), block_size, len(data), len(sizes)
-    )
-    if preset_len:
-        head += blk._PRESET_FIELD.pack(preset_len)
+    head = blk.pack_header(params, block_size, len(data), len(sizes), preset_len)
     return head + struct.pack(f"<{len(sizes)}I", *sizes) + payload
 
 
@@ -463,6 +458,7 @@ def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
             payload, frame.params, frame.block_size,
             frame.total_size, frame.comp_sizes, num_threads,
         )
+    payload = memoryview(payload)  # avoid duplicating a near-whole payload
     out = ctypes.create_string_buffer(max(frame.total_size, 1))
     b0_size = min(frame.block_size, frame.total_size)
     decode_block_payload_pre(
@@ -470,7 +466,7 @@ def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
         b0_size, frame.comp_sizes[:1], num_threads,
         out_buffer=out, out_offset=0,
     )
-    preset = out.raw[: frame.preset_len]
+    preset = out[: frame.preset_len]  # slices only the preset bytes
     decode_block_payload_pre(
         payload[frame.comp_sizes[0] :], preset, frame.params, frame.block_size,
         frame.total_size - b0_size, frame.comp_sizes[1:], num_threads,

@@ -71,11 +71,6 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
     (ops/pallas_decoder.py) instead of the XLA while_loop backend.
     """
     frame = blk.parse_container(blob)
-    if frame.preset_len:
-        raise ValueError(
-            "LZTB v2 preset containers are not supported by the device "
-            "decoder; use the native or scalar backend"
-        )
     n = len(frame.comp_sizes)
     if n == 0:
         return b""
@@ -87,7 +82,22 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
         frame.block_size if i < n - 1 else frame.total_size - frame.block_size * (n - 1)
         for i in range(n)
     ]
-    if use_pallas:
+    if frame.preset_len:
+        # LZTB v2: block 0 decodes plain and IS the preset source; the
+        # remaining lanes then decode in parallel against its prefix.
+        if use_pallas:
+            raise ValueError(
+                "LZTB v2 preset containers are not supported by the Pallas "
+                "decode kernel; use the XLA FSM or the native backend"
+            )
+        head = decode_batch(streams[:1], frame.params, sizes[:1])
+        preset = head[0][: frame.preset_len]
+        rest = (
+            decode_batch(streams[1:], frame.params, sizes[1:], preset=preset)
+            if n > 1 else []
+        )
+        parts = head + rest
+    elif use_pallas:
         from .pallas_decoder import decode_batch_pallas
 
         parts = decode_batch_pallas(streams, frame.params, sizes)

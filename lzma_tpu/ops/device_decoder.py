@@ -132,15 +132,18 @@ def _state_struct(n_lanes: int, arena_size: int, max_out: int, max_in: int):
 # backends supply those (probability arena + output window access).
 
 
-def _ctx_index(st, layout, lc, lp, pb):
+def _ctx_index(st, layout, lc, lp, pb, pos_base=0):
     """Arena index for this iteration's adaptive bit, per lane.
 
-    Returns (idx, is_adaptive, is_direct, consumes_bit).
+    `pos_base` is the primed-window prefix length (preset dictionary):
+    position contexts count coded bytes only, so they use
+    out_pos - pos_base.  Returns (idx, is_adaptive, is_direct,
+    consumes_bit).
     """
     phase = st["phase"]
     state = st["state"]
     sym = st["sym"]
-    pos_state = st["out_pos"] & ((1 << pb) - 1)
+    pos_state = (st["out_pos"] - pos_base) & ((1 << pb) - 1)
     idx = jnp.full_like(phase, 0)
     idx = jnp.where(phase == PH_ISMATCH,
                     layout.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state, idx)
@@ -188,17 +191,20 @@ def _bit_decode(rng, code, prob, is_adaptive, is_direct):
 
 
 def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
-                layout, lc, lp, pb, max_out):
+                layout, lc, lp, pb, max_out, pos_base=0):
     """FSM transition: next register file plus this iteration's output byte.
 
     prev_byte = out[out_pos-1]; back_byte = out[out_pos-rep0-1] (serves both
     the matched-literal predictor and the match-copy read).  st must already
-    carry the post-renormalization in_pos/overrun.  Returns
-    (new_st, emit, emit_byte): lanes with emit write emit_byte at out_pos.
+    carry the post-renormalization in_pos/overrun.  `pos_base` = primed
+    preset prefix length (position contexts count coded bytes only; the
+    window itself — prev/back bytes, distance checks — is absolute, so the
+    primed prefix is reachable).  Returns (new_st, emit, emit_byte): lanes
+    with emit write emit_byte at out_pos.
     """
     phase = st["phase"]
     out_pos = st["out_pos"]
-    pos_state = out_pos & ((1 << pb) - 1)
+    pos_state = (out_pos - pos_base) & ((1 << pb) - 1)
     lit_pos_mask = (1 << lp) - 1
     state = st["state"]
     sym = st["sym"]
@@ -219,7 +225,7 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
     nout_pos = out_pos
 
     lit_sub = layout.literal + (
-        ((out_pos & lit_pos_mask) << lc) + (prev_byte >> (8 - lc))
+        (((out_pos - pos_base) & lit_pos_mask) << lc) + (prev_byte >> (8 - lc))
     ) * LITERAL_CODER_SIZE
 
     # --- PH_ISMATCH ---
@@ -431,14 +437,26 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "max_iters"))
-def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out, max_iters=0):
-    """Decode N padded streams.  comp: (N, max_in) u8.  Returns (out, ok)."""
+def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
+                max_iters=0, preset=None):
+    """Decode N padded streams.  comp: (N, max_in) u8.  Returns (out, ok).
+
+    `preset` ((P,) u8 or None) primes every lane's output window with a
+    shared dictionary (LZTB v2): the window starts at P, out_sizes must
+    then be the ABSOLUTE end positions (P + coded size), and the decoded
+    payload sits at out[:, P:].  On a mesh, this replicated array is
+    exactly the broadcast the scaling design calls for — XLA moves it to
+    every device over ICI.
+    """
     layout = ProbLayout(lc, lp, pb)
     n_lanes, max_in = comp.shape
     lanes = jnp.arange(n_lanes)
+    pos_base = 0 if preset is None else preset.shape[0]
 
     probs0 = jnp.full((n_lanes, layout.size), 1024, dtype=_I32)
     out0 = jnp.zeros((n_lanes, max_out), dtype=_U8)
+    if pos_base:
+        out0 = out0.at[:, :pos_base].set(preset[None, :].astype(_U8))
 
     # --- range decoder init: code = 5 big-endian header bytes ---
     code0 = jnp.zeros((n_lanes,), dtype=_U32)
@@ -448,6 +466,8 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out, max_
     range0 = jnp.full((n_lanes,), 0xFFFFFFFF, dtype=_U32)
 
     st = _state_struct(n_lanes, layout.size, max_out, max_in)
+    if pos_base:
+        st["out_pos"] = jnp.full((n_lanes,), pos_base, dtype=_I32)
     dict_check = jnp.maximum(dict_size, 1)
 
     def cond(carry):
@@ -462,7 +482,8 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out, max_
         out_pos = st["out_pos"]
 
         # 1. context index + uniform bit decode (shared select networks)
-        idx, is_adaptive, is_direct, consumes_bit = _ctx_index(st, layout, lc, lp, pb)
+        idx, is_adaptive, is_direct, consumes_bit = _ctx_index(
+            st, layout, lc, lp, pb, pos_base)
         prob = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
         bit, new_rng, new_code, new_prob = _bit_decode(rng, code, prob, is_adaptive, is_direct)
         probs = probs.at[lanes, jnp.where(is_adaptive, idx, 0)].set(
@@ -485,7 +506,7 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out, max_
         back_byte = out[lanes, jnp.clip(out_pos - st["rep0"] - 1, 0, max_out - 1)].astype(_I32)
         st2, emit, emit_byte = _transition(
             st, bit, prev_byte, back_byte, out_sizes, dict_check,
-            layout, lc, lp, pb, max_out)
+            layout, lc, lp, pb, max_out, pos_base)
         write_idx = jnp.where(emit, jnp.minimum(out_pos, max_out - 1), max_out)
         out = out.at[lanes, write_idx].set(emit_byte.astype(_U8), mode="drop")
         return (st2, probs, out, new_rng, new_code, iters + 1)
@@ -496,15 +517,19 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out, max_
     return out, ok, iters
 
 
-def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None, max_iters=0):
+def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
+                 max_iters=0, preset: bytes = b""):
     """Decode a list of raw LZMA streams lane-parallel on device.
 
     streams: list of bytes (one per lane).  out_sizes: list of known
-    uncompressed sizes.  Returns list of bytes.
+    uncompressed sizes (coded bytes only).  `preset` primes every lane's
+    window with the same shared dictionary (LZTB v2 blocks 1..n).
+    Returns list of bytes.
     """
     n = len(streams)
     if n == 0:
         return []
+    plen = len(preset)
     max_in = max(max(len(s) for s in streams), 16)
     max_in = 1 << (max_in - 1).bit_length()  # pow2 bucket: stable jit shapes
     comp = np.zeros((n, max_in), dtype=np.uint8)
@@ -512,18 +537,21 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None, max_iters
     for i, s in enumerate(streams):
         comp[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
         lens[i] = len(s)
-    mo = int(max_out if max_out is not None else max(out_sizes))
+    mo = int(max_out if max_out is not None else max(out_sizes)) + plen
     mo = 1 << (max(mo, 16) - 1).bit_length()
+    abs_sizes = np.asarray(out_sizes, dtype=np.int32) + plen
     out, ok, _ = _decode_fsm(
         jnp.asarray(comp),
         jnp.asarray(lens),
-        jnp.asarray(np.asarray(out_sizes, dtype=np.int32)),
+        jnp.asarray(abs_sizes),
         np.int64(min(params.dict_size, 2**31 - 1)),
         params.lc,
         params.lp,
         params.pb,
         mo,
         max_iters,
+        preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
+                if plen else None),
     )
     out = np.asarray(out)
     ok = np.asarray(ok)
@@ -531,5 +559,5 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None, max_iters
     for i in range(n):
         if not ok[i]:
             raise ValueError(f"device decode failed for lane {i}")
-        results.append(out[i, : out_sizes[i]].tobytes())
+        results.append(out[i, plen : plen + out_sizes[i]].tobytes())
     return results

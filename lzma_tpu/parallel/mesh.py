@@ -86,6 +86,36 @@ def _decode_step(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb, max_out, 
     )(comp, comp_lens, out_sizes)
 
 
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "mesh_holder"))
+def _decode_step_preset(comp, comp_lens, out_sizes, preset, dict_size, *,
+                        lc, lp, pb, max_out, mesh_holder):
+    """Sharded decode with a SHARED preset dictionary (LZTB v2).
+
+    `preset` rides with in_specs P(None) — replicated, i.e. XLA
+    broadcasts the dictionary to every device over ICI before the
+    device-local FSMs start: exactly the "broadcast preset dictionaries"
+    collective of the scaling design (SURVEY.md §5.8).
+    """
+    mesh = mesh_holder.mesh
+
+    def local(comp_l, lens_l, sizes_l, preset_r):
+        out, ok, _ = _decode_fsm(
+            comp_l, lens_l, sizes_l, dict_size, lc, lp, pb, max_out, 0,
+            preset=preset_r,
+        )
+        all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
+        all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
+        return all_out, all_ok
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS), P(None)),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,  # loop carries start replicated, become device-varying
+    )(comp, comp_lens, out_sizes, preset)
+
+
 class _MeshHolder:
     """Hashable wrapper so a Mesh can ride a static jit arg."""
 
@@ -139,13 +169,13 @@ def encode_blocks_mesh(
 
 
 def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
-    """Data-parallel block decode over every device in the mesh."""
+    """Data-parallel block decode over every device in the mesh.
+
+    LZTB v2 (shared preset): block 0 decodes first (one lane), its
+    prefix is broadcast to every device as a replicated array, then all
+    remaining blocks decode data-parallel against it.
+    """
     frame = blk.parse_container(blob)
-    if frame.preset_len:
-        raise ValueError(
-            "LZTB v2 preset containers are not supported by the device "
-            "decoder; use the native or scalar backend"
-        )
     mesh = mesh or make_mesh()
     d = mesh.devices.size
     n = len(frame.comp_sizes)
@@ -154,34 +184,69 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
     offsets = [frame.payload_offset]
     for s in frame.comp_sizes:
         offsets.append(offsets[-1] + s)
-    lanes = _pad_lanes(n, d)
-    max_in = max(max(frame.comp_sizes), 16)
+
+    def block_out_size(i):
+        return (frame.block_size if i < n - 1
+                else frame.total_size - frame.block_size * (n - 1))
+
+    first = 0
+    parts = []
+    preset = None
+    if frame.preset_len:
+        from ..ops.device_decoder import decode_batch
+
+        head = decode_batch(
+            [bytes(blob[offsets[0] : offsets[1]])], frame.params,
+            [block_out_size(0)],
+        )
+        parts.append(head[0])
+        preset = np.frombuffer(head[0][: frame.preset_len], dtype=np.uint8)
+        first = 1
+        if n == 1:
+            return parts[0]
+
+    lanes = _pad_lanes(n - first, d)
+    max_in = max(max(frame.comp_sizes[first:]), 16)
     comp = np.zeros((lanes, max_in), dtype=np.uint8)
     lens = np.zeros(lanes, dtype=np.int32)
     sizes = np.zeros(lanes, dtype=np.int32)
-    for i in range(n):
+    for i in range(first, n):
         s = bytes(blob[offsets[i] : offsets[i + 1]])
-        comp[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        lens[i] = len(s)
-        sizes[i] = (
-            frame.block_size
-            if i < n - 1
-            else frame.total_size - frame.block_size * (n - 1)
-        )
-    out, ok = _decode_step(
-        jnp.asarray(comp),
-        jnp.asarray(lens),
-        jnp.asarray(sizes),
-        np.int64(min(frame.params.dict_size, 2**31 - 1)),
+        comp[i - first, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lens[i - first] = len(s)
+        sizes[i - first] = block_out_size(i)
+    common = dict(
         lc=frame.params.lc,
         lp=frame.params.lp,
         pb=frame.params.pb,
-        max_out=max(frame.block_size, 1),
         mesh_holder=_MeshHolder(mesh),
     )
+    dict_size = np.int64(min(frame.params.dict_size, 2**31 - 1))
+    if preset is not None:
+        out, ok = _decode_step_preset(
+            jnp.asarray(comp),
+            jnp.asarray(lens),
+            jnp.asarray(sizes + frame.preset_len),  # absolute end positions
+            jnp.asarray(preset),
+            dict_size,
+            max_out=max(frame.block_size, 1) + frame.preset_len,
+            **common,
+        )
+    else:
+        out, ok = _decode_step(
+            jnp.asarray(comp),
+            jnp.asarray(lens),
+            jnp.asarray(sizes),
+            dict_size,
+            max_out=max(frame.block_size, 1),
+            **common,
+        )
     out = np.asarray(out)
     ok = np.asarray(ok)
-    if not ok[:n].all():
-        bad = int(np.argmin(ok[:n]))
+    m = n - first
+    if not ok[:m].all():
+        bad = int(np.argmin(ok[:m])) + first
         raise ValueError(f"mesh decode failed for block {bad}")
-    return b"".join(out[i, : sizes[i]].tobytes() for i in range(n))
+    skip = frame.preset_len if preset is not None else 0
+    parts.extend(out[i, skip : skip + sizes[i]].tobytes() for i in range(m))
+    return b"".join(parts)

@@ -155,13 +155,36 @@ def test_v1_still_parses():
     assert blk.decode_blocks(v1) == data
 
 
-def test_device_backend_rejects_preset_containers():
-    data = _mixed(40_000)
-    pre = blk.encode_blocks(data, PARAMS, block_size=1 << 14, preset_len=1 << 12)
+def test_device_backend_decodes_preset_containers():
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    data = _repetitive(30_000, seed=13)
+    pre = blk.encode_blocks(data, p, block_size=1 << 12, preset_len=1 << 11)
     from lzma_tpu.ops import api as dev
 
-    with pytest.raises(ValueError, match="preset"):
-        dev.decode_blocks(pre)
+    assert dev.decode_blocks(pre) == data
+    # the Pallas kernel path does not support the primed window yet
+    with pytest.raises(ValueError, match="[Pp]allas"):
+        dev.decode_blocks(pre, use_pallas=True)
+
+
+def test_mesh_decodes_preset_containers():
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    data = _repetitive(30_000, seed=14)
+    pre = blk.encode_blocks(data, p, block_size=1 << 12, preset_len=1 << 11)
+    from lzma_tpu.parallel.mesh import decode_blocks_mesh
+
+    assert decode_blocks_mesh(pre) == data
+
+
+def test_device_decode_batch_preset_bit_exact():
+    from lzma_tpu.ops.device_decoder import decode_batch
+
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    preset = _repetitive(2_000, seed=15)
+    blocks = [_mixed(3_000 + 577 * i, seed=20 + i) for i in range(3)]
+    streams = [s_enc(b, p, preset=preset) for b in blocks]
+    outs = decode_batch(streams, p, [len(b) for b in blocks], preset=preset)
+    assert outs == blocks
 
 
 def test_filestream_preset(tmp_path):

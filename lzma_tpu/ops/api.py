@@ -52,16 +52,28 @@ def encode_blocks(
     params: LzmaParams | None = None,
     block_size: int = 1 << 18,
     use_pallas: bool = False,
+    preset_len: int = 0,
 ) -> bytes:
     """Lane-parallel block encode to an LZTB container.
 
     use_pallas routes range coding through the in-VMEM Pallas serializer
     (ops/pallas_serializer.py) instead of the XLA serializer.
+    `preset_len > 0` writes LZTB v2: block 0 plain, every other lane's
+    window primed with block 0's prefix.
     """
     params = (params or LzmaParams()).validated_for_encode()
+    preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    if len(data) <= block_size:
+        preset_len = 0  # single block: a preset would be pointless
     blocks = blk.split_blocks(data, block_size)
-    streams = encode_batch(blocks, params, use_pallas=use_pallas) if blocks else []
-    return blk.build_container(params, block_size, len(data), streams)
+    if preset_len:
+        if use_pallas:
+            raise ValueError("preset encode is not supported on the Pallas path")
+        streams = encode_batch(blocks[:1], params)
+        streams += encode_batch(blocks[1:], params, preset=data[:preset_len])
+    else:
+        streams = encode_batch(blocks, params, use_pallas=use_pallas) if blocks else []
+    return blk.build_container(params, block_size, len(data), streams, preset_len)
 
 
 def decode_blocks(blob, use_pallas: bool = False) -> bytes:

@@ -138,14 +138,18 @@ def _bitrev_low(v, k_vec, width):
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_bits"))
-def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, max_bits):
+def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
+                 max_bits, pos_base=0):
     """Expand tokens into (ctx, bit) pairs scattered into flat per-lane
-    streams.  Returns ctx (N,max_bits), bit (N,max_bits), total (N,)."""
+    streams.  `pos_base` shifts position contexts when the window is
+    primed with a preset dictionary (token positions are absolute; coded
+    positions start at pos_base).  Returns ctx (N,max_bits),
+    bit (N,max_bits), total (N,)."""
     layout = ProbLayout(lc, lp, pb)
     kind, rep_idx, state, match_mode, match_byte, prev_byte, lit_byte = meta
     N, T = t_pos.shape
     lanes2 = jnp.arange(N)[:, None]
-    pos_state = t_pos & ((1 << pb) - 1)
+    pos_state = (t_pos - pos_base) & ((1 << pb) - 1)
     valid = t_valid & True
 
     is_lit = kind == K_LIT
@@ -188,7 +192,7 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, max_bits
     L = layout
     im_ctx = L.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state
     lit_sub = L.literal + (
-        ((t_pos & ((1 << lp) - 1)) << lc) + (prev_byte >> (8 - lc))
+        (((t_pos - pos_base) & ((1 << lp) - 1)) << lc) + (prev_byte >> (8 - lc))
     ) * LITERAL_CODER_SIZE
     len_base = jnp.where(is_rep, L.rep_len_coder, L.len_coder)
     lps = jnp.minimum(t_len - 2, 3)
@@ -423,38 +427,55 @@ def serialize(ctx, bits, totals, arena_size: int, max_out: int):
 
 # ------------------------------------------------------------------ API
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
-def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2):
+def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2,
+                 preset=None):
     """Pure jittable lane-parallel encode: the flagship device pipeline.
 
-    data: (N, max_n) u8, lens: (N,) i32.  Returns (comp (N, max_out) u8,
-    comp_lens (N,) i32).  Safe to wrap in shard_map over a block-sharded
-    mesh axis (parallel/mesh.py).
+    data: (N, max_n) u8, lens: (N,) i32.  `preset` ((P,) u8 or None)
+    primes every lane's window with a shared dictionary (LZTB v2): it is
+    searched as match history but contributes no output — on a mesh,
+    passing it replicated IS the dictionary broadcast.  Returns
+    (comp (N, max_out) u8, comp_lens (N,) i32).  Safe to wrap in
+    shard_map over a block-sharded mesh axis (parallel/mesh.py).
     """
     N, max_n = data.shape
-    tok = jax.vmap(lambda d, n: tokenize(d, n, dict_size, fb, num_candidates))(
-        data, lens
-    )
+    if preset is not None and preset.shape[0]:
+        plen = preset.shape[0]
+        data = jnp.concatenate(
+            [jnp.broadcast_to(preset[None, :], (N, plen)).astype(data.dtype), data],
+            axis=1,
+        )
+        lens = lens + plen
+    else:
+        plen = 0
+    tok = jax.vmap(
+        lambda d, n: tokenize(d, n, dict_size, fb, num_candidates, start=plen)
+    )(data, lens)
     t_pos, t_len, t_dist, t_valid, _ = tok
     meta = classify_tokens(data, t_pos, t_len, t_dist, t_valid)
     max_bits = 10 * max_n + 128
     layout = ProbLayout(lc, lp, pb)
     ctx, bits, totals = lower_tokens(
-        data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, max_bits
+        data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, max_bits,
+        pos_base=plen,
     )
     max_out = max_n + max_n // 4 + 128
     return serialize(ctx, bits, totals, layout.size, max_out)
 
 
 def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, preset: bytes = b""):
     """Encode independent blocks lane-parallel on device.
 
-    blocks: list of bytes.  Returns list of raw LZMA streams.
-    use_pallas routes range coding through the in-VMEM Pallas kernel
-    (ops/pallas_serializer.py) with automatic XLA fallback.
+    blocks: list of bytes.  `preset` primes every lane's window with the
+    same shared dictionary (LZTB v2 blocks 1..n).  Returns list of raw
+    LZMA streams.  use_pallas routes range coding through the in-VMEM
+    Pallas kernel (ops/pallas_serializer.py) with automatic XLA fallback.
     """
     if not blocks:
         return []
+    if preset and use_pallas:
+        raise ValueError("preset encode is not supported on the Pallas path")
     params = params.validated_for_encode()
     fb = int(fb if fb is not None else min(params.fast_bytes, 64))
     n_lanes = len(blocks)
@@ -487,12 +508,14 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
         out, out_lens = encode_lanes(
             jnp.asarray(data),
             jnp.asarray(lens),
-            jnp.int32(min(params.dict_size, max_n)),
+            jnp.int32(min(params.dict_size, max_n + len(preset))),
             lc=params.lc,
             lp=params.lp,
             pb=params.pb,
             fb=fb,
             num_candidates=num_candidates,
+            preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
+                    if preset else None),
         )
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)

@@ -98,10 +98,12 @@ def find_best_matches(data, n, dict_size, fb: int, num_candidates: int = 2):
 
 
 @partial(jax.jit, static_argnames=("max_n",))
-def greedy_path(best_len, best_dist, n, max_n: int):
+def greedy_path(best_len, best_dist, n, max_n: int, start=0):
     """Mark the greedy parse path with pointer doubling.
 
     advance(i) = best_len[i] when the match is worth taking, else 1.
+    `start` is the first coded position (> 0 when the window is primed
+    with a preset dictionary — those positions are history, not output).
     Returns on_path: (max_n,) bool marking parse start positions.
     """
     pos = jnp.arange(max_n, dtype=jnp.int32)
@@ -115,7 +117,7 @@ def greedy_path(best_len, best_dist, n, max_n: int):
 
     steps = max(1, (max_n).bit_length())
     f = jnp.concatenate([nxt, jnp.array([max_n], dtype=jnp.int32)])  # (max_n+1,)
-    reach = jnp.zeros((max_n + 1,), dtype=jnp.int32).at[0].set(1)
+    reach = jnp.zeros((max_n + 1,), dtype=jnp.int32).at[start].set(1)
 
     def round_(k, carry):
         f, reach = carry
@@ -129,16 +131,18 @@ def greedy_path(best_len, best_dist, n, max_n: int):
     return on_path
 
 
-def tokenize(data, n, dict_size, fb: int, num_candidates: int = 2):
+def tokenize(data, n, dict_size, fb: int, num_candidates: int = 2, start=0):
     """Full parallel tokenization of one block.
 
+    `start` > 0 primes the window: data[:start] is a preset dictionary —
+    searched as match history but never emitted as tokens.
     Returns (t_pos, t_len, t_dist, t_valid): (max_n,) each — token i covers
     data[t_pos[i] : t_pos[i]+t_len[i]]; t_len==1 & t_dist<0 => literal.
     Tokens are compacted to the front; t_valid marks real tokens.
     """
     max_n = data.shape[0]
     best_len, best_dist = find_best_matches(data, n, dict_size, fb, num_candidates)
-    on_path = greedy_path(best_len, best_dist, n, max_n)
+    on_path = greedy_path(best_len, best_dist, n, max_n, start)
     return _compact(best_len, best_dist, on_path, n)
 
 

@@ -64,6 +64,35 @@ def _encode_step(data, lens, dict_size, *, lc, lp, pb, fb, mesh_holder):
     )(data, lens)
 
 
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "mesh_holder"))
+def _encode_step_preset(data, lens, preset, dict_size, *, lc, lp, pb, fb,
+                        mesh_holder):
+    """Sharded encode with a SHARED preset dictionary (LZTB v2).
+
+    `preset` is replicated (in_specs P(None)): XLA broadcasts the
+    dictionary to every device over ICI; each device then primes its
+    local lanes' windows with it (SURVEY.md §5.8's broadcast).
+    """
+    mesh = mesh_holder.mesh
+
+    def local(data_l, lens_l, preset_r):
+        comp, comp_lens = encode_lanes(
+            data_l, lens_l, dict_size, lc=lc, lp=lp, pb=pb, fb=fb,
+            preset=preset_r,
+        )
+        all_lens = jax.lax.all_gather(comp_lens, BLOCK_AXIS, tiled=True)
+        all_comp = jax.lax.all_gather(comp, BLOCK_AXIS, tiled=True)
+        return all_comp, all_lens
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(None)),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,  # loop carries start replicated, become device-varying
+    )(data, lens, preset)
+
+
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "mesh_holder"))
 def _decode_step(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb, max_out, mesh_holder):
     """One sharded decode step: local FSM decode + ordered gather."""
@@ -135,37 +164,62 @@ def encode_blocks_mesh(
     block_size: int = 1 << 18,
     mesh: Mesh | None = None,
     fb: int | None = None,
+    preset_len: int = 0,
 ) -> bytes:
-    """Data-parallel block encode over every device in the mesh."""
+    """Data-parallel block encode over every device in the mesh.
+
+    `preset_len > 0` writes LZTB v2: block 0 encodes plain on one lane,
+    then its prefix is broadcast to every device (replicated shard_map
+    operand) and all remaining blocks encode against it.
+    """
     params = (params or LzmaParams()).validated_for_encode()
     mesh = mesh or make_mesh()
     d = mesh.devices.size
+    preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    if len(data) <= block_size:
+        preset_len = 0  # single block: a preset would be pointless
     blocks = blk.split_blocks(data, block_size)
     if not blocks:
         return blk.build_container(params, block_size, 0, [])
     n = len(blocks)
-    lanes = _pad_lanes(n, d)
+    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    common = dict(
+        lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
+        mesh_holder=_MeshHolder(mesh),
+    )
+
+    first = 0
+    streams = []
+    if preset_len:
+        from ..ops.device_encoder import encode_batch
+
+        streams.append(encode_batch(blocks[:1], params, fb=fb)[0])
+        first = 1
+
+    m = n - first
+    lanes = _pad_lanes(m, d)
     max_n = max(block_size, 16)
     arr = np.zeros((lanes, max_n), dtype=np.uint8)
     lens = np.zeros(lanes, dtype=np.int32)
-    for i, b in enumerate(blocks):
-        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-        lens[i] = len(b)
-    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
-    comp, comp_lens = _encode_step(
-        jnp.asarray(arr),
-        jnp.asarray(lens),
-        jnp.int32(min(params.dict_size, max_n)),
-        lc=params.lc,
-        lp=params.lp,
-        pb=params.pb,
-        fb=fb,
-        mesh_holder=_MeshHolder(mesh),
-    )
+    for i in range(first, n):
+        b = blocks[i]
+        arr[i - first, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i - first] = len(b)
+    dict_size = jnp.int32(min(params.dict_size, max_n + preset_len))
+    if preset_len:
+        preset = np.frombuffer(data[:preset_len], dtype=np.uint8)
+        comp, comp_lens = _encode_step_preset(
+            jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(preset),
+            dict_size, **common,
+        )
+    else:
+        comp, comp_lens = _encode_step(
+            jnp.asarray(arr), jnp.asarray(lens), dict_size, **common,
+        )
     comp = np.asarray(comp)
     comp_lens = np.asarray(comp_lens)
-    streams = [comp[i, : comp_lens[i]].tobytes() for i in range(n)]
-    return blk.build_container(params, block_size, len(data), streams)
+    streams.extend(comp[i, : comp_lens[i]].tobytes() for i in range(m))
+    return blk.build_container(params, block_size, len(data), streams, preset_len)
 
 
 def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:

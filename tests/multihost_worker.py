@@ -48,6 +48,17 @@ def main():
         assert blob2 == blob
     else:
         assert blob2 is None
+
+    # LZTB v2: the shared preset dictionary rides as a replicated
+    # shard_map operand — a REAL cross-process broadcast here (gloo
+    # standing in for ICI/DCN)
+    from lzma_tpu.parallel.blocks import encode_blocks as scalar_encode_blocks
+
+    v2 = scalar_encode_blocks(data, params, block_size=1 << 10,
+                              preset_len=1 << 9)
+    assert v2[4] == 2, "expected an LZTB v2 container"
+    out2 = decode_blocks_mesh(v2, mesh=mesh)
+    assert out2 == data, "pod v2 preset round-trip mismatch"
     print(f"worker {process_id}: OK", flush=True)
 
 

@@ -187,6 +187,47 @@ def test_device_decode_batch_preset_bit_exact():
     assert outs == blocks
 
 
+def test_device_encode_batch_preset_cross_decodes():
+    from lzma_tpu.ops.device_encoder import encode_batch
+
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    preset = _repetitive(1_500, seed=16)
+    blocks = [_repetitive(2_500 + 333 * i, seed=16) for i in range(3)]
+    plain = encode_batch(blocks, p)
+    pre = encode_batch(blocks, p, preset=preset)
+    assert sum(map(len, pre)) < sum(map(len, plain))
+    for s, b in zip(pre, blocks):
+        assert s_dec(s, p, out_size=len(b), preset=preset) == b
+    native = _native_or_skip()
+    for s, b in zip(pre, blocks):
+        assert native.decode_stream(s, p, len(b), preset=preset) == b
+
+
+def test_device_api_preset_container_round_trip():
+    from lzma_tpu.ops import api as dev
+
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    data = _repetitive(30_000, seed=17)
+    v2 = dev.encode_blocks(data, p, block_size=1 << 12, preset_len=1 << 11)
+    assert v2[4] == blk.VERSION_PRESET
+    assert dev.decode_blocks(v2) == data
+    v1 = dev.encode_blocks(data, p, block_size=1 << 12)
+    assert len(v2) < len(v1)
+    native = _native_or_skip()
+    assert native.decode_blocks(v2) == data
+
+
+def test_mesh_preset_encode_round_trip():
+    from lzma_tpu.parallel.mesh import decode_blocks_mesh, encode_blocks_mesh
+
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    data = _repetitive(30_000, seed=18)
+    v2 = encode_blocks_mesh(data, p, block_size=1 << 12, preset_len=1 << 11)
+    assert v2[4] == blk.VERSION_PRESET
+    assert decode_blocks_mesh(v2) == data
+    assert blk.decode_blocks(v2) == data
+
+
 def test_filestream_preset(tmp_path):
     data = _repetitive(300_000, seed=7)
     src = tmp_path / "in.bin"

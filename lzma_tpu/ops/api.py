@@ -67,10 +67,9 @@ def encode_blocks(
         preset_len = 0  # single block: a preset would be pointless
     blocks = blk.split_blocks(data, block_size)
     if preset_len:
-        if use_pallas:
-            raise ValueError("preset encode is not supported on the Pallas path")
-        streams = encode_batch(blocks[:1], params)
-        streams += encode_batch(blocks[1:], params, preset=data[:preset_len])
+        streams = encode_batch(blocks[:1], params, use_pallas=use_pallas)
+        streams += encode_batch(blocks[1:], params, use_pallas=use_pallas,
+                                preset=data[:preset_len])
     else:
         streams = encode_batch(blocks, params, use_pallas=use_pallas) if blocks else []
     return blk.build_container(params, block_size, len(data), streams, preset_len)
@@ -94,27 +93,22 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
         frame.block_size if i < n - 1 else frame.total_size - frame.block_size * (n - 1)
         for i in range(n)
     ]
+    if use_pallas:
+        from .pallas_decoder import decode_batch_pallas as _dec
+    else:
+        _dec = decode_batch
     if frame.preset_len:
         # LZTB v2: block 0 decodes plain and IS the preset source; the
         # remaining lanes then decode in parallel against its prefix.
-        if use_pallas:
-            raise ValueError(
-                "LZTB v2 preset containers are not supported by the Pallas "
-                "decode kernel; use the XLA FSM or the native backend"
-            )
-        head = decode_batch(streams[:1], frame.params, sizes[:1])
+        head = _dec(streams[:1], frame.params, sizes[:1])
         preset = head[0][: frame.preset_len]
         rest = (
-            decode_batch(streams[1:], frame.params, sizes[1:], preset=preset)
+            _dec(streams[1:], frame.params, sizes[1:], preset=preset)
             if n > 1 else []
         )
         parts = head + rest
-    elif use_pallas:
-        from .pallas_decoder import decode_batch_pallas
-
-        parts = decode_batch_pallas(streams, frame.params, sizes)
     else:
-        parts = decode_batch(streams, frame.params, sizes)
+        parts = _dec(streams, frame.params, sizes)
     out = b"".join(parts)
     if len(out) != frame.total_size:
         raise CorruptStreamError("decoded size mismatch")

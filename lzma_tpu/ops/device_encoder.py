@@ -474,8 +474,6 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
     """
     if not blocks:
         return []
-    if preset and use_pallas:
-        raise ValueError("preset encode is not supported on the Pallas path")
     params = params.validated_for_encode()
     fb = int(fb if fb is not None else min(params.fast_bytes, 64))
     n_lanes = len(blocks)
@@ -486,20 +484,30 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
     for i, b in enumerate(blocks):
         data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i] = len(b)
+    preset_j = (jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
+                if preset else None)
+    dict_j = jnp.int32(min(params.dict_size, max_n + len(preset)))
     if use_pallas:
+        # phases A-C are the same XLA pipeline (preset included);
+        # only phase D (position-agnostic) swaps in the Pallas kernel
         from .pallas_serializer import serialize_with_fallback
 
         dj, lj = jnp.asarray(data), jnp.asarray(lens)
-        dict_j = jnp.int32(min(params.dict_size, max_n))
+        plen = len(preset)
+        if plen:
+            dj = jnp.concatenate(
+                [jnp.broadcast_to(preset_j[None, :], (n_lanes, plen)).astype(dj.dtype),
+                 dj], axis=1)
+            lj = lj + plen
         tok = jax.vmap(
-            lambda d, n: tokenize(d, n, dict_j, fb, num_candidates)
+            lambda d, n: tokenize(d, n, dict_j, fb, num_candidates, start=plen)
         )(dj, lj)
         t_pos, t_len, t_dist, t_valid, _ = tok
         meta = classify_tokens(dj, t_pos, t_len, t_dist, t_valid)
         layout = ProbLayout(params.lc, params.lp, params.pb)
         ctx, bits, totals = lower_tokens(
             dj, meta, t_pos, t_len, t_dist, t_valid,
-            params.lc, params.lp, params.pb, 10 * max_n + 128,
+            params.lc, params.lp, params.pb, 10 * max_n + 128, pos_base=plen,
         )
         out, out_lens = serialize_with_fallback(
             ctx, bits, totals, layout.size, max_n + max_n // 4 + 128
@@ -508,14 +516,13 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
         out, out_lens = encode_lanes(
             jnp.asarray(data),
             jnp.asarray(lens),
-            jnp.int32(min(params.dict_size, max_n + len(preset))),
+            dict_j,
             lc=params.lc,
             lp=params.lp,
             pb=params.pb,
             fb=fb,
             num_candidates=num_candidates,
-            preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
-                    if preset else None),
+            preset=preset_j,
         )
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)

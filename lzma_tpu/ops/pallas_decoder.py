@@ -79,16 +79,25 @@ def _gather_cols(arr, idx):
     "dict_size", "lc", "lp", "pb", "max_out", "max_iters", "interpret"))
 def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
                   pb: int, max_out: int, max_iters: int = 0,
-                  interpret: bool = False):
+                  interpret: bool = False, preset=None):
     """Decode N padded streams in one Pallas kernel.
 
-    comp: (N, max_in) int32 (byte values).  Returns (out u8 (N, max_out),
+    comp: (N, max_in) int32 (byte values).  `preset` ((P,) int32 or None)
+    primes every lane's VMEM window with a shared dictionary (LZTB v2):
+    out_sizes must then be ABSOLUTE end positions (P + coded size) and
+    the payload sits at out[:, P:].  Returns (out u8 (N, max_out),
     ok bool (N,), iters int32 (N,)).
     """
     layout = ProbLayout(lc, lp, pb)
     N, max_in = comp.shape
     S = _round_up(layout.size, 128)
     MO = _round_up(max_out, 128)
+    pos_base = 0 if preset is None else preset.shape[0]
+    if pos_base:
+        # padded to the window width so the kernel primes with one
+        # sublane-broadcast masked select
+        preset_row = jnp.zeros((1, MO), dtype=jnp.int32).at[0, :pos_base].set(
+            preset.astype(jnp.int32))
     if not max_iters:
         # Iterations are bounded by decoded BITS, not input bytes — on
         # highly compressible data many bits decode per input byte.  Worst
@@ -100,10 +109,18 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         max_iters = 28 * MO + 8 * max_in + 256
     dict_check = max(int(dict_size), 1)
 
-    def kernel(comp_ref, lens_ref, sizes_ref, out_ref, ok_ref, probs, outb):
+    def kernel(comp_ref, lens_ref, sizes_ref, *rest):
+        if pos_base:
+            preset_ref, out_ref, ok_ref, probs, outb = rest
+        else:
+            out_ref, ok_ref, probs, outb = rest
         probs[:] = jnp.full_like(probs, 1024)
-        outb[:] = jnp.zeros_like(outb)
         out_cols = jax.lax.broadcasted_iota(jnp.int32, (N, MO), 1)
+        if pos_base:
+            outb[:] = jnp.where(out_cols < pos_base,
+                                jnp.broadcast_to(preset_ref[:], (N, MO)), 0)
+        else:
+            outb[:] = jnp.zeros_like(outb)
         comp_v = comp_ref[:]
         lens = lens_ref[:, 0]
         sizes = sizes_ref[:, 0]
@@ -116,6 +133,8 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         rng0 = jnp.full((N,), 0xFFFFFFFF, dtype=_U32)
 
         st0 = _state_struct(N, layout.size, MO, max_in)
+        if pos_base:
+            st0["out_pos"] = jnp.full((N,), pos_base, dtype=_I32)
 
         def cond(carry):
             st, rng, code, iters = carry
@@ -127,7 +146,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
             out_pos = st["out_pos"]
 
             idx, is_adaptive, is_direct, consumes_bit = _ctx_index(
-                st, layout, lc, lp, pb)
+                st, layout, lc, lp, pb, pos_base)
             safe_idx = jnp.where(is_adaptive, idx, 0)
             prob = _gather_cols(probs[:], safe_idx)
             bit, new_rng, new_code, new_prob = _bit_decode(
@@ -155,7 +174,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
                 outv, jnp.clip(out_pos - st["rep0"] - 1, 0, MO - 1))
             st2, emit, emit_byte = _transition(
                 st, bit, prev_byte, back_byte, sizes, dict_check,
-                layout, lc, lp, pb, MO)
+                layout, lc, lp, pb, MO, pos_base)
             widx = jnp.minimum(out_pos, MO - 1)
             wmask = (out_cols == widx[:, None]) & _mask2d(emit)
             outb[:] = jnp.where(wmask, emit_byte[:, None], outv)
@@ -167,17 +186,22 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         ok_ref[:, 0] = (st["phase"] == PH_DONE).astype(_I32)
         ok_ref[:, 1] = jnp.full((N,), iters, dtype=_I32)
 
+    operands = [comp, comp_lens.reshape(-1, 1), out_sizes.reshape(-1, 1)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),          # comp
+        pl.BlockSpec(memory_space=pltpu.VMEM),          # lens
+        pl.BlockSpec(memory_space=pltpu.VMEM),          # sizes
+    ]
+    if pos_base:
+        operands.append(preset_row)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # preset
     out, okv = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((N, MO), jnp.int32),
             jax.ShapeDtypeStruct((N, 2), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # comp
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # lens
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # sizes
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -188,19 +212,21 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(comp, comp_lens.reshape(-1, 1), out_sizes.reshape(-1, 1))
+    )(*operands)
     return (out[:, :max_out].astype(jnp.uint8), okv[:, 0] == 1, okv[:, 1])
 
 
 def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
-                        fallback: bool = True):
+                        fallback: bool = True, preset: bytes = b""):
     """Decode raw LZMA streams via the Pallas kernel (same contract as
-    device_decoder.decode_batch); lanes the kernel cannot finish reroute to
-    the XLA FSM when fallback=True, so correctness never depends on the
-    kernel envelope."""
+    device_decoder.decode_batch, including the shared `preset`
+    dictionary); lanes the kernel cannot finish reroute to the XLA FSM
+    when fallback=True, so correctness never depends on the kernel
+    envelope."""
     n = len(streams)
     if n == 0:
         return []
+    plen = len(preset)
     n_pad = _round_up(n, 8)  # sublane-align the lane axis for Mosaic
     max_in = max(max(len(s) for s in streams), 16)
     max_in = 1 << (max_in - 1).bit_length()
@@ -210,14 +236,16 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
         comp[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
         lens[i] = len(s)
     sizes = np.zeros(n_pad, dtype=np.int32)
-    sizes[:n] = np.asarray(out_sizes, dtype=np.int32)
-    mo = int(max_out if max_out is not None else max(out_sizes))
+    sizes[:n] = np.asarray(out_sizes, dtype=np.int32) + plen
+    mo = int(max_out if max_out is not None else max(out_sizes)) + plen
     mo = 1 << (max(mo, 128) - 1).bit_length()  # pow2 bucket: stable jit shapes
     interpret = jax.default_backend() != "tpu"
     out, ok, _ = decode_pallas(
         jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(sizes),
         min(int(params.dict_size), 2**31 - 1),
-        params.lc, params.lp, params.pb, mo, interpret=interpret)
+        params.lc, params.lp, params.pb, mo, interpret=interpret,
+        preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
+                if plen else None))
     out = np.asarray(out)
     ok = np.asarray(ok)
     results = []
@@ -228,10 +256,11 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
         from .device_decoder import decode_batch
 
         redone = decode_batch([streams[i] for i in retry], params,
-                              [out_sizes[i] for i in retry])
+                              [out_sizes[i] for i in retry], preset=preset)
         redo = dict(zip(retry, redone))
     else:
         redo = {}
     for i in range(n):
-        results.append(redo[i] if i in redo else out[i, : out_sizes[i]].tobytes())
+        results.append(redo[i] if i in redo
+                       else out[i, plen : plen + out_sizes[i]].tobytes())
     return results

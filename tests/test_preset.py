@@ -162,9 +162,18 @@ def test_device_backend_decodes_preset_containers():
     from lzma_tpu.ops import api as dev
 
     assert dev.decode_blocks(pre) == data
-    # the Pallas kernel path does not support the primed window yet
-    with pytest.raises(ValueError, match="[Pp]allas"):
-        dev.decode_blocks(pre, use_pallas=True)
+
+
+def test_pallas_preset_round_trip():
+    p = LzmaParams(dict_size=1 << 13, fast_bytes=32)
+    data = _repetitive(16_000, seed=19)
+    from lzma_tpu.ops import api as dev
+
+    v2 = dev.encode_blocks(data, p, block_size=1 << 12, preset_len=1 << 11,
+                           use_pallas=True)
+    assert v2[4] == blk.VERSION_PRESET
+    assert dev.decode_blocks(v2, use_pallas=True) == data
+    assert dev.decode_blocks(v2) == data
 
 
 def test_mesh_decodes_preset_containers():

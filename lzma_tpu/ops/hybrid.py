@@ -30,10 +30,10 @@ from .device_matcher import tokenize
 
 
 @partial(jax.jit, static_argnames=("fb", "num_candidates"))
-def _tokenize_lanes(data, lens, dict_size, fb, num_candidates):
-    return jax.vmap(lambda d, n: tokenize(d, n, dict_size, fb, num_candidates))(
-        data, lens
-    )
+def _tokenize_lanes(data, lens, dict_size, fb, num_candidates, start=0):
+    return jax.vmap(
+        lambda d, n: tokenize(d, n, dict_size, fb, num_candidates, start=start)
+    )(data, lens)
 
 
 def encode_blocks_hybrid(
@@ -43,9 +43,19 @@ def encode_blocks_hybrid(
     num_threads: int = 0,
     fb: int | None = None,
     num_candidates: int = 2,
+    preset_len: int = 0,
 ) -> bytes:
-    """TPU-search + host-serialize block-parallel encode to LZTB."""
+    """TPU-search + host-serialize block-parallel encode to LZTB.
+
+    `preset_len > 0` writes LZTB v2: block 0 plain, every other block's
+    window primed with block 0's prefix — the device lanes search
+    preset||block (parse starting at the boundary) and the native
+    TokenEncoder serializes against the same preset.
+    """
     params = (params or LzmaParams()).validated_for_encode()
+    preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    if len(data) <= block_size:
+        preset_len = 0  # single block: a preset would be pointless
     blocks = blk.split_blocks(data, block_size)
     if not blocks:
         return blk.build_container(params, block_size, 0, [])
@@ -57,16 +67,45 @@ def encode_blocks_hybrid(
     for i, b in enumerate(blocks):
         arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i] = len(b)
+    preset = data[:preset_len] if preset_len else b""
 
     # device: parallel match search + parse
-    t_pos, t_len, t_dist, t_valid, ntok = _tokenize_lanes(
-        jnp.asarray(arr), jnp.asarray(lens),
-        jnp.int32(min(params.dict_size, bs)), fb, num_candidates,
-    )
-    t_pos = np.asarray(t_pos)
-    t_len = np.asarray(t_len)
-    t_dist = np.asarray(t_dist)
-    counts = np.asarray(ntok, dtype=np.int64)
+    if preset_len:
+        # block 0 (the preset source) parses plain on one lane; the other
+        # lanes search preset||block with the parse starting at the boundary
+        p0, l0, d0, v0, nt0 = _tokenize_lanes(
+            jnp.asarray(arr[:1]), jnp.asarray(lens[:1]),
+            jnp.int32(min(params.dict_size, bs)), fb, num_candidates,
+        )
+        pre_np = np.frombuffer(preset, dtype=np.uint8)
+        primed = np.concatenate(
+            [np.broadcast_to(pre_np, (n - 1, preset_len)), arr[1:]], axis=1
+        )
+        p1, l1, d1, v1, nt1 = _tokenize_lanes(
+            jnp.asarray(np.ascontiguousarray(primed)),
+            jnp.asarray(lens[1:] + preset_len),
+            jnp.int32(min(params.dict_size, bs + preset_len)),
+            fb, num_candidates, start=preset_len,
+        )
+        t_pos = [np.asarray(p0), np.asarray(p1) - preset_len]  # block-relative
+        t_len = [np.asarray(l0), np.asarray(l1)]
+        t_dist = [np.asarray(d0), np.asarray(d1)]
+        counts = np.concatenate([
+            np.asarray(nt0, dtype=np.int64), np.asarray(nt1, dtype=np.int64)
+        ])
+
+        def tok_row(a, i):
+            return a[0][i] if i == 0 else a[1][i - 1]
+    else:
+        tp, tl, td, tv, ntok = _tokenize_lanes(
+            jnp.asarray(arr), jnp.asarray(lens),
+            jnp.int32(min(params.dict_size, bs)), fb, num_candidates,
+        )
+        t_pos, t_len, t_dist = [np.asarray(tp)], [np.asarray(tl)], [np.asarray(td)]
+        counts = np.asarray(ntok, dtype=np.int64)
+
+        def tok_row(a, i):
+            return a[0][i]
 
     # host: flatten compacted token prefixes
     offsets = np.zeros(n, dtype=np.int64)
@@ -78,17 +117,15 @@ def encode_blocks_hybrid(
     for i in range(n):
         c = int(counts[i])
         o = int(offsets[i])
-        fp[o : o + c] = t_pos[i, :c]
-        fl[o : o + c] = t_len[i, :c]
-        fd[o : o + c] = t_dist[i, :c]
+        fp[o : o + c] = tok_row(t_pos, i)[:c]
+        fl[o : o + c] = tok_row(t_len, i)[:c]
+        fd[o : o + c] = tok_row(t_dist, i)[:c]
 
     payload, sizes = native.encode_token_blocks(
         arr.reshape(-1), bs, params.lc, params.lp, params.pb,
-        fp, fl, fd, offsets, counts, num_threads=num_threads,
-    )
-    head = blk._HEAD.pack(
-        blk.MAGIC, blk.VERSION, params.encode_props(), bs, len(data), n
+        fp, fl, fd, offsets, counts, num_threads=num_threads, preset=preset,
     )
     import struct
 
+    head = blk.pack_header(params, bs, len(data), n, preset_len)
     return head + struct.pack(f"<{n}I", *sizes) + payload

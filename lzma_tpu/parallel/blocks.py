@@ -120,6 +120,12 @@ def read_header(fileobj):
     return decode_props(props), block_size, total_size, n, preset_len, header_size
 
 
+#: LZMA's maximum expansion is ~1100 output bytes per compressed byte (a
+#: 2-bit rep0 symbol emits at most 273 bytes); 4096 is a safely loose
+#: bound used to reject forged total_size headers BEFORE allocating.
+MAX_EXPANSION = 4096
+
+
 def parse_container(blob) -> BlockFrame:
     import io
 
@@ -127,6 +133,10 @@ def parse_container(blob) -> BlockFrame:
     params, block_size, total_size, n, preset_len, off = read_header(head)
     if len(blob) < off + 4 * n:
         raise CorruptStreamError("container size table truncated")
+    if total_size > (len(blob) - off) * MAX_EXPANSION + (1 << 16):
+        raise CorruptStreamError(
+            "claimed total_size is impossible for this payload"
+        )
     sizes = struct.unpack_from(f"<{n}I", blob, off)
     return BlockFrame(
         params=params,

@@ -188,6 +188,11 @@ def decode_file(
         )
         if block_size < 1 or n != (total_size + block_size - 1) // block_size:
             raise CorruptStreamError("block count inconsistent with sizes")
+        src_size = os.fstat(fi.fileno()).st_size
+        if total_size > src_size * blk.MAX_EXPANSION + (1 << 16):
+            raise CorruptStreamError(
+                "claimed total_size is impossible for this payload"
+            )
         table = fi.read(4 * n)
         if len(table) < 4 * n:
             raise CorruptStreamError("container size table truncated")

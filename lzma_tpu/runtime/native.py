@@ -116,6 +116,7 @@ def _lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int64,
     ]
     return lib
 
@@ -123,11 +124,15 @@ def _lib():
 def encode_token_blocks(
     data_padded, block_size: int, lc: int, lp: int, pb: int,
     t_pos, t_len, t_dist, tok_offsets, tok_counts, num_threads: int = 0,
+    preset: bytes = b"",
 ):
     """Serialize precomputed per-block token streams (hybrid TPU pipeline).
 
     data_padded: contiguous uint8 buffer, block i at [i*block_size:...].
-    t_*: flat int32 arrays; tok_offsets/tok_counts: int64 per block.
+    t_*: flat int32 arrays with BLOCK-RELATIVE positions;
+    tok_offsets/tok_counts: int64 per block.  `preset` primes the window
+    of every block AFTER block 0 (the LZTB v2 shared-dictionary policy —
+    block 0 is the preset source and encodes plain).
     Returns (payload bytes, [sizes]).
     """
     import numpy as np
@@ -150,7 +155,7 @@ def encode_token_blocks(
         data_padded.ctypes.data, n, block_size, lc, lp, pb,
         t_pos.ctypes.data, t_len.ctypes.data, t_dist.ctypes.data,
         offs.ctypes.data, cnts.ctypes.data, num_blocks,
-        num_threads, out, cap, sizes,
+        num_threads, out, cap, sizes, preset, len(preset),
     )
     if total < 0:
         raise ValueError(f"native token serialize failed: {total}")

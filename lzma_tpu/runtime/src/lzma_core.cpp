@@ -1479,9 +1479,17 @@ class TokenEncoder {
   int32_t rep[4] = {0, 0, 0, 0};
   int pos_state_mask;
   const uint8_t* data = nullptr;
+  // preset dictionary window (two-buffer form, like decode_block): token
+  // positions stay block-relative; history reads below 0 hit the preset
+  const uint8_t* preset = nullptr;
+  size_t preset_len = 0;
 
   TokenEncoder(int lc, int lp, int pb) : L(lc, lp, pb) {
     pos_state_mask = L.pos_state_mask();
+  }
+
+  inline uint8_t hist_byte(int64_t i) const {
+    return i >= 0 ? data[i] : preset[(int64_t)preset_len + i];
   }
 
   void encode_len_tok(int base, int symbol, int ps) {
@@ -1512,7 +1520,7 @@ class TokenEncoder {
         context = (context << 1) | bit;
       }
     } else {
-      uint8_t mb = data[pos - rep[0] - 1];
+      uint8_t mb = hist_byte((int64_t)pos - rep[0] - 1);
       uint32_t context = 1;
       bool same = true;
       for (int i = 7; i >= 0; i--) {
@@ -1586,13 +1594,16 @@ class TokenEncoder {
   // tokens: (pos, len, dist) triplets; dist < 0 => literal run of 1 byte.
   void encode(const uint8_t* d, const int32_t* t_pos, const int32_t* t_len,
               const int32_t* t_dist, int64_t num_tokens,
-              std::vector<uint8_t>* out) {
+              std::vector<uint8_t>* out, const uint8_t* pre = nullptr,
+              size_t pre_len = 0) {
     data = d;
+    preset = pre;
+    preset_len = pre_len;
     probs.assign(L.size, kProbInit);
     rc = RangeEnc();
     rc.out = out;
     state = 0;
-    prev_byte = 0;
+    prev_byte = pre_len ? pre[pre_len - 1] : 0;
     rep[0] = rep[1] = rep[2] = rep[3] = 0;
     for (int64_t i = 0; i < num_tokens; i++) {
       if (t_dist[i] < 0) {
@@ -2031,7 +2042,8 @@ int64_t lzt_encode_token_blocks(const uint8_t* data, int64_t n,
                                 const int64_t* tok_offsets,
                                 const int64_t* tok_counts, int64_t num_blocks,
                                 int num_threads, uint8_t* out, int64_t out_cap,
-                                uint32_t* sizes) {
+                                uint32_t* sizes, const uint8_t* preset = nullptr,
+                                int64_t preset_len = 0) {
   std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);
   std::atomic<int64_t> next(0);
   int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
@@ -2041,8 +2053,12 @@ int64_t lzt_encode_token_blocks(const uint8_t* data, int64_t n,
       int64_t i = next.fetch_add(1);
       if (i >= num_blocks) break;
       int64_t off = i * block_size;
+      // block 0 is the preset SOURCE in the v2 design: it encodes plain
+      const uint8_t* pre = (preset_len && i > 0) ? preset : nullptr;
+      size_t plen = (preset_len && i > 0) ? (size_t)preset_len : 0;
       enc.encode(data + off, t_pos + tok_offsets[i], t_len + tok_offsets[i],
-                 t_dist + tok_offsets[i], tok_counts[i], &streams[(size_t)i]);
+                 t_dist + tok_offsets[i], tok_counts[i], &streams[(size_t)i],
+                 pre, plen);
     }
   };
   std::vector<std::thread> pool;

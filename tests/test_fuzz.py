@@ -91,3 +91,70 @@ def test_fuzz_corrupt_never_crashes(seed):
         assert isinstance(out, bytes)
     except Exception as e:
         assert type(e).__name__ in ("CorruptStreamError", "ValueError", "IndexError")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_preset_roundtrip(seed):
+    """Random params x corpora with a random preset dictionary: scalar and
+    native must agree byte-for-byte and cross-decode."""
+    rng = np.random.default_rng(4000 + seed)
+    p = _random_params(rng)
+    data = _random_corpus(rng)
+    preset = _random_corpus(rng)[: int(rng.integers(0, 8192))]
+    from lzma_tpu.codec.encoder import encode_stream as s_enc
+    comp = s_enc(data, p, preset=preset)
+    assert decode_stream(comp, p, out_size=len(data), preset=preset) == data
+    if native.available():
+        n_comp = native.encode_stream(data, p, preset=preset)
+        assert n_comp == comp
+        if not p.write_eos:
+            assert native.decode_stream(comp, p, len(data), preset=preset) == data
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_corrupt_v2_container_never_crashes(seed):
+    """Arbitrary corruption of an LZTB v2 container (header, size table,
+    preset field, payload) must raise a typed error or produce different
+    output — never crash the native runtime or hang."""
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from lzma_tpu.parallel import blocks as blk
+
+    rng = np.random.default_rng(5000 + seed)
+    data = _random_corpus(rng)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    blob = bytearray(
+        native.encode_blocks(data, p, block_size=1 << 12,
+                             preset_len=int(rng.integers(1, 1 << 12)))
+    )
+    for _ in range(6):
+        blob[int(rng.integers(0, len(blob)))] ^= int(rng.integers(1, 256))
+    try:
+        out = native.decode_blocks(bytes(blob))
+        assert isinstance(out, bytes)
+    except Exception as e:
+        assert type(e).__name__ in (
+            "CorruptStreamError", "ValueError", "IndexError", "error",
+            "struct.error",
+        ), type(e).__name__
+
+
+def test_forged_total_size_rejected_before_allocation():
+    """A forged multi-GB total_size in a tiny container must be rejected
+    by the expansion bound, not attempted as an allocation."""
+    import struct
+
+    from lzma_tpu.core.rangecoder import CorruptStreamError
+    from lzma_tpu.parallel import blocks as blk
+
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    if native.available():
+        blob = bytearray(native.encode_blocks(b"x" * 5000, p, block_size=1 << 12))
+    else:
+        blob = bytearray(blk.encode_blocks(b"x" * 5000, p, block_size=1 << 12))
+    struct.pack_into("<Q", blob, 14, 1 << 60)  # total_size field
+    with pytest.raises(CorruptStreamError):
+        blk.parse_container(bytes(blob))
+    if native.available():
+        with pytest.raises(CorruptStreamError):
+            native.decode_blocks(bytes(blob))

@@ -164,6 +164,24 @@ def test_device_backend_decodes_preset_containers():
     assert dev.decode_blocks(pre) == data
 
 
+def test_hybrid_preset_round_trip():
+    native = _native_or_skip()
+    from lzma_tpu.ops import api as dev
+    from lzma_tpu.ops.hybrid import encode_blocks_hybrid
+
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
+    data = _repetitive(30_000, seed=21)
+    v2 = encode_blocks_hybrid(data, p, block_size=1 << 12, preset_len=1 << 11)
+    assert v2[4] == blk.VERSION_PRESET
+    assert native.decode_blocks(v2) == data
+    assert blk.decode_blocks(v2) == data
+    v1 = encode_blocks_hybrid(data, p, block_size=1 << 12)
+    assert len(v2) < len(v1)
+    # same tokens, same serializer semantics: hybrid == all-device output
+    assert v2 == dev.encode_blocks(data, p, block_size=1 << 12,
+                                   preset_len=1 << 11)
+
+
 def test_pallas_preset_round_trip():
     p = LzmaParams(dict_size=1 << 13, fast_bytes=32)
     data = _repetitive(16_000, seed=19)

@@ -210,14 +210,28 @@ def main():
             blob, t_enc = timed(_nat.encode_blocks, real, p, block_size=1 << 20, num_threads=0)
             out, t_dec = timed(_nat.decode_blocks, blob, num_threads=0)
             assert out == real
+            # shared preset dictionary (LZTB v2) ratio recovery
+            blob_v2 = _nat.encode_blocks(real, p, block_size=1 << 20,
+                                         preset_len=1 << 18)
+            assert _nat.decode_blocks(blob_v2) == real
             comp_l, t_enc_l = timed(
                 lambda: _lzma.compress(real, format=_lzma.FORMAT_ALONE, preset=6)
             )
             log(
                 f"real files ({len(real)/1e6:.1f} MB): native enc "
-                f"{len(real)/t_enc/1e6:.1f} MB/s ratio {len(real)/len(blob):.2f} | "
+                f"{len(real)/t_enc/1e6:.1f} MB/s ratio {len(real)/len(blob):.2f} "
+                f"(v2 preset {len(real)/len(blob_v2):.2f}) | "
                 f"liblzma p6 enc {len(real)/t_enc_l/1e6:.1f} MB/s ratio "
                 f"{len(real)/len(comp_l):.2f} | native dec {len(real)/t_dec/1e6:.1f} MB/s"
+            )
+            # single-stream vs single-stream ratio (apples to apples with
+            # liblzma's whole-file window; reference-default-strength params)
+            p1 = LzmaParams(dict_size=1 << 23, fast_bytes=64, match_finder="bt4")
+            one = _nat.encode_alone(real, p1)
+            assert _nat.decode_alone(one) == real
+            log(
+                f"real files single-stream: native d23/fb64 ratio "
+                f"{len(real)/len(one):.2f} vs liblzma p6 {len(real)/len(comp_l):.2f}"
             )
     except Exception as e:
         log(f"real-file corpus skipped: {e!r}")

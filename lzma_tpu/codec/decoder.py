@@ -175,6 +175,10 @@ def decode_stream(
                 f"distance {rep0} out of window at position {now_pos}"
             )  # Decoder.java:288-291
         # copy match (OutWindow.CopyBlock semantics, overlap-safe)
+        if out_size >= 0 and len(out) - base + length > out_size:
+            # a match crossing the declared end never comes from a valid
+            # encoder (native decoder: error -5)
+            raise CorruptStreamError("match runs past the declared size")
         src = base + now_pos - rep0 - 1
         if rep0 == 0:
             out.extend(out[src:src + 1] * length)
@@ -185,6 +189,11 @@ def decode_stream(
                 out.append(out[src])
                 src += 1
         prev_byte = out[-1]
+
+    # exited via the EOS-marker break with bytes still owed: in known-size
+    # mode a premature marker is corruption (native decoder: error -9)
+    if out_size >= 0 and len(out) - base != out_size:
+        raise CorruptStreamError("EOS marker before the declared size")
 
     return bytes(out[base:]) if base else bytes(out)
 

@@ -38,7 +38,11 @@ class BinTreeMatchFinder:
         self.pos = 0
         self.match_max_len = match_max_len
         self.cut_value = 16 + (match_max_len >> 1)   # BinTree.java:98
-        self.cyclic_size = dict_size + 1
+        # when dict >= len the window never wraps, so the cyclic buffer only
+        # needs len+1 slots — identical match behavior (same clamp as the
+        # native MatchFinder, lzma_core.cpp); hash sizing stays dict-derived
+        # so hash values remain bit-identical to the reference's
+        self.cyclic_size = min(dict_size, self.n) + 1
         self.cyclic_pos = 0
         self.hash_array = num_hash_bytes > 2          # BinTree.SetType (java:59-70)
         if self.hash_array:

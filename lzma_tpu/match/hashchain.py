@@ -27,7 +27,9 @@ class HashChainMatchFinder:
         self.pos = 0
         self.match_max_len = match_max_len
         self.cut_value = 8 + (match_max_len >> 2)
-        self.cyclic_size = dict_size + 1
+        # same never-wraps clamp as the native MatchFinder (lzma_core.cpp):
+        # O(len) chain storage instead of O(dict) on small blocks
+        self.cyclic_size = min(dict_size, self.n) + 1
         self.cyclic_pos = 0
         hs = dict_size - 1
         hs |= hs >> 1

@@ -117,6 +117,14 @@ def read_header(fileobj):
             raise CorruptStreamError("preset_len exceeds block 0")
     elif version != VERSION:
         raise CorruptStreamError(f"unsupported LZTB version {version}")
+    # geometry sanity: decoders write block i at i*block_size into a
+    # total_size buffer, so forged counts must die here, not there
+    if block_size < 1:
+        raise CorruptStreamError("block_size must be positive")
+    if n != (total_size + block_size - 1) // block_size and not (
+        total_size == 0 and n == 0
+    ):
+        raise CorruptStreamError("block count inconsistent with total_size")
     return decode_props(props), block_size, total_size, n, preset_len, header_size
 
 

@@ -184,10 +184,8 @@ def decode_file(
     _, dec = _backend(num_threads)
     with open(src, "rb") as fi, open(dst, "wb") as fo:
         params, block_size, total_size, n, preset_len, head_size = (
-            blk.read_header(fi)
+            blk.read_header(fi)  # validates the block geometry
         )
-        if block_size < 1 or n != (total_size + block_size - 1) // block_size:
-            raise CorruptStreamError("block count inconsistent with sizes")
         src_size = os.fstat(fi.fileno()).st_size
         if total_size > src_size * blk.MAX_EXPANSION + (1 << 16):
             raise CorruptStreamError(

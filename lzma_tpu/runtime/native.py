@@ -277,6 +277,7 @@ def encode_block_payload(
     LZTB container and the constant-memory file streamer
     (parallel/filestream.py), which feeds batches of blocks through here.
     """
+    params = params.validated_for_encode()
     lib = _lib()
     num_blocks = (len(data) + block_size - 1) // block_size
     if num_blocks == 0:
@@ -344,6 +345,7 @@ def encode_block_payload_pre(
         return encode_block_payload(
             data, params, block_size, num_threads, optimal=optimal, mode=mode
         )
+    params = params.validated_for_encode()
     lib = _lib()
     num_blocks = (len(data) + block_size - 1) // block_size
     if num_blocks == 0:
@@ -457,13 +459,13 @@ def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
     frame = blk.parse_container(blob)
     if not frame.comp_sizes:
         return b""
-    payload = blob[frame.payload_offset :]
+    # zero-copy view: the payload is nearly the whole blob
+    payload = memoryview(blob)[frame.payload_offset :]
     if not frame.preset_len:
         return decode_block_payload(
             payload, frame.params, frame.block_size,
             frame.total_size, frame.comp_sizes, num_threads,
         )
-    payload = memoryview(payload)  # avoid duplicating a near-whole payload
     out = ctypes.create_string_buffer(max(frame.total_size, 1))
     b0_size = min(frame.block_size, frame.total_size)
     decode_block_payload_pre(

@@ -1828,6 +1828,9 @@ int64_t lzt_encode_blocks(const uint8_t* data, int64_t n, int lc, int lp,
                           int pb, uint32_t dict_size, int fb, int mf,
                           int optimal, int64_t block_size, int num_threads,
                           uint8_t* out, int64_t out_cap, uint32_t* sizes) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (fb < 5 || fb > kMatchMaxLen) return -1;
+  if (dict_size < 1 || dict_size > (1u << 29)) return -1;
   if (block_size < 1) return -1;
   int64_t num_blocks = (n + block_size - 1) / block_size;
   if (num_blocks == 0) return 0;
@@ -1918,6 +1921,9 @@ int64_t lzt_encode_blocks_pre(const uint8_t* data, int64_t n,
                               int fb, int mf, int optimal, int64_t block_size,
                               int num_threads, uint8_t* out, int64_t out_cap,
                               uint32_t* sizes) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (fb < 5 || fb > kMatchMaxLen) return -1;
+  if (dict_size < 1 || dict_size > (1u << 29)) return -1;
   if (block_size < 1 || preset_len < 0) return -1;
   int64_t num_blocks = (n + block_size - 1) / block_size;
   if (num_blocks == 0) return 0;
@@ -1971,6 +1977,13 @@ int lzt_decode_blocks_pre(const uint8_t* payload, int64_t payload_len,
                           const uint32_t* sizes, int64_t num_blocks,
                           int num_threads, uint8_t* out) {
   if (preset_len < 0) return -1;
+  // geometry sanity: block i writes out[i*block_size .. +out_len) into a
+  // total_size buffer — forged counts/sizes must never reach that math
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (block_size < 1 || total_size < 0 || num_blocks < 0) return -1;
+  if (num_blocks != (total_size + block_size - 1) / block_size &&
+      !(total_size == 0 && num_blocks == 0))
+    return -1;
   std::vector<int64_t> offsets((size_t)num_blocks + 1);
   offsets[0] = 0;
   for (int64_t i = 0; i < num_blocks; i++)
@@ -2006,6 +2019,12 @@ int lzt_decode_blocks(const uint8_t* payload, int64_t payload_len, int lc,
                       int lp, int pb, uint32_t dict_size, int64_t block_size,
                       int64_t total_size, const uint32_t* sizes,
                       int64_t num_blocks, int num_threads, uint8_t* out) {
+  // geometry sanity (see lzt_decode_blocks_pre)
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (block_size < 1 || total_size < 0 || num_blocks < 0) return -1;
+  if (num_blocks != (total_size + block_size - 1) / block_size &&
+      !(total_size == 0 && num_blocks == 0))
+    return -1;
   std::vector<int64_t> offsets((size_t)num_blocks + 1);
   offsets[0] = 0;
   for (int64_t i = 0; i < num_blocks; i++) offsets[(size_t)i + 1] = offsets[(size_t)i] + sizes[i];

@@ -158,3 +158,60 @@ def test_forged_total_size_rejected_before_allocation():
     if native.available():
         with pytest.raises(CorruptStreamError):
             native.decode_blocks(bytes(blob))
+
+
+def test_forged_block_geometry_rejected():
+    """Forged block_size/num_blocks vs total_size (the heap-overflow
+    geometry: block i writes at i*block_size into a total_size buffer)
+    must be rejected by every container entry point."""
+    import struct
+
+    from lzma_tpu.core.rangecoder import CorruptStreamError
+    from lzma_tpu.parallel import blocks as blk
+
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    enc = native.encode_blocks if native.available() else blk.encode_blocks
+    blob = bytearray(enc(b"y" * 5000, p, block_size=1 << 12))
+    # total_size=100 with block_size=2**20 and the real num_blocks=2
+    struct.pack_into("<I", blob, 10, 1 << 20)   # block_size
+    struct.pack_into("<Q", blob, 14, 100)       # total_size
+    for fn in ([native.decode_blocks] if native.available() else []) + [
+        blk.decode_blocks, blk.parse_container,
+    ]:
+        with pytest.raises(CorruptStreamError):
+            fn(bytes(blob))
+
+
+def test_native_block_encode_rejects_invalid_params():
+    """The block C entry points validate params like the single-stream
+    ones (fb beyond 273 would overflow fixed-size price tables)."""
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    import dataclasses
+
+    good = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    bad = dataclasses.replace(good, fast_bytes=500)
+    with pytest.raises(ValueError):
+        native.encode_block_payload(b"z" * 1000, bad, 1 << 12)
+    with pytest.raises(ValueError):
+        native.encode_block_payload_pre(b"z" * 1000, b"pre", bad, 1 << 12)
+
+
+def test_scalar_decode_enforces_declared_size():
+    """Scalar decode must error (like the native -5/-9 paths) instead of
+    silently returning wrong-length data."""
+    from lzma_tpu.codec.encoder import encode_stream as s_enc
+    from lzma_tpu.core.rangecoder import CorruptStreamError
+
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    data = (b"abcd" * 600)[:2000]
+    comp = s_enc(data, p)
+    # claim fewer bytes than the stream produces, cutting mid-match (the
+    # parse opens with 5 literals, so 6 lands inside the first match)
+    with pytest.raises(CorruptStreamError):
+        decode_stream(comp, p, out_size=6)
+    # EOS marker before the declared size
+    p_eos = LzmaParams(dict_size=1 << 12, fast_bytes=16, write_eos=True)
+    comp_eos = s_enc(data, p_eos)
+    with pytest.raises(CorruptStreamError):
+        decode_stream(comp_eos, p_eos, out_size=len(data) + 50)

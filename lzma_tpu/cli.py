@@ -260,10 +260,6 @@ def main(argv=None) -> int:
         print(f"error: {e}")
         return 1
 
-    if cmd.preset_len and cmd.backend == "tpu":
-        print("error: -ps is not supported by the tpu backend")
-        return 1
-
     try:
         with open(cmd.in_file, "rb") as f:
             data = f.read()
@@ -271,37 +267,46 @@ def main(argv=None) -> int:
         print(f"error: cannot read {cmd.in_file}: {e.strerror}")
         return 1
 
-    enc, dec, backend = _pick_backend(cmd.backend)
-    if cmd.command == "e":
-        params = cmd.params().validated_for_encode()
-        mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
-        if cmd.block_size:
-            if backend == "tpu":
-                from .ops import api as tpu_api
+    from .core.rangecoder import CorruptStreamError
 
-                out = tpu_api.encode_blocks(data, params, block_size=cmd.block_size)
+    try:
+        enc, dec, backend = _pick_backend(cmd.backend)
+        if cmd.command == "e":
+            params = cmd.params().validated_for_encode()
+            mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
+            if cmd.block_size:
+                if backend == "tpu":
+                    from .ops import api as tpu_api
+
+                    out = tpu_api.encode_blocks(
+                        data, params, block_size=cmd.block_size,
+                        preset_len=cmd.preset_len,
+                    )
+                else:
+                    from .parallel.blocks import encode_blocks
+
+                    out = encode_blocks(
+                        data, params, block_size=cmd.block_size,
+                        num_threads=max(cmd.threads, 1),
+                        preset_len=cmd.preset_len,
+                    )
             else:
-                from .parallel.blocks import encode_blocks
-
-                out = encode_blocks(
-                    data, params, block_size=cmd.block_size,
-                    num_threads=max(cmd.threads, 1),
-                    preset_len=cmd.preset_len,
-                )
+                out = enc(data, params, mode=mode)
         else:
-            out = enc(data, params, mode=mode)
-    else:
-        if data[:4] == b"LZTB":
-            if backend == "tpu":
-                from .ops import api as tpu_api
+            if data[:4] == b"LZTB":
+                if backend == "tpu":
+                    from .ops import api as tpu_api
 
-                out = tpu_api.decode_blocks(data)
+                    out = tpu_api.decode_blocks(data)
+                else:
+                    from .parallel.blocks import decode_blocks
+
+                    out = decode_blocks(data, num_threads=max(cmd.threads, 1))
             else:
-                from .parallel.blocks import decode_blocks
-
-                out = decode_blocks(data, num_threads=max(cmd.threads, 1))
-        else:
-            out = dec(data)
+                out = dec(data)
+    except (ValueError, CorruptStreamError) as e:
+        print(f"error: {e}")
+        return 1
     try:
         with open(cmd.out_file, "wb") as f:
             f.write(out)

@@ -62,6 +62,8 @@ def encode_blocks(
     window primed with block 0's prefix.
     """
     params = (params or LzmaParams()).validated_for_encode()
+    if params.write_eos:
+        raise ValueError("block container uses known sizes; EOS not supported")
     preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
     if len(data) <= block_size:
         preset_len = 0  # single block: a preset would be pointless
@@ -88,6 +90,8 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
     offsets = [frame.payload_offset]
     for s in frame.comp_sizes:
         offsets.append(offsets[-1] + s)
+    if offsets[-1] > len(blob):
+        raise CorruptStreamError("container payload truncated")
     streams = [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(n)]
     sizes = [
         frame.block_size if i < n - 1 else frame.total_size - frame.block_size * (n - 1)

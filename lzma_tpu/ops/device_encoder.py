@@ -426,18 +426,13 @@ def serialize(ctx, bits, totals, arena_size: int, max_out: int):
 
 
 # ------------------------------------------------------------------ API
-@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
-def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2,
-                 preset=None):
-    """Pure jittable lane-parallel encode: the flagship device pipeline.
-
-    data: (N, max_n) u8, lens: (N,) i32.  `preset` ((P,) u8 or None)
-    primes every lane's window with a shared dictionary (LZTB v2): it is
-    searched as match history but contributes no output — on a mesh,
-    passing it replicated IS the dictionary broadcast.  Returns
-    (comp (N, max_out) u8, comp_lens (N,) i32).  Safe to wrap in
-    shard_map over a block-sharded mesh axis (parallel/mesh.py).
-    """
+def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
+                 preset):
+    """Phases A-C for a lane batch: (optional preset priming) + tokenize +
+    classify + bit lowering.  The ONE implementation both serializer
+    backends consume — any change to preset or bit-budget handling lands
+    in the XLA and Pallas encode paths together.  Returns
+    (ctx, bits, totals, max_out)."""
     N, max_n = data.shape
     if preset is not None and preset.shape[0]:
         plen = preset.shape[0]
@@ -454,12 +449,29 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2,
     t_pos, t_len, t_dist, t_valid, _ = tok
     meta = classify_tokens(data, t_pos, t_len, t_dist, t_valid)
     max_bits = 10 * max_n + 128
-    layout = ProbLayout(lc, lp, pb)
     ctx, bits, totals = lower_tokens(
         data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, max_bits,
         pos_base=plen,
     )
-    max_out = max_n + max_n // 4 + 128
+    return ctx, bits, totals, max_n + max_n // 4 + 128
+
+
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
+def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2,
+                 preset=None):
+    """Pure jittable lane-parallel encode: the flagship device pipeline.
+
+    data: (N, max_n) u8, lens: (N,) i32.  `preset` ((P,) u8 or None)
+    primes every lane's window with a shared dictionary (LZTB v2): it is
+    searched as match history but contributes no output — on a mesh,
+    passing it replicated IS the dictionary broadcast.  Returns
+    (comp (N, max_out) u8, comp_lens (N,) i32).  Safe to wrap in
+    shard_map over a block-sharded mesh axis (parallel/mesh.py).
+    """
+    ctx, bits, totals, max_out = _lower_lanes(
+        data, lens, dict_size, lc, lp, pb, fb, num_candidates, preset
+    )
+    layout = ProbLayout(lc, lp, pb)
     return serialize(ctx, bits, totals, layout.size, max_out)
 
 
@@ -488,29 +500,17 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
                 if preset else None)
     dict_j = jnp.int32(min(params.dict_size, max_n + len(preset)))
     if use_pallas:
-        # phases A-C are the same XLA pipeline (preset included);
+        # phases A-C are literally the same pipeline (_lower_lanes);
         # only phase D (position-agnostic) swaps in the Pallas kernel
         from .pallas_serializer import serialize_with_fallback
 
-        dj, lj = jnp.asarray(data), jnp.asarray(lens)
-        plen = len(preset)
-        if plen:
-            dj = jnp.concatenate(
-                [jnp.broadcast_to(preset_j[None, :], (n_lanes, plen)).astype(dj.dtype),
-                 dj], axis=1)
-            lj = lj + plen
-        tok = jax.vmap(
-            lambda d, n: tokenize(d, n, dict_j, fb, num_candidates, start=plen)
-        )(dj, lj)
-        t_pos, t_len, t_dist, t_valid, _ = tok
-        meta = classify_tokens(dj, t_pos, t_len, t_dist, t_valid)
-        layout = ProbLayout(params.lc, params.lp, params.pb)
-        ctx, bits, totals = lower_tokens(
-            dj, meta, t_pos, t_len, t_dist, t_valid,
-            params.lc, params.lp, params.pb, 10 * max_n + 128, pos_base=plen,
+        ctx, bits, totals, max_out = _lower_lanes(
+            jnp.asarray(data), jnp.asarray(lens), dict_j,
+            params.lc, params.lp, params.pb, fb, num_candidates, preset_j,
         )
+        layout = ProbLayout(params.lc, params.lp, params.pb)
         out, out_lens = serialize_with_fallback(
-            ctx, bits, totals, layout.size, max_n + max_n // 4 + 128
+            ctx, bits, totals, layout.size, max_out
         )
     else:
         out, out_lens = encode_lanes(

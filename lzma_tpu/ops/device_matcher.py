@@ -32,6 +32,17 @@ import numpy as np
 MIN_MATCH = 2
 
 
+def _take(best_len, best_dist):
+    """Worth-taking heuristic (mirrors LZMA fast-mode spirit): longer
+    matches always; len-3 below 64K; len-2 only when the distance is
+    cheap.  The ONE definition shared by the parse path (greedy_path) and
+    token extraction (_compact) — they must agree or tokens diverge from
+    the parse."""
+    return (best_len >= 4) | \
+           ((best_len == 3) & (best_dist < (1 << 16))) | \
+           ((best_len == 2) & (best_dist < (1 << 9)))
+
+
 @partial(jax.jit, static_argnames=("fb", "num_candidates"))
 def find_best_matches(data, n, dict_size, fb: int, num_candidates: int = 2):
     """Best (length, distance) per position, fully parallel.
@@ -107,11 +118,7 @@ def greedy_path(best_len, best_dist, n, max_n: int, start=0):
     Returns on_path: (max_n,) bool marking parse start positions.
     """
     pos = jnp.arange(max_n, dtype=jnp.int32)
-    # worth-taking heuristic (mirrors LZMA fast-mode spirit): longer matches
-    # always; len-2 only when the distance is cheap; len-3 below 64K
-    take = (best_len >= 4) | \
-           ((best_len == 3) & (best_dist < (1 << 16))) | \
-           ((best_len == 2) & (best_dist < (1 << 9)))
+    take = _take(best_len, best_dist)
     adv = jnp.where(take, best_len, 1)
     nxt = jnp.minimum(pos + adv, max_n)    # sentinel node max_n
 
@@ -150,10 +157,7 @@ def tokenize(data, n, dict_size, fb: int, num_candidates: int = 2, start=0):
 def _compact(best_len, best_dist, on_path, n):
     max_n = best_len.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
-    take = (best_len >= 4) | \
-           ((best_len == 3) & (best_dist < (1 << 16))) | \
-           ((best_len == 2) & (best_dist < (1 << 9)))
-    is_match = on_path & take
+    is_match = on_path & _take(best_len, best_dist)
     t_len = jnp.where(is_match, best_len, 1)
     t_dist = jnp.where(is_match, best_dist, -1)
     idx = jnp.cumsum(on_path.astype(jnp.int32)) - 1

@@ -193,7 +193,11 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                 err0)
         final = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
         lens_ref[:, 0] = final[8]
-        lens_ref[:, 1] = jnp.where(final[11] != 0, -1, final[7])
+        # a lane only counts as done when the 5-byte flush ran AND its
+        # pending-0xFF drain emptied — bits alone can be consumed with the
+        # tail un-emitted if the iteration budget ran out mid-drain
+        complete = (final[9] == 5) & (final[5] == 0) & (final[11] == 0)
+        lens_ref[:, 1] = jnp.where(complete, final[7], -1)
 
     out, lens = pl.pallas_call(
         kernel,

@@ -64,3 +64,24 @@ def test_cli_help(capsys):
 
     assert main([]) == 0
     assert "Usage" in capsys.readouterr().out
+
+
+def test_cli_invalid_params_clean_error(tmp_path, capsys):
+    from lzma_tpu.cli import main
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"hello world" * 100)
+    dst = tmp_path / "out.lzma"
+    # fb below 5 must print a clean error, not a traceback
+    assert main(["e", "-fb4", str(src), str(dst)]) == 1
+    assert "error:" in capsys.readouterr().out
+
+
+def test_cli_corrupt_input_clean_error(tmp_path, capsys):
+    from lzma_tpu.cli import main
+
+    bad = tmp_path / "bad.lzma"
+    bad.write_bytes(b"\x5d\x00\x00\x01\x00" + (200).to_bytes(8, "little") + b"\x00garbagegarbage")
+    out = tmp_path / "out.bin"
+    assert main(["d", str(bad), str(out)]) == 1
+    assert "error:" in capsys.readouterr().out

@@ -92,6 +92,13 @@ def _lib():
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.lzt_decode_eos_pre.restype = ctypes.c_int64
+    lib.lzt_decode_eos_pre.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.lzt_encode_blocks_pre.restype = ctypes.c_int64
     lib.lzt_encode_blocks_pre.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -197,9 +204,7 @@ def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,
 def decode_stream(comp: bytes, params: LzmaParams, out_size: int,
                   preset: bytes = b"") -> bytes:
     if out_size < 0:
-        if preset:
-            raise ValueError("EOS decode with preset: use known-size streams")
-        return decode_stream_eos(comp, params)
+        return decode_stream_eos(comp, params, preset=preset)
     lib = _lib()
     out = ctypes.create_string_buffer(max(out_size, 1))
     if preset:
@@ -218,7 +223,7 @@ def decode_stream(comp: bytes, params: LzmaParams, out_size: int,
 
 
 def decode_stream_eos(comp: bytes, params: LzmaParams,
-                      size_limit: int = 1 << 33) -> bytes:
+                      size_limit: int = 1 << 33, preset: bytes = b"") -> bytes:
     """Decode an EOS-terminated stream, growing the buffer as needed.
 
     size_limit (~8 GB default) bounds both the allocation and the decode
@@ -229,10 +234,16 @@ def decode_stream_eos(comp: bytes, params: LzmaParams,
     cap = min(max(16 * len(comp), 1 << 16), size_limit)
     while True:
         out = ctypes.create_string_buffer(cap)
-        n = lib.lzt_decode_eos(
-            comp, len(comp), params.lc, params.lp, params.pb,
-            params.dict_size, out, cap,
-        )
+        if preset:
+            n = lib.lzt_decode_eos_pre(
+                comp, len(comp), params.lc, params.lp, params.pb,
+                params.dict_size, preset, len(preset), out, cap,
+            )
+        else:
+            n = lib.lzt_decode_eos(
+                comp, len(comp), params.lc, params.lp, params.pb,
+                params.dict_size, out, cap,
+            )
         if n >= 0:
             return out.raw[: int(n)]
         if n != -6:

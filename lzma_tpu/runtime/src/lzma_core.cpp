@@ -1912,6 +1912,17 @@ int lzt_decode_pre(const uint8_t* comp, int64_t comp_len, int lc, int lp,
                            (size_t)out_size, false, preset, (size_t)preset_len);
 }
 
+// EOS-terminated decode with a preset dictionary (see lzt_decode_eos).
+int64_t lzt_decode_eos_pre(const uint8_t* comp, int64_t comp_len, int lc,
+                           int lp, int pb, uint32_t dict_size,
+                           const uint8_t* preset, int64_t preset_len,
+                           uint8_t* out, int64_t out_cap) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (preset_len < 0) return -1;
+  return decode_block(comp, (size_t)comp_len, lc, lp, pb, dict_size, out,
+                      (size_t)out_cap, true, preset, (size_t)preset_len);
+}
+
 // Block-parallel encode where EVERY block shares one preset dictionary
 // (the broadcast-dictionary design: preset distributed to all workers /
 // chips, blocks stay independent so decode parallelism is preserved).

@@ -295,3 +295,13 @@ def test_cli_preset_switch(tmp_path):
     assert mid.read_bytes()[4] == blk.VERSION_PRESET
     assert main(["d", "-q", str(mid), str(out)]) == 0
     assert out.read_bytes() == data
+
+
+def test_native_eos_preset_decode():
+    native = _native_or_skip()
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32, write_eos=True)
+    data = _mixed(8_000, seed=22)
+    preset = data[:2048]
+    comp = s_enc(data, p, preset=preset)
+    assert native.decode_stream(comp, p, -1, preset=preset) == data
+    assert native.encode_stream(data, p, preset=preset) == comp

@@ -88,17 +88,46 @@ def compress_file(src, dst, params: LzmaParams | None = None,
     )
 
 
+def open(path, mode: str = "rb", **kw):  # noqa: A001 - mirrors lzma.open
+    """Open an LZTB container for streaming IO.
+
+    'wb' returns a writer accepting incremental write() with O(batch)
+    memory and unknown final size; 'rb' a reader with incremental
+    read().  Keyword args: params/block_size/num_threads/mode/preset_len
+    (writer), num_threads/batch_bytes (both); LzmaParams fields
+    (dict_size=..., fast_bytes=..., ...) are accepted directly like in
+    :func:`compress`."""
+    import dataclasses
+
+    from .parallel.fileobj import open_lztb
+
+    fields = {f.name for f in dataclasses.fields(LzmaParams)}
+    param_kw = {k: kw.pop(k) for k in list(kw) if k in fields}
+    if param_kw:
+        if kw.get("params") is not None:
+            raise TypeError(
+                f"pass either params= or field overrides, not both: "
+                f"{sorted(param_kw)}"
+            )
+        kw["params"] = LzmaParams(**param_kw)
+    return open_lztb(path, mode, **kw)
+
+
 def decompress_file(src, dst, num_threads: int = 0) -> int:
     """Stream-decompress an LZTB container file (or an in-memory `.lzma`
     single stream) to `dst`.  Returns the decompressed size."""
-    with open(src, "rb") as f:
+    import builtins
+
+    # NB: this module defines `open` (the streaming file-object API), so
+    # plain file IO here must name the builtin explicitly
+    with builtins.open(src, "rb") as f:
         magic = f.read(4)
     if magic == b"LZTB":
         from .parallel import filestream
 
         return filestream.decode_file(src, dst, num_threads=num_threads)
-    with open(src, "rb") as f:
+    with builtins.open(src, "rb") as f:
         out = decompress(f.read())
-    with open(dst, "wb") as f:
+    with builtins.open(dst, "wb") as f:
         f.write(out)
     return len(out)

@@ -1,0 +1,212 @@
+"""File-like streaming objects over the LZTB container.
+
+The reference codes between java.io streams (LzmaAlone.java:208-239);
+the Pythonic equivalent is a file object.  `lzma_tpu.open(path, "wb")`
+returns a writer that accepts incremental `write()` calls with O(batch)
+memory and unknown final size; `open(path, "rb")` returns a reader with
+incremental `read()`.  Both ride the same backend codecs as
+filestream.py (native thread pool when built, scalar otherwise).
+
+Writer layout problem: the LZTB header carries num_blocks and the size
+table BEFORE the payload, but a streaming writer learns both only at
+close().  Solution: payload batches stream to an anonymous spill file;
+close() writes the real header + table and splices the payload in
+(one sequential copy of the compressed bytes — compressed, so cheap).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import struct
+import tempfile
+
+from ..core.rangecoder import CorruptStreamError
+from ..format.properties import LzmaParams
+from . import blocks as blk
+from .filestream import DEFAULT_BATCH_BYTES, _backend
+
+
+class LZTBWriter(io.RawIOBase):
+    """Incremental LZTB writer: buffers up to batch_bytes of input, then
+    encodes a batch of blocks to a spill file; close() assembles the
+    final container."""
+
+    def __init__(self, target, params: LzmaParams | None = None,
+                 block_size: int = blk.DEFAULT_BLOCK_SIZE,
+                 num_threads: int = 0, mode: str | None = None,
+                 preset_len: int = 0,
+                 batch_bytes: int = DEFAULT_BATCH_BYTES):
+        self._params = (params or LzmaParams()).validated_for_encode()
+        if self._params.write_eos:
+            raise ValueError("block container uses known sizes; EOS not supported")
+        if block_size < 1:
+            raise ValueError("block_size must be positive")
+        self._block_size = block_size
+        self._mode = mode
+        self._preset_req = blk.validated_preset_len(
+            preset_len, block_size, 1 << 62)
+        self._preset = b""
+        self._batch_bytes = max(
+            block_size, (batch_bytes // block_size) * block_size)
+        if num_threads <= 0:
+            num_threads = os.cpu_count() or 1
+        self._enc, _ = _backend(num_threads)
+        self._own_target = isinstance(target, (str, os.PathLike))
+        self._out = open(target, "wb") if self._own_target else target
+        self._spill = tempfile.TemporaryFile()
+        self._buf = bytearray()
+        self._sizes: list[int] = []
+        self._total = 0
+        self._closed = False
+
+    # -- io plumbing --
+    def writable(self):
+        return True
+
+    def write(self, data) -> int:
+        if self._closed:
+            raise ValueError("I/O operation on closed file")
+        data = bytes(data)
+        self._buf.extend(data)
+        self._total += len(data)
+        while len(self._buf) >= self._batch_bytes:
+            chunk = bytes(self._buf[: self._batch_bytes])
+            del self._buf[: self._batch_bytes]
+            self._flush_batch(chunk)
+        return len(data)
+
+    def _flush_batch(self, chunk: bytes) -> None:
+        if self._preset_req and not self._sizes:
+            # first batch: block 0 (the preset source) encodes plain
+            self._preset = chunk[: min(self._preset_req,
+                                       self._block_size, len(chunk))]
+            p0, s0 = self._enc(chunk[: self._block_size], self._params,
+                               self._block_size, self._mode)
+            p1, s1 = self._enc(chunk[self._block_size :], self._params,
+                               self._block_size, self._mode, self._preset)
+            payload, sizes = p0 + p1, s0 + s1
+        else:
+            payload, sizes = self._enc(chunk, self._params, self._block_size,
+                                       self._mode, self._preset)
+        self._spill.write(payload)
+        self._sizes.extend(sizes)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        try:
+            if self._buf:
+                self._flush_batch(bytes(self._buf))
+                self._buf.clear()
+            n = len(self._sizes)
+            preset_len = len(self._preset) if n > 1 else 0
+            head = blk.pack_header(self._params, self._block_size,
+                                   self._total, n, preset_len)
+            self._out.write(head)
+            self._out.write(struct.pack(f"<{n}I", *self._sizes))
+            self._spill.seek(0)
+            shutil.copyfileobj(self._spill, self._out)
+        finally:
+            self._spill.close()
+            if self._own_target:
+                self._out.close()
+            self._closed = True
+            super().close()
+
+
+class LZTBReader(io.RawIOBase):
+    """Incremental LZTB reader: decodes a batch of blocks at a time and
+    serves `read()` from the decoded buffer."""
+
+    def __init__(self, source, num_threads: int = 0,
+                 batch_bytes: int = DEFAULT_BATCH_BYTES):
+        if num_threads <= 0:
+            num_threads = os.cpu_count() or 1
+        _, self._dec = _backend(num_threads)
+        self._own_source = isinstance(source, (str, os.PathLike))
+        self._in = open(source, "rb") if self._own_source else source
+        (self._params, self._block_size, self._total, self._n,
+         self._preset_len, _) = blk.read_header(self._in)
+        table = self._in.read(4 * self._n)
+        if len(table) < 4 * self._n:
+            raise CorruptStreamError("container size table truncated")
+        self._comp_sizes = struct.unpack(f"<{self._n}I", table)
+        self._batch_blocks = max(1, batch_bytes // self._block_size)
+        self._next_block = 0
+        self._done = 0
+        self._preset = b""
+        self._buf = memoryview(b"")
+        self._closed = False
+
+    def readable(self):
+        return True
+
+    def _fill(self) -> bool:
+        """Decode the next batch into the buffer; False at EOF."""
+        if self._next_block >= self._n:
+            return False
+        start = self._next_block
+        batch = self._comp_sizes[start : start + self._batch_blocks]
+        need = sum(batch)
+        payload = self._in.read(need)
+        if len(payload) < need:
+            raise CorruptStreamError("container payload truncated")
+        batch_total = min(self._block_size * len(batch), self._total - self._done)
+        if self._preset_len and start == 0:
+            b0_total = min(self._block_size, batch_total)
+            out0 = self._dec(payload[: batch[0]], self._params,
+                             self._block_size, b0_total, batch[:1])
+            self._preset = out0[: self._preset_len]
+            rest = self._dec(payload[batch[0] :], self._params,
+                             self._block_size, batch_total - b0_total,
+                             batch[1:], self._preset)
+            out = out0 + rest
+        else:
+            out = self._dec(payload, self._params, self._block_size,
+                            batch_total, batch, self._preset)
+        if len(out) != batch_total:
+            raise CorruptStreamError("decoded size mismatch")
+        self._next_block = start + len(batch)
+        self._done += batch_total
+        self._buf = memoryview(out)
+        return True
+
+    def read(self, size: int = -1) -> bytes:
+        if self._closed:
+            raise ValueError("I/O operation on closed file")
+        parts = []
+        remaining = None if size is None or size < 0 else size
+        while remaining is None or remaining > 0:
+            if not self._buf:
+                if not self._fill():
+                    break
+            take = len(self._buf) if remaining is None else min(remaining, len(self._buf))
+            parts.append(bytes(self._buf[:take]))
+            self._buf = self._buf[take:]
+            if remaining is not None:
+                remaining -= take
+        return b"".join(parts)
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        if not self._closed:
+            if self._own_source:
+                self._in.close()
+            self._closed = True
+        super().close()
+
+
+def open_lztb(path, mode: str = "rb", **kw):
+    """Open an LZTB container for streaming ('rb' -> LZTBReader,
+    'wb' -> LZTBWriter).  Keyword args pass through to the class."""
+    if mode in ("rb", "r"):
+        return LZTBReader(path, **kw)
+    if mode in ("wb", "w"):
+        return LZTBWriter(path, **kw)
+    raise ValueError(f"mode must be 'rb' or 'wb', not {mode!r}")

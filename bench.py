@@ -166,13 +166,16 @@ def main():
             p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
             dev_size = 1 << 19
             dev_data = data[:dev_size]
-            blob = dev.encode_blocks(dev_data, p, block_size=1 << 14)  # warm/compile
-            # decode via the Pallas FSM kernel (5.8x the XLA while_loop
-            # on-chip, and Mosaic compiles in seconds where the XLA FSM
-            # needs minutes through this rig's remote-compile relay)
+            # both directions via the in-VMEM Pallas kernels (decode 5.8x,
+            # encode 2.1x their XLA while_loop counterparts on-chip, and
+            # Mosaic compiles in seconds where the XLA FSMs need minutes
+            # through this rig's remote-compile relay)
+            blob = dev.encode_blocks(dev_data, p, block_size=1 << 14,
+                                     use_pallas=True)  # warm/compile
             out = dev.decode_blocks(blob, use_pallas=True)
             assert crc32(out) == crc32(dev_data)
-            blob, t_enc = timed(dev.encode_blocks, dev_data, p, block_size=1 << 14)
+            blob, t_enc = timed(dev.encode_blocks, dev_data, p,
+                                block_size=1 << 14, use_pallas=True)
             out, t_dec = timed(dev.decode_blocks, blob, use_pallas=True)
             assert crc32(out) == crc32(dev_data)
             rt = dev_size / (t_enc + t_dec) / 1e6

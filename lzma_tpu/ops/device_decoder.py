@@ -143,7 +143,8 @@ def _ctx_index(st, layout, lc, lp, pb, pos_base=0):
     phase = st["phase"]
     state = st["state"]
     sym = st["sym"]
-    pos_state = (st["out_pos"] - pos_base) & ((1 << pb) - 1)
+    coded_pos = st["out_pos"] - pos_base if pos_base else st["out_pos"]
+    pos_state = coded_pos & ((1 << pb) - 1)
     idx = jnp.full_like(phase, 0)
     idx = jnp.where(phase == PH_ISMATCH,
                     layout.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state, idx)
@@ -204,7 +205,8 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
     """
     phase = st["phase"]
     out_pos = st["out_pos"]
-    pos_state = (out_pos - pos_base) & ((1 << pb) - 1)
+    coded_pos = out_pos - pos_base if pos_base else out_pos
+    pos_state = coded_pos & ((1 << pb) - 1)
     lit_pos_mask = (1 << lp) - 1
     state = st["state"]
     sym = st["sym"]
@@ -225,7 +227,7 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
     nout_pos = out_pos
 
     lit_sub = layout.literal + (
-        (((out_pos - pos_base) & lit_pos_mask) << lc) + (prev_byte >> (8 - lc))
+        ((coded_pos & lit_pos_mask) << lc) + (prev_byte >> (8 - lc))
     ) * LITERAL_CODER_SIZE
 
     # --- PH_ISMATCH ---

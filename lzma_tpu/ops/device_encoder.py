@@ -137,7 +137,7 @@ def _bitrev_low(v, k_vec, width):
     return out
 
 
-@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_bits"))
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_bits", "pos_base"))
 def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
                  max_bits, pos_base=0):
     """Expand tokens into (ctx, bit) pairs scattered into flat per-lane
@@ -149,7 +149,8 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     kind, rep_idx, state, match_mode, match_byte, prev_byte, lit_byte = meta
     N, T = t_pos.shape
     lanes2 = jnp.arange(N)[:, None]
-    pos_state = (t_pos - pos_base) & ((1 << pb) - 1)
+    coded_pos = t_pos - pos_base if pos_base else t_pos
+    pos_state = coded_pos & ((1 << pb) - 1)
     valid = t_valid & True
 
     is_lit = kind == K_LIT
@@ -192,7 +193,7 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     L = layout
     im_ctx = L.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state
     lit_sub = L.literal + (
-        (((t_pos - pos_base) & ((1 << lp) - 1)) << lc) + (prev_byte >> (8 - lc))
+        ((coded_pos & ((1 << lp) - 1)) << lc) + (prev_byte >> (8 - lc))
     ) * LITERAL_CODER_SIZE
     len_base = jnp.where(is_rep, L.rep_len_coder, L.len_coder)
     lps = jnp.minimum(t_len - 2, 3)

@@ -177,8 +177,19 @@ def available() -> bool:
         return False
 
 
+#: single-stream ceiling: the match finder indexes positions as int32
+#: (like the reference's int positions, BinTree.java:19); larger inputs
+#: go through the block APIs, which is also the faster path for them
+MAX_STREAM = (1 << 31) - (1 << 20)
+
+
 def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,
                   mode: str | None = None, preset: bytes = b"") -> bytes:
+    if len(data) + len(preset) > MAX_STREAM:
+        raise ValueError(
+            "single LZMA stream too large for int32 window positions; "
+            "use encode_blocks/compress_file"
+        )
     params = params.validated_for_encode()
     lib = _lib()
     cap = lib.lzt_encode_bound(len(data))

@@ -1783,6 +1783,7 @@ extern "C" {
 int64_t lzt_encode(const uint8_t* data, int64_t n, int lc, int lp, int pb,
                    uint32_t dict_size, int fb, int mf, int eos, int optimal,
                    uint8_t* out, int64_t out_cap) {
+  if (n < 0 || n > (int64_t)0x7FF00000) return -1;  // int32 window positions
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
   if (fb < 5 || fb > kMatchMaxLen) return -1;
   if (dict_size < 1 || dict_size > (1u << 29)) return -1;
@@ -1831,7 +1832,7 @@ int64_t lzt_encode_blocks(const uint8_t* data, int64_t n, int lc, int lp,
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
   if (fb < 5 || fb > kMatchMaxLen) return -1;
   if (dict_size < 1 || dict_size > (1u << 29)) return -1;
-  if (block_size < 1) return -1;
+  if (block_size < 1 || block_size > (int64_t)0x7FF00000) return -1;
   int64_t num_blocks = (n + block_size - 1) / block_size;
   if (num_blocks == 0) return 0;
   std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);
@@ -1885,6 +1886,7 @@ int64_t lzt_encode_pre(const uint8_t* buf, int64_t total_n, int64_t preset_len,
                        int lc, int lp, int pb, uint32_t dict_size, int fb,
                        int mf, int eos, int optimal, uint8_t* out,
                        int64_t out_cap) {
+  if (total_n < 0 || total_n > (int64_t)0x7FF00000) return -1;  // int32 positions
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
   if (fb < 5 || fb > kMatchMaxLen) return -1;
   if (dict_size < 1 || dict_size > (1u << 29)) return -1;
@@ -1935,7 +1937,8 @@ int64_t lzt_encode_blocks_pre(const uint8_t* data, int64_t n,
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
   if (fb < 5 || fb > kMatchMaxLen) return -1;
   if (dict_size < 1 || dict_size > (1u << 29)) return -1;
-  if (block_size < 1 || preset_len < 0) return -1;
+  if (block_size < 1 || block_size + preset_len > (int64_t)0x7FF00000) return -1;
+  if (preset_len < 0) return -1;
   int64_t num_blocks = (n + block_size - 1) / block_size;
   if (num_blocks == 0) return 0;
   std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);

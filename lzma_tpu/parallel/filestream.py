@@ -139,8 +139,29 @@ def encode_file(
         table_offset = len(head)
         fo.write(b"\x00" * (4 * num_blocks))  # patched after the payload
         consumed = 0
+        # read-ahead thread: overlap input IO with encoding (one batch of
+        # look-ahead — bounded so memory stays O(batch))
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=1)
+
+        def _reader():
+            try:
+                while True:
+                    c = fi.read(batch_bytes)
+                    q.put(c)
+                    if not c:
+                        return
+            except Exception as e:  # surfaced by the consumer
+                q.put(e)
+
+        rt = threading.Thread(target=_reader, daemon=True)
+        rt.start()
         while True:
-            chunk = fi.read(batch_bytes)
+            chunk = q.get()
+            if isinstance(chunk, Exception):
+                raise chunk
             if not chunk:
                 break
             consumed += len(chunk)
@@ -160,6 +181,7 @@ def encode_file(
             sizes.extend(bsizes)
             if progress is not None:
                 progress(consumed, table_offset + 4 * num_blocks + written)
+        rt.join(timeout=5)
         if consumed != total_size or len(sizes) != num_blocks:
             raise ValueError(f"{src} changed size while encoding")
         fo.seek(table_offset)

@@ -59,6 +59,17 @@ def main():
     assert v2[4] == 2, "expected an LZTB v2 container"
     out2 = decode_blocks_mesh(v2, mesh=mesh)
     assert out2 == data, "pod v2 preset round-trip mismatch"
+
+    # pod-level v2 encode: preset broadcast across processes on the
+    # encode side too.  NB: no coordinator-only mesh calls here — every
+    # collective must run on every process (SPMD), so the check is
+    # byte-identity with the scalar container, not another decode.
+    v2pod = multihost.encode_blocks_pod(data, params, block_size=1 << 10,
+                                        preset_len=1 << 9)
+    if multihost.is_coordinator():
+        assert v2pod is not None and v2pod[4] == 2
+    else:
+        assert v2pod is None
     print(f"worker {process_id}: OK", flush=True)
 
 

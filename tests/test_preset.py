@@ -305,3 +305,26 @@ def test_native_eos_preset_decode():
     comp = s_enc(data, p, preset=preset)
     assert native.decode_stream(comp, p, -1, preset=preset) == data
     assert native.encode_stream(data, p, preset=preset) == comp
+
+
+@pytest.mark.parametrize("lc,lp,pb", [(0, 2, 1), (2, 1, 0), (8, 0, 4), (0, 4, 2)])
+def test_preset_nonzero_lp_pb_all_backends(lc, lp, pb):
+    """Preset position-context shifting must hold for lp/pb != defaults —
+    the coded-position arithmetic (pos - preset_len) feeds both the
+    posState and literal-position contexts on every backend."""
+    p = LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=1 << 13, fast_bytes=16)
+    data = _mixed(6_000, seed=40 + lc + lp + pb)
+    preset = _repetitive(1_500, seed=41)
+    comp = s_enc(data, p, preset=preset)
+    assert s_dec(comp, p, out_size=len(data), preset=preset) == data
+    native = _native_or_skip()
+    assert native.encode_stream(data, p, preset=preset) == comp
+    assert native.decode_stream(comp, p, len(data), preset=preset) == data
+    # device lanes: encode and decode with shifted contexts
+    from lzma_tpu.ops.device_decoder import decode_batch
+    from lzma_tpu.ops.device_encoder import encode_batch
+
+    (dev_stream,) = encode_batch([data], p, preset=preset)
+    assert s_dec(dev_stream, p, out_size=len(data), preset=preset) == data
+    (out,) = decode_batch([comp], p, [len(data)], preset=preset)
+    assert out == data

@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# AddressSanitizer sweep of the native runtime: builds an ASAN variant of
+# liblzma_tpu_native.so, runs every JAX-free test battery that exercises
+# it (golden configs, fuzzers incl. forged/corrupt containers, presets,
+# file streaming), then restores the optimized library.
+#
+# JAX device tests are excluded: XLA's compiler aborts under ASAN's
+# interceptors (deep MLIR recursion), unrelated to this library.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+LIB=lzma_tpu/runtime/liblzma_tpu_native.so
+ASAN_SO=$(g++ -print-file-name=libasan.so)
+TMP=$(mktemp -d)
+trap 'cp "$TMP/real.so" "$LIB" 2>/dev/null || true; touch "$LIB"; rm -rf "$TMP"' EXIT
+
+python -m lzma_tpu.runtime.build >/dev/null   # ensure the real lib exists
+cp "$LIB" "$TMP/real.so"
+g++ -O1 -g -std=c++17 -fPIC -shared -fsanitize=address \
+    -fno-omit-frame-pointer -pthread \
+    lzma_tpu/runtime/src/lzma_core.cpp -o "$LIB"
+touch -r lzma_tpu/runtime/src/lzma_core.cpp "$LIB"  # defeat mtime rebuild
+
+LD_PRELOAD="$ASAN_SO" ASAN_OPTIONS=detect_leaks=0 \
+python -m pytest -q -p no:cacheprovider \
+    tests/test_native.py tests/test_fuzz.py tests/test_golden_sizes.py \
+    tests/test_filestream.py tests/test_fileobj.py \
+    "tests/test_preset.py::test_native_matches_scalar" \
+    "tests/test_preset.py::test_container_v2_round_trip_native" \
+    "tests/test_preset.py::test_native_eos_preset_decode"
+echo "ASAN sweep clean"

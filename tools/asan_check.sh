@@ -29,3 +29,13 @@ python -m pytest -q -p no:cacheprovider \
     "tests/test_preset.py::test_container_v2_round_trip_native" \
     "tests/test_preset.py::test_native_eos_preset_decode"
 echo "ASAN sweep clean"
+
+# UBSan pass (signed-overflow/shift UB; unsigned range-coder wrap is defined)
+g++ -O1 -g -std=c++17 -fPIC -shared -fsanitize=undefined \
+    -fno-sanitize-recover=undefined -pthread \
+    lzma_tpu/runtime/src/lzma_core.cpp -o "$LIB"
+touch -r lzma_tpu/runtime/src/lzma_core.cpp "$LIB"
+LD_PRELOAD=$(g++ -print-file-name=libubsan.so) \
+python -m pytest -q -p no:cacheprovider \
+    tests/test_native.py tests/test_fuzz.py tests/test_golden_sizes.py
+echo "UBSan sweep clean"

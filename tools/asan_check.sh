@@ -39,3 +39,23 @@ LD_PRELOAD=$(g++ -print-file-name=libubsan.so) \
 python -m pytest -q -p no:cacheprovider \
     tests/test_native.py tests/test_fuzz.py tests/test_golden_sizes.py
 echo "UBSan sweep clean"
+
+# TSan pass over the threaded block codec (atomics-only work distribution)
+g++ -O1 -g -std=c++17 -fPIC -shared -fsanitize=thread -pthread \
+    lzma_tpu/runtime/src/lzma_core.cpp -o "$LIB"
+touch -r lzma_tpu/runtime/src/lzma_core.cpp "$LIB"
+LD_PRELOAD=$(g++ -print-file-name=libtsan.so) TSAN_OPTIONS="exitcode=66" \
+python - <<'PYEOF'
+from lzma_tpu.bench.datagen import generate_bench_data
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.runtime import native
+
+data = generate_bench_data(4 << 20)
+for mf, opt, ps in [("hc4", False, 0), ("bt4", True, 0), ("bt4", True, 1 << 16)]:
+    p = LzmaParams(dict_size=1 << 18, fast_bytes=16, match_finder=mf)
+    blob = native.encode_blocks(data, p, block_size=1 << 17, num_threads=4,
+                                optimal=opt, preset_len=ps)
+    assert native.decode_blocks(blob, num_threads=4) == data
+print("threaded round trips clean under TSan")
+PYEOF
+echo "TSan sweep clean"

@@ -95,9 +95,9 @@ def main():
         )
         results["native"] = rt
 
-        # fb=8 measured fastest round-trip for the greedy profile (sweep in
-        # MEASUREMENTS.md) at ~2% ratio cost vs fb=16
-        p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=8, match_finder="hc4")
+        # fast4 greedy fb=8: the measured speed/ratio knee of the fast
+        # profile (finder + fb + chain-depth sweeps in MEASUREMENTS.md)
+        p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=8, match_finder="fast4")
         blob, t_enc = timed(
             native.encode_blocks, data, p_fast, block_size=1 << 20,
             num_threads=0, optimal=False, repeat=3,
@@ -106,7 +106,7 @@ def main():
         assert crc32(out) == digest
         rt = corpus_size / (t_enc + t_dec) / 1e6
         log(
-            f"native hc4-grd: enc {corpus_size/t_enc/1e6:6.1f} MB/s  "
+            f"native fast4  : enc {corpus_size/t_enc/1e6:6.1f} MB/s  "
             f"dec {corpus_size/t_dec/1e6:6.1f} MB/s  rt {rt:6.1f} MB/s  "
             f"ratio {corpus_size/len(blob):.2f}"
         )

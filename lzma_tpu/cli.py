@@ -29,7 +29,7 @@ Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
   -lc{N}: set number of literal context bits - [0, 8], default: 3
   -lp{N}: set number of literal pos bits - [0, 4], default: 0
   -pb{N}: set number of pos bits - [0, 4], default: 2
-  -mf{MF_ID}: set Match Finder: [bt2, bt4, hc4], default: bt4
+  -mf{MF_ID}: set Match Finder: [bt2, bt4, hc4, fast4], default: bt4
   -eos:   write End Of Stream marker
   -backend{B}: scalar | native | tpu (default: native if built, else scalar)
   -bs{N}: block size (bytes) -> block-parallel LZTB container
@@ -87,7 +87,7 @@ class CommandLine:
                 mf = s[2:]
                 if mf == "bt4b":  # accepted alias, treated as bt4 (LzmaAlone.java:65-66)
                     mf = "bt4"
-                if mf not in ("bt2", "bt4", "hc4"):
+                if mf not in ("bt2", "bt4", "hc4", "fast4"):
                     return False
                 self.match_finder = mf
             elif s.startswith("t"):

@@ -51,9 +51,9 @@ from ..core.layout import (
 )
 from ..core.prices import INFINITY_PRICE, PRICE_TABLE, BIT_MODEL_TOTAL
 from ..core.rangecoder import RangeEncoder
-from ..format.properties import LzmaParams, MF_BT2, MF_BT4, MF_HC4
+from ..format.properties import LzmaParams, MF_BT2, MF_BT4, MF_FAST4, MF_HC4
 from ..match.bintree import BinTreeMatchFinder
-from ..match.hashchain import HashChainMatchFinder
+from ..match.hashchain import Fast4MatchFinder, HashChainMatchFinder
 
 _NUM_OPTS = 1 << 12          # Encoder.java:19
 _NUM_LEN_SYMBOLS = 272
@@ -130,7 +130,7 @@ class LzmaEncoder:
             mode = "optimal" if optimal else "greedy"
         if mode not in ("optimal", "lazy", "greedy"):
             raise ValueError(f"unknown parse mode: {mode}")
-        if mode == "optimal" and params.match_finder == MF_HC4:
+        if mode == "optimal" and params.match_finder in (MF_HC4, MF_FAST4):
             mode = "lazy"  # HC4 is the fast finder; pair it with the fast parse
         self.mode = mode
         self.optimal = mode == "optimal"
@@ -166,6 +166,8 @@ class LzmaEncoder:
             self.mf = BinTreeMatchFinder(buf, p.dict_size, self.fb, num_hash_bytes=2)
         elif p.match_finder == MF_BT4:
             self.mf = BinTreeMatchFinder(buf, p.dict_size, self.fb, num_hash_bytes=4)
+        elif p.match_finder == MF_FAST4:
+            self.mf = Fast4MatchFinder(buf, p.dict_size, self.fb)
         else:
             self.mf = HashChainMatchFinder(buf, p.dict_size, self.fb)
         if preset:

@@ -28,6 +28,7 @@ PROPS_SIZE = 5
 MF_BT2 = "bt2"
 MF_BT4 = "bt4"
 MF_HC4 = "hc4"   # fast hash-chain finder (ours; named in BASELINE.json configs)
+MF_FAST4 = "fast4"  # speed-profile chain finder: 4-byte mul-hash only (ours)
 
 DEFAULT_DICT_LOG = 22        # Encoder.java:26
 DEFAULT_FAST_BYTES = 0x20    # Encoder.java:27
@@ -58,7 +59,7 @@ class LzmaParams:
             raise ValueError(f"dict_size out of range 2^0..2^29: {self.dict_size}")
         if not (5 <= self.fast_bytes <= MATCH_MAX_LEN):
             raise ValueError(f"fast_bytes out of range 5..273: {self.fast_bytes}")
-        if self.match_finder not in (MF_BT2, MF_BT4, MF_HC4):
+        if self.match_finder not in (MF_BT2, MF_BT4, MF_HC4, MF_FAST4):
             raise ValueError(f"unknown match finder: {self.match_finder}")
         return self
 

@@ -154,3 +154,80 @@ class HashChainMatchFinder:
             chain[self.cyclic_pos] = hsh[self.fix_hash_size + hash_value]
             hsh[self.fix_hash_size + hash_value] = pos
             self._advance()
+
+
+class Fast4MatchFinder(HashChainMatchFinder):
+    """FAST4 — the speed-profile chain finder (ours, no reference analogue).
+
+    One multiplicative 4-byte hash, a 4-probe chain, candidates of length
+    >= 4 only (the greedy/lazy parse's rep distances cover 2..3).  Must
+    stay bit-identical to the native FAST4 (lzma_core.cpp MatchFinder)
+    because cross-backend tests pin encoder output.
+    """
+
+    CUT = 4
+
+    def __init__(self, buf: bytes, dict_size: int, match_max_len: int):
+        super().__init__(buf, dict_size, match_max_len)
+        self.cut_value = self.CUT
+        self.fix_hash_size = 0
+        self.hash = array("i", bytes(4 * (self.hash_mask + 1)))
+
+    def _hash4(self, pos: int) -> int:
+        v = int.from_bytes(self.buf[pos : pos + 4], "little")
+        return ((v * 2654435761) & 0xFFFFFFFF) >> 8 & self.hash_mask
+
+    def find_matches(self) -> list:
+        n, pos, buf = self.n, self.pos, self.buf
+        if pos + self.match_max_len <= n:
+            len_limit = self.match_max_len
+        else:
+            len_limit = n - pos
+            if len_limit < 4:
+                self._advance()
+                return []
+
+        match_min_pos = pos - self.cyclic_size if pos > self.cyclic_size else 0
+        hsh, chain = self.hash, self.chain
+        hv = self._hash4(pos)
+        cur_match = hsh[hv]
+        hsh[hv] = pos
+        chain[self.cyclic_pos] = cur_match
+
+        matches = []
+        max_len = 3  # chain candidates are 4-byte hashes; reps cover 2..3
+        count = self.cut_value
+        cyclic_size = self.cyclic_size
+        while cur_match > match_min_pos and count > 0:
+            count -= 1
+            delta = pos - cur_match
+            if max_len < len_limit and buf[cur_match + max_len] == buf[pos + max_len]:
+                length = 0
+                while length < len_limit and buf[cur_match + length] == buf[pos + length]:
+                    length += 1
+                if length > max_len:
+                    max_len = length
+                    matches.append([length, delta - 1])
+                    if length == len_limit:
+                        break
+            cyc = (
+                self.cyclic_pos - delta
+                if delta <= self.cyclic_pos
+                else self.cyclic_pos - delta + cyclic_size
+            )
+            cur_match = chain[cyc]
+        self._advance()
+        return matches
+
+    def skip(self, num: int):
+        n = self.n
+        hsh, chain = self.hash, self.chain
+        for _ in range(num):
+            pos = self.pos
+            if pos + 4 > n:
+                self._advance()
+                continue
+            hv = self._hash4(pos)
+            chain[self.cyclic_pos] = hsh[hv]
+            hsh[hv] = pos
+            self._advance()

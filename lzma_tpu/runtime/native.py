@@ -19,7 +19,7 @@ from ..format.properties import LzmaParams, decode_props
 from ..core.rangecoder import CorruptStreamError
 from ..parallel import blocks as blk
 
-_MF_INDEX = {"bt2": 0, "bt4": 1, "hc4": 2}
+_MF_INDEX = {"bt2": 0, "bt4": 1, "hc4": 2, "fast4": 3}
 _MODE_INDEX = {"greedy": 0, "optimal": 1, "lazy": 2}
 
 

@@ -281,7 +281,7 @@ class RangeDec {
 // Exact BT2/BT4 (BinTree.java:152-356) + HC4 chain walker, in-memory block.
 class MatchFinder {
  public:
-  enum Kind { BT2, BT4, HC4 };
+  enum Kind { BT2, BT4, HC4, FAST4 };
   const uint8_t* buf;
   int32_t n, pos = 0;
   int match_max_len, cut_value;
@@ -296,7 +296,10 @@ class MatchFinder {
 
   MatchFinder(const uint8_t* b, int32_t len, int32_t dict, int mml, Kind k)
       : buf(b), n(len), match_max_len(mml), kind(k) {
-    cut_value = (k == HC4) ? 8 + (mml >> 2) : 16 + (mml >> 1);
+    // FAST4's shallow chain is the measured speed/ratio knee (MEASUREMENTS.md).
+    cut_value = k == FAST4   ? 4
+                : k == HC4   ? 8 + (mml >> 2)
+                             : 16 + (mml >> 1);
     // When dict >= len the window never wraps, so the cyclic buffer only
     // needs len+1 slots — identical match behavior (match_min_pos stays 0,
     // cyclic_pos == pos in both sizings), but son[] shrinks from
@@ -309,6 +312,20 @@ class MatchFinder {
       min_match_check = 3;
       fix_hash_size = 0;
       hash.assign(1 << 16, 0);
+    } else if (k == FAST4) {
+      // Speed-profile hash-chain finder (ours — no reference analogue):
+      // one multiplicative 4-byte hash, no 2/3-byte sub-hash tables; short
+      // matches are covered by the rep distances in the greedy/lazy parse.
+      num_direct_bytes = 0;
+      min_match_check = 4;
+      fix_hash_size = 0;
+      uint32_t hs = (uint32_t)dict - 1;
+      hs |= hs >> 1; hs |= hs >> 2; hs |= hs >> 4; hs |= hs >> 8;
+      hs >>= 1;
+      hs |= 0xFFFF;
+      if (hs > (1u << 24)) hs >>= 1;
+      hash_mask = hs;
+      hash.assign((size_t)hs + 1, 0);
     } else {
       num_direct_bytes = 0;
       min_match_check = 4;
@@ -321,7 +338,15 @@ class MatchFinder {
       hash_mask = hs;
       hash.assign((size_t)hs + 1 + fix_hash_size, 0);
     }
-    son.assign(k == HC4 ? (size_t)cyclic_size : (size_t)cyclic_size * 2, 0);
+    son.assign(k == HC4 || k == FAST4 ? (size_t)cyclic_size
+                                      : (size_t)cyclic_size * 2, 0);
+  }
+
+  // 4-byte multiplicative hash for the FAST4 chain (Fibonacci constant).
+  inline uint32_t hash4_fast(int32_t p) const {
+    uint32_t v;
+    std::memcpy(&v, buf + p, 4);
+    return (v * 2654435761u >> 8) & hash_mask;
   }
 
   inline int32_t available() const { return n - pos; }
@@ -371,6 +396,42 @@ class MatchFinder {
     int max_len = 1;
     uint32_t hash_value;
     int32_t cur_match;
+
+    if (kind == FAST4) {
+      uint32_t hv = hash4_fast(pos);
+      cur_match = hash[hv];
+      hash[hv] = pos;
+      son[cyclic_pos] = cur_match;
+      if (pos + 5 < n) __builtin_prefetch(&hash[hash4_fast(pos + 1)]);
+      max_len = 3;  // chain candidates are 4-byte hashes; reps cover 2..3
+      int cnt = cut_value;
+      while (cur_match > match_min_pos && cnt-- > 0) {
+        int32_t delta = pos - cur_match;
+        if (max_len < len_limit &&
+            buf[cur_match + max_len] == buf[pos + max_len]) {
+          int len = first_diff(buf + pos, buf + cur_match, 0, len_limit);
+          if (len > max_len) {
+            max_len = len;
+            out[count_out * 2] = len;
+            out[count_out * 2 + 1] = delta - 1;
+            count_out++;
+            if (len == len_limit) break;
+          }
+        }
+        int32_t cyc = delta <= cyclic_pos ? cyclic_pos - delta
+                                          : cyclic_pos - delta + cyclic_size;
+        cur_match = son[cyc];
+        if (cur_match > match_min_pos) {
+          int32_t d2 = pos - cur_match;
+          int32_t c2 = d2 <= cyclic_pos ? cyclic_pos - d2
+                                        : cyclic_pos - d2 + cyclic_size;
+          __builtin_prefetch(&son[c2]);
+          __builtin_prefetch(buf + cur_match + max_len);
+        }
+      }
+      advance();
+      return count_out;
+    }
 
     if (kind != BT2) {
       uint32_t temp = T.crc[buf[pos]] ^ buf[pos + 1];
@@ -518,6 +579,14 @@ class MatchFinder {
       }
       int32_t match_min_pos = pos > cyclic_size ? pos - cyclic_size : 0;
       uint32_t hash_value;
+      if (kind == FAST4) {
+        uint32_t hv = hash4_fast(pos);
+        son[cyclic_pos] = hash[hv];
+        hash[hv] = pos;
+        if (pos + 5 < n) __builtin_prefetch(&hash[hash4_fast(pos + 1)], 1);
+        advance();
+        continue;
+      }
       if (kind != BT2) {
         uint32_t temp = T.crc[buf[pos]] ^ buf[pos + 1];
         hash[temp & (kHash2Size - 1)] = pos;
@@ -604,9 +673,9 @@ struct EncParams {
   int lc = 3, lp = 0, pb = 2;
   uint32_t dict_size = 1u << 22;
   int fb = 32;
-  int mf = 1;        // 0=bt2 1=bt4 2=hc4
+  int mf = 1;        // 0=bt2 1=bt4 2=hc4 3=fast4
   int eos = 0;
-  int optimal = 1;   // hc4 forces greedy
+  int optimal = 1;   // hash-chain finders force lazy
 };
 
 class Encoder {
@@ -645,7 +714,7 @@ class Encoder {
     int log = 0;
     while (P.dict_size > (1u << log)) log++;
     dist_table_size = log * 2;
-    if (P.mf == 2 && P.optimal == 1) P.optimal = 2;
+    if (P.mf >= 2 && P.optimal == 1) P.optimal = 2;  // hash-chain finders: lazy
   }
   ~Encoder() { delete mf; }
 
@@ -1397,8 +1466,10 @@ class Encoder {
     rc.out = out;
     delete mf;
     mf = new MatchFinder(data, (int32_t)n, (int32_t)P.dict_size, P.fb,
-                         P.mf == 0 ? MatchFinder::BT2
-                                   : (P.mf == 2 ? MatchFinder::HC4 : MatchFinder::BT4));
+                         P.mf == 0   ? MatchFinder::BT2
+                         : P.mf == 2 ? MatchFinder::HC4
+                         : P.mf == 3 ? MatchFinder::FAST4
+                                     : MatchFinder::BT4);
     if (preset_len > 0 && (size_t)mf->available() >= preset_len)
       mf->skip((int)preset_len);  // insert the preset positions
     state = 0;

@@ -29,7 +29,7 @@ def _data(kind="text", n=20000):
     return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
 
 
-@pytest.mark.parametrize("mf", ["bt4", "bt2", "hc4"])
+@pytest.mark.parametrize("mf", ["bt4", "bt2", "hc4", "fast4"])
 @pytest.mark.parametrize("eos", [False, True])
 def test_roundtrip_all_finders(mf, eos):
     data = _data("lz")

@@ -23,7 +23,7 @@ def _random_params(rng):
         pb=int(rng.integers(0, 5)),
         dict_size=1 << int(rng.integers(0, 22)),
         fast_bytes=int(rng.integers(5, 274)),
-        match_finder=["bt2", "bt4", "hc4"][int(rng.integers(0, 3))],
+        match_finder=["bt2", "bt4", "hc4", "fast4"][int(rng.integers(0, 4))],
         write_eos=bool(rng.integers(0, 2)),
     )
 

@@ -110,7 +110,7 @@ def test_native_golden_parity_full_sweep(name):
 
 
 @pytest.mark.parametrize("mode", ["greedy", "lazy", "optimal"])
-@pytest.mark.parametrize("mf", ["bt4", "hc4"])
+@pytest.mark.parametrize("mf", ["bt4", "hc4", "fast4"])
 def test_native_modes_match_scalar(mode, mf):
     data = _data(40_000, seed=21)
     p = LzmaParams(dict_size=1 << 14, fast_bytes=32, match_finder=mf)

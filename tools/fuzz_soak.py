@@ -25,7 +25,7 @@ while time.time() < t_end:
     p = LzmaParams(lc=lc, lp=lp, pb=pb,
                    dict_size=1 << int(rng.integers(0, 22)),
                    fast_bytes=int(rng.integers(5, 274)),
-                   match_finder=["bt2", "bt4", "hc4"][int(rng.integers(0, 3))],
+                   match_finder=["bt2", "bt4", "hc4", "fast4"][int(rng.integers(0, 4))],
                    write_eos=bool(rng.integers(0, 2)))
     kind = int(rng.integers(0, 4))
     n = int(rng.integers(0, 60000))

@@ -69,12 +69,17 @@ def decompress(data: bytes) -> bytes:
 
 def compress_file(src, dst, params: LzmaParams | None = None,
                   block_size: int = 1 << 20, num_threads: int = 0,
-                  preset_len: int = 0, **kw) -> int:
-    """Stream-compress a file into an LZTB block container with O(batch)
-    memory — the large-file counterpart of :func:`compress` (the
-    reference's streaming InWindow design, realized as block parallelism).
-    `preset_len` shares the file's first bytes as a dictionary for every
-    block after block 0 (LZTB v2).  Returns the container size."""
+                  preset_len: int = 0, container: str = "lztb", **kw) -> int:
+    """Stream-compress a file with constant memory.  Returns the container
+    size in bytes.
+
+    container="lztb" (default): block-parallel LZTB container, O(batch)
+    memory, all host threads; `preset_len` shares the file's first bytes
+    as a dictionary for every block after block 0 (LZTB v2).
+    container="alone": one `.lzma` (LZMA_Alone) single stream, O(dict)
+    memory via the native sliding window — the reference's own container,
+    decodable by stock liblzma and best compression ratio (no block
+    boundaries)."""
     from .parallel import filestream
 
     if params is not None and kw:
@@ -82,6 +87,12 @@ def compress_file(src, dst, params: LzmaParams | None = None,
             f"pass either params= or keyword overrides, not both: {sorted(kw)}"
         )
     params = params or (LzmaParams(**kw) if kw else None)
+    if container == "alone":
+        if preset_len:
+            raise ValueError("preset_len applies to the LZTB container only")
+        return filestream.encode_file_alone(src, dst, params)
+    if container != "lztb":
+        raise ValueError(f"unknown container: {container!r}")
     return filestream.encode_file(
         src, dst, params, block_size=block_size, num_threads=num_threads,
         preset_len=preset_len,
@@ -114,18 +125,31 @@ def open(path, mode: str = "rb", **kw):  # noqa: A001 - mirrors lzma.open
 
 
 def decompress_file(src, dst, num_threads: int = 0) -> int:
-    """Stream-decompress an LZTB container file (or an in-memory `.lzma`
-    single stream) to `dst`.  Returns the decompressed size."""
+    """Stream-decompress a compressed file to `dst` with constant memory:
+    LZTB containers decode block-parallel with O(batch) memory, `.lzma`
+    (LZMA_Alone) single streams decode through the native runtime's
+    circular window with O(dict) memory.  Returns the decompressed size."""
     import builtins
 
     # NB: this module defines `open` (the streaming file-object API), so
     # plain file IO here must name the builtin explicitly
     with builtins.open(src, "rb") as f:
         magic = f.read(4)
-    if magic == b"LZTB":
-        from .parallel import filestream
+    from .parallel import filestream
 
+    if magic == b"LZTB":
         return filestream.decode_file(src, dst, num_threads=num_threads)
+    try:
+        return filestream.decode_file_alone(src, dst)
+    except Exception as e:
+        from .core.rangecoder import CorruptStreamError
+        from .runtime.native import NativeUnavailable
+
+        if isinstance(e, CorruptStreamError):
+            raise
+        if not isinstance(e, NativeUnavailable):
+            raise
+    # no compiler: whole-buffer scalar fallback (small files only)
     with builtins.open(src, "rb") as f:
         out = decompress(f.read())
     with builtins.open(dst, "wb") as f:

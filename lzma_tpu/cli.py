@@ -240,6 +240,26 @@ def main(argv=None) -> int:
             if not cmd.quiet:
                 print(f"e: {in_size} -> {out_size} bytes [stream]")
             return 0
+        if cmd.command == "e" and not cmd.block_size \
+                and cmd.backend in (None, "native"):
+            # single .lzma stream: O(dict)-memory sliding-window encode
+            # (byte-identical to the in-memory path)
+            from .runtime.native import NativeUnavailable
+
+            try:
+                from .parallel import filestream
+
+                params = cmd.params().validated_for_encode()
+                mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
+                in_size = os.path.getsize(cmd.in_file)
+                out_size = filestream.encode_file_alone(
+                    cmd.in_file, cmd.out_file, params, mode=mode
+                )
+                if not cmd.quiet:
+                    print(f"e: {in_size} -> {out_size} bytes [stream]")
+                return 0
+            except NativeUnavailable:
+                pass  # scalar in-memory fallback below
         if cmd.command == "d" and cmd.backend in (None, "native"):
             with open(cmd.in_file, "rb") as f:
                 magic = f.read(4)
@@ -253,6 +273,25 @@ def main(argv=None) -> int:
                 if not cmd.quiet:
                     print(f"d: {in_size} -> {out_size} bytes [stream]")
                 return 0
+            # single .lzma stream: O(dict)-memory circular-window decode
+            from .core.rangecoder import CorruptStreamError
+            from .runtime.native import NativeUnavailable
+
+            try:
+                from .parallel import filestream
+
+                in_size = os.path.getsize(cmd.in_file)
+                out_size = filestream.decode_file_alone(
+                    cmd.in_file, cmd.out_file
+                )
+                if not cmd.quiet:
+                    print(f"d: {in_size} -> {out_size} bytes [stream]")
+                return 0
+            except NativeUnavailable:
+                pass
+            except CorruptStreamError as e:
+                print(f"error: {e}")
+                return 1
     except OSError as e:
         print(f"error: {e.strerror}: {e.filename}")
         return 1

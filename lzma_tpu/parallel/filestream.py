@@ -250,3 +250,78 @@ def decode_file(
         if done != total_size:
             raise CorruptStreamError("decoded size mismatch")
     return done
+
+
+# --- .lzma (LZMA_Alone) single-stream file codec ---------------------------
+# The reference's own container and operating mode: one stream, O(dict)
+# resident memory via the native runtime's sliding InWindow / circular
+# OutWindow equivalents (lzt_encode_stream / lzt_decode_stream).  The LZTB
+# paths above scale across threads; these produce/consume files that stock
+# liblzma and the reference CLI understand (LzmaAlone.java:208-239).
+
+def encode_file_alone(src, dst, params: LzmaParams | None = None,
+                      optimal: bool = True, mode: str | None = None,
+                      progress=None, chunk: int = 1 << 20) -> int:
+    """Stream-encode file `src` into a `.lzma` (LZMA_Alone) file at `dst`
+    with O(dict) memory.  With params.write_eos the size field is -1 and
+    an end-of-stream marker is written (the reference CLI's -eos mode).
+    Returns the container size in bytes."""
+    params = (params or LzmaParams()).validated_for_encode()
+    from ..runtime import native
+
+    total = os.path.getsize(src)
+    size_field = (
+        0xFFFFFFFFFFFFFFFF if params.write_eos else total & 0xFFFFFFFFFFFFFFFF
+    )
+    state = {"in": 0, "out": 13}
+    with open(src, "rb") as fi, open(dst, "wb") as fo:
+        fo.write(params.encode_props() + size_field.to_bytes(8, "little"))
+
+        def read(cap: int) -> bytes:
+            b = fi.read(min(cap, chunk))
+            state["in"] += len(b)
+            return b
+
+        def write(b: bytes) -> None:
+            fo.write(b)
+            state["out"] += len(b)
+            if progress is not None:
+                progress(state["in"], state["out"])
+
+        native.encode_stream_io(read, write, params, optimal=optimal,
+                                mode=mode)
+    return state["out"]
+
+
+def decode_file_alone(src, dst, progress=None, chunk: int = 1 << 20) -> int:
+    """Stream-decode a `.lzma` (LZMA_Alone) file to `dst` in
+    max(dict,4K)+chunk memory; handles both known-size and EOS-terminated
+    (size field -1) containers.  Returns the decoded size in bytes."""
+    from ..format.properties import decode_props
+    from ..runtime import native
+
+    state = {"in": 13, "out": 0}
+    with open(src, "rb") as fi, open(dst, "wb") as fo:
+        head = fi.read(13)
+        if len(head) < 13:
+            raise CorruptStreamError(".lzma input too short")
+        params = decode_props(head[:5])
+        out_size = int.from_bytes(head[5:13], "little")
+        eos = out_size == 0xFFFFFFFFFFFFFFFF
+        if not eos and out_size > (1 << 62):
+            raise CorruptStreamError("implausible .lzma size field")
+
+        def read(cap: int) -> bytes:
+            b = fi.read(min(cap, chunk))
+            state["in"] += len(b)
+            return b
+
+        def write(b: bytes) -> None:
+            fo.write(b)
+            state["out"] += len(b)
+            if progress is not None:
+                progress(state["in"], state["out"])
+
+        n = native.decode_stream_io(read, write, params,
+                                    -1 if eos else out_size)
+    return int(n)

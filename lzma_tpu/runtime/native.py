@@ -63,6 +63,18 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.lzt_encode_stream.restype = ctypes.c_int64
+    lib.lzt_encode_stream.argtypes = [
+        _READCB, ctypes.c_void_p, _WRITECB, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.lzt_decode_stream.restype = ctypes.c_int64
+    lib.lzt_decode_stream.argtypes = [
+        _READCB, ctypes.c_void_p, _WRITECB, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int64,
+    ]
     lib.lzt_encode_blocks.restype = ctypes.c_int64
     lib.lzt_encode_blocks.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -181,6 +193,88 @@ def available() -> bool:
 #: (like the reference's int positions, BinTree.java:19); larger inputs
 #: go through the block APIs, which is also the faster path for them
 MAX_STREAM = (1 << 31) - (1 << 20)
+
+
+# callback signatures for the O(window) streaming codec
+_READCB = ctypes.CFUNCTYPE(ctypes.c_int64, ctypes.c_void_p,
+                           ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64)
+_WRITECB = ctypes.CFUNCTYPE(ctypes.c_int64, ctypes.c_void_p,
+                            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64)
+
+
+def _stream_cbs(read, write):
+    """Wrap Python `read(cap)->bytes` / `write(bytes)` as C callbacks.
+
+    Exceptions raised inside a callback must not unwind through C; they
+    are stashed and re-raised after the native call returns.
+    """
+    errors: list[BaseException] = []
+
+    def _read(_ctx, buf, cap):
+        try:
+            b = read(int(cap))
+            if not b:
+                return 0
+            if len(b) > cap:
+                b = b[:cap]
+            ctypes.memmove(buf, b, len(b))
+            return len(b)
+        except BaseException as e:  # noqa: BLE001 - re-raised by caller
+            errors.append(e)
+            return -1
+
+    def _write(_ctx, buf, ln):
+        try:
+            write(ctypes.string_at(buf, int(ln)))
+            return int(ln)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+            return -1
+
+    return _READCB(_read), _WRITECB(_write), errors
+
+
+def encode_stream_io(read, write, params: LzmaParams, optimal: bool = True,
+                     mode: str | None = None) -> int:
+    """Stream-encode `read(cap)->bytes` (b'' = EOF) into `write(bytes)`.
+
+    O(dict) resident memory, unbounded input length (the native finder
+    rebases its window positions every 2^30 bytes) — the reference's
+    primary InputStream->OutputStream operating mode (InWindow.java:24-63).
+    Output is byte-identical to encode_stream on the same bytes.  Returns
+    the number of compressed bytes written.
+    """
+    params = params.validated_for_encode()
+    lib = _lib()
+    rcb, wcb, errors = _stream_cbs(read, write)
+    n = lib.lzt_encode_stream(
+        rcb, None, wcb, None, params.lc, params.lp, params.pb,
+        params.dict_size, params.fast_bytes, _MF_INDEX[params.match_finder],
+        1 if params.write_eos else 0, _mode_flag(optimal, mode),
+    )
+    if errors:
+        raise errors[0]
+    if n < 0:
+        raise ValueError(f"native stream encode failed: {n}")
+    return int(n)
+
+
+def decode_stream_io(read, write, params: LzmaParams, out_size: int) -> int:
+    """Stream-decode `read(cap)->bytes` into `write(bytes)` in
+    max(dict,4K)+chunk memory (the reference's circular OutWindow,
+    OutWindow.java:41-67).  out_size < 0 decodes until the EOS marker.
+    Returns the number of decoded bytes."""
+    lib = _lib()
+    rcb, wcb, errors = _stream_cbs(read, write)
+    n = lib.lzt_decode_stream(
+        rcb, None, wcb, None, params.lc, params.lp, params.pb,
+        params.dict_size, out_size,
+    )
+    if errors:
+        raise errors[0]
+    if n < 0:
+        raise CorruptStreamError(f"native stream decode failed: {n}")
+    return int(n)
 
 
 def encode_stream(data: bytes, params: LzmaParams, optimal: bool = True,

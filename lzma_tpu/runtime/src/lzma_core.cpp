@@ -209,27 +209,60 @@ class RangeEnc {
   }
 };
 
-class RangeDec {
- public:
-  const uint8_t* data;
-  size_t pos, end;
-  uint32_t range = 0xFFFFFFFFu, code = 0;
+// Byte sources for the range decoder: flat in-memory buffer (the block
+// decode hot path) and a callback-fed chunk buffer (the O(window)
+// streaming path — the analogue of the reference's InputStream reads,
+// InWindow.java:38-63 / Decoder.java:202).
+struct FlatSource {
+  const uint8_t* data = nullptr;
+  size_t pos = 0, end = 0;
   int overrun = 0;
-  bool init(const uint8_t* d, size_t start, size_t e) {
-    data = d;
-    pos = start;
-    end = e;
-    range = 0xFFFFFFFFu;
-    code = 0;
-    overrun = 0;
-    for (int i = 0; i < 5; i++) code = (code << 8) | next_byte();
-    return overrun == 0;
-  }
   inline uint8_t next_byte() {
     if (pos < end) return data[pos++];
     overrun++;
     return 0;
   }
+};
+
+// read_cb(ctx, buf, cap) -> bytes read (0 = EOF, <0 = error)
+typedef int64_t (*lzt_read_cb)(void*, uint8_t*, int64_t);
+// write_cb(ctx, buf, len) -> len on success, anything else = error
+typedef int64_t (*lzt_write_cb)(void*, const uint8_t*, int64_t);
+
+struct CallbackSource {
+  lzt_read_cb cb = nullptr;
+  void* ctx = nullptr;
+  std::vector<uint8_t> buf;
+  size_t pos = 0, end = 0;
+  int overrun = 0;
+  bool io_error = false;
+  inline uint8_t next_byte() {
+    if (pos == end) {
+      int64_t n = cb(ctx, buf.data(), (int64_t)buf.size());
+      if (n <= 0) {
+        if (n < 0) io_error = true;
+        overrun++;
+        return 0;
+      }
+      pos = 0;
+      end = (size_t)n;
+    }
+    return buf[pos++];
+  }
+};
+
+template <class Source>
+class RangeDecT {
+ public:
+  Source src;
+  uint32_t range = 0xFFFFFFFFu, code = 0;
+  void start() {
+    range = 0xFFFFFFFFu;
+    code = 0;
+    for (int i = 0; i < 5; i++) code = (code << 8) | src.next_byte();
+  }
+  inline uint8_t next_byte() { return src.next_byte(); }
+  int overrun() const { return src.overrun; }
   inline int decode_bit(uint16_t* probs, int idx) {
     // Branchless mirror of RangeEnc::encode_bit: the decoded bit IS the
     // data, so `code < bound` is inherently unpredictable.
@@ -277,6 +310,8 @@ class RangeDec {
   }
 };
 
+using RangeDec = RangeDecT<FlatSource>;
+
 // ---------------------------------------------------------- match finders
 // Exact BT2/BT4 (BinTree.java:152-356) + HC4 chain walker, in-memory block.
 class MatchFinder {
@@ -293,6 +328,27 @@ class MatchFinder {
   std::vector<int32_t> hash, son;
   static constexpr int kHash2Size = 1 << 10, kHash3Size = 1 << 16;
   static constexpr int kHash3Offset = kHash2Size;
+
+  // --- streaming mode (the reference's InWindow: ReadBlock refills from
+  // the stream, MoveBlock compacts in place, Normalize rebases tree links
+  // every ~2^30 positions — InWindow.java:24-63, BinTree.java:358-375).
+  // Positions stay GLOBAL stream offsets; `buf` is kept as the shifted
+  // base pointer owned.data() - win_start so all flat-mode indexing code
+  // works unchanged.
+  bool stream_mode = false;
+  bool eof = true;
+  bool read_error = false;
+  lzt_read_cb rcb = nullptr;
+  void* rctx = nullptr;
+  std::vector<uint8_t> owned;
+  int32_t win_start = 0;  // global position of owned[0]
+  int32_t keep_before = 0, keep_after = 0;
+// Position-rebase threshold; tests override it (-DLZT_NORMALIZE_LIMIT=...)
+// to exercise normalize() without gigabyte streams.
+#ifndef LZT_NORMALIZE_LIMIT
+#define LZT_NORMALIZE_LIMIT (1 << 30)
+#endif
+  static constexpr int32_t kNormalizeLimit = LZT_NORMALIZE_LIMIT;
 
   MatchFinder(const uint8_t* b, int32_t len, int32_t dict, int mml, Kind k)
       : buf(b), n(len), match_max_len(mml), kind(k) {
@@ -349,6 +405,79 @@ class MatchFinder {
     return (v * 2654435761u >> 8) & hash_mask;
   }
 
+  // Streaming constructor: the window is fed by read_cb; the cyclic buffer
+  // is dict-sized (the stream length is unknown, so the never-wraps clamp
+  // of the flat constructor does not apply — this matches the reference's
+  // dict-sized BinTree exactly, BinTree.java:93-134).
+  MatchFinder(lzt_read_cb cb, void* ctx, int32_t dict, int mml, Kind k)
+      : MatchFinder(nullptr, 0, dict, mml, k) {
+    // delegate computed hash sizing/cut from a zero-length flat view, then
+    // rebuild the window geometry for streaming
+    cyclic_size = dict + 1;
+    son.assign(kind == HC4 || kind == FAST4 ? (size_t)cyclic_size
+                                            : (size_t)cyclic_size * 2, 0);
+    stream_mode = true;
+    eof = false;
+    rcb = cb;
+    rctx = ctx;
+    keep_before = cyclic_size + kNumOpts + 512;
+    keep_after = match_max_len + 1024;
+    size_t chunk = 1 << 20;
+    owned.assign((size_t)keep_before + (size_t)keep_after + chunk, 0);
+    win_start = 0;
+    n = 0;
+    buf = owned.data();
+    refill();
+  }
+
+  void refill() {
+    // compact: keep [pos - keep_before, n) at the front of `owned`
+    int32_t keepb = pos - win_start < keep_before ? pos - win_start : keep_before;
+    int32_t new_start = pos - keepb;
+    if (new_start > win_start) {
+      std::memmove(owned.data(), owned.data() + (size_t)(new_start - win_start),
+                   (size_t)(n - new_start));
+      win_start = new_start;
+    }
+    while (!eof) {
+      size_t filled = (size_t)(n - win_start);
+      size_t cap = owned.size() - filled;
+      if (cap == 0) break;
+      int64_t got = rcb(rctx, owned.data() + filled, (int64_t)cap);
+      if (got < 0) {
+        read_error = true;
+        eof = true;
+        break;
+      }
+      if (got == 0) {
+        eof = true;
+        break;
+      }
+      n += (int32_t)got;
+    }
+    // shifted base: buf[global_pos] == owned[global_pos - win_start]
+    // signed shift: win_start may be negative after a normalize() rebase
+    buf = (const uint8_t*)((intptr_t)owned.data() - (intptr_t)win_start);
+  }
+
+  // Rebase all positions so they never overflow int32 (BinTree.Normalize,
+  // BinTree.java:358-375): subtract `sub` from every live link; dead links
+  // (<= sub, i.e. outside the window) clamp to 0, the empty marker.
+  void normalize() {
+    int32_t sub = pos - cyclic_size - 1;
+    if (sub <= 0) return;
+    auto reduce = [sub](std::vector<int32_t>& v) {
+      for (auto& x : v) x = x <= sub ? 0 : x - sub;
+    };
+    reduce(hash);
+    reduce(son);
+    pos -= sub;
+    n -= sub;
+    win_start -= sub;
+    // signed shift: win_start may be negative after a normalize() rebase
+    buf = (const uint8_t*)((intptr_t)owned.data() - (intptr_t)win_start);
+  }
+
   inline int32_t available() const { return n - pos; }
   inline uint8_t get_byte(int off) const { return buf[pos + off]; }
 
@@ -377,6 +506,10 @@ class MatchFinder {
   inline void advance() {
     if (++cyclic_pos >= cyclic_size) cyclic_pos = 0;
     pos++;
+    if (stream_mode) {  // predictable not-taken branch on the flat hot path
+      if (pos >= kNormalizeLimit) normalize();
+      if (!eof && n - pos < keep_after) refill();
+    }
   }
 
   // returns count of (len,dist) pairs in out[2*i], out[2*i+1]
@@ -1455,25 +1588,71 @@ class Encoder {
     rc.encode_tree_rev(probs.data(), L.align_, kNumAlignBits, (int)(reduced & kAlignMask));
   }
 
+  MatchFinder::Kind finder_kind() const {
+    return P.mf == 0   ? MatchFinder::BT2
+           : P.mf == 2 ? MatchFinder::HC4
+           : P.mf == 3 ? MatchFinder::FAST4
+                       : MatchFinder::BT4;
+  }
+
   // `data` spans preset||payload; only data[preset_len..n) is coded.  The
   // preset primes the dictionary: matches and literal context may reach
   // into it, position contexts start at 0 at the first coded byte, and
   // the first byte is NOT force-coded as a literal (history exists).
   void encode(const uint8_t* data, size_t n, std::vector<uint8_t>* out,
               size_t preset_len = 0) {
+    delete mf;
+    mf = new MatchFinder(data, (int32_t)n, (int32_t)P.dict_size, P.fb,
+                         finder_kind());
+    run_encode(out, preset_len, preset_len ? data[preset_len - 1] : 0,
+               [] { return true; });
+  }
+
+  // Streaming encode: input refills through the finder's read callback
+  // (InWindow.ReadBlock semantics), output drains through write_cb at the
+  // additional_offset==0 seam (the reference's 4096-byte progress seam,
+  // Encoder.java:929-933) so resident memory is O(dict), not O(input).
+  // Bit-identical to the flat path byte-for-byte.  Returns bytes written
+  // or -10 (write failed) / -11 (read failed).
+  int64_t encode_streaming(lzt_read_cb rcb, void* rctx, lzt_write_cb wcb,
+                           void* wctx) {
+    delete mf;
+    mf = new MatchFinder(rcb, rctx, (int32_t)P.dict_size, P.fb, finder_kind());
+    std::vector<uint8_t> out;
+    out.reserve(1 << 21);
+    bool write_failed = false;
+    int64_t written = 0;
+    auto drain = [&](bool force) {
+      if (write_failed) return false;
+      if (force || out.size() >= (1u << 20)) {
+        if (!out.empty() &&
+            wcb(wctx, out.data(), (int64_t)out.size()) != (int64_t)out.size())
+          write_failed = true;
+        written += (int64_t)out.size();
+        out.clear();
+      }
+      return !write_failed && !mf->read_error;
+    };
+    run_encode(&out, 0, 0, [&] { return drain(false); });
+    if (mf->read_error) return -11;
+    drain(true);
+    if (write_failed) return -10;
+    return written;
+  }
+
+  // Shared encode loop; `seam()` runs whenever the coder catches up with
+  // the match finder (additional_offset == 0) and aborts the loop when it
+  // returns false.
+  template <class Seam>
+  void run_encode(std::vector<uint8_t>* out, size_t preset_len,
+                  uint8_t prev_init, Seam&& seam) {
     probs.assign(L.size, kProbInit);
     rc = RangeEnc();
     rc.out = out;
-    delete mf;
-    mf = new MatchFinder(data, (int32_t)n, (int32_t)P.dict_size, P.fb,
-                         P.mf == 0   ? MatchFinder::BT2
-                         : P.mf == 2 ? MatchFinder::HC4
-                         : P.mf == 3 ? MatchFinder::FAST4
-                                     : MatchFinder::BT4);
     if (preset_len > 0 && (size_t)mf->available() >= preset_len)
       mf->skip((int)preset_len);  // insert the preset positions
     state = 0;
-    prev_byte = preset_len ? data[preset_len - 1] : 0;
+    prev_byte = prev_init;
     for (int i = 0; i < kNumRepDistances; i++) rep_dist[i] = 0;
     now_pos = 0;
     additional_offset = 0;
@@ -1523,6 +1702,7 @@ class Encoder {
             if (match_price_count >= (1 << 7)) fill_dist_prices();
             if (align_price_count >= kAlignTableSize) fill_align_prices();
           }
+          if (!seam()) return;
           if (mf->available() == 0) break;
         }
       }
@@ -1704,7 +1884,10 @@ int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
   std::vector<uint16_t> probs(L.size, kProbInit);
   uint16_t* pr = probs.data();
   RangeDec rc;
-  rc.init(comp, 0, comp_len);
+  rc.src.data = comp;
+  rc.src.pos = 0;
+  rc.src.end = comp_len;
+  rc.start();
   uint32_t dict_check = dict_size < 1 ? 1 : dict_size;
   int pos_state_mask = L.pos_state_mask();
   int state = 0;
@@ -1717,7 +1900,7 @@ int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
     return i >= 0 ? out[i] : preset[(int64_t)preset_len + i];
   };
   while (now < out_size) {
-    if (rc.overrun > 32) return -2;
+    if (rc.src.overrun > 32) return -2;
     int ps = (int)(now & pos_state_mask);
     if (rc.decode_bit(pr, L.is_match + (state << kNumPosStatesBitsMax) + ps) == 0) {
       int sub = L.lit_sub((uint32_t)now, prev);
@@ -1844,6 +2027,226 @@ int64_t decode_block(const uint8_t* comp, size_t comp_len, int lc, int lp,
   return 0;
 }
 
+// --- O(window) streaming single-stream decode ------------------------------
+// The reference decodes arbitrarily large streams in O(dict) memory through
+// a circular OutWindow that flushes to the OutputStream when it wraps
+// (OutWindow.java:15-82, 41-51) and InputStream-fed range-decoder reads
+// (Decoder.java:202).  This is that capability for the native runtime:
+// `read_cb` feeds compressed bytes, `write_cb` drains decoded bytes, and
+// resident memory is max(dict_size, 4K) + one input chunk.  out_size < 0
+// decodes until the EOS marker (Decoder.java:219 outSize<0 mode).
+// Returns total decoded bytes, or: -2 input truncated, -3 forged distance,
+// -4 distance past history, -5 match past requested size, -9 premature EOS,
+// -10 write callback failed, -11 read callback failed, -12 bad dict size.
+int64_t decode_stream_ring(lzt_read_cb read_cb, void* rctx,
+                           lzt_write_cb write_cb, void* wctx, int lc, int lp,
+                           int pb, uint32_t dict_size, int64_t out_size,
+                           const uint8_t* preset = nullptr,
+                           size_t preset_len = 0) {
+  if (dict_size < 1 || dict_size > (1u << 30)) return -12;
+  size_t W = dict_size > 4096 ? dict_size : 4096;
+  std::vector<uint8_t> window(W);
+  size_t wpos = 0, flush_from = 0;
+  if (preset_len > 0) {
+    size_t tail = preset_len < W ? preset_len : W;
+    std::memcpy(window.data(), preset + (preset_len - tail), tail);
+    wpos = tail == W ? 0 : tail;
+    flush_from = wpos;
+  }
+  bool write_failed = false;
+  auto flush = [&](size_t upto) {
+    if (write_failed || upto == flush_from) return;
+    int64_t len = (int64_t)(upto - flush_from);
+    if (write_cb(wctx, window.data() + flush_from, len) != len)
+      write_failed = true;
+    flush_from = upto;
+  };
+
+  Layout L(lc, lp, pb);
+  std::vector<uint16_t> probs(L.size, kProbInit);
+  uint16_t* pr = probs.data();
+  RangeDecT<CallbackSource> rc;
+  rc.src.cb = read_cb;
+  rc.src.ctx = rctx;
+  rc.src.buf.resize(1 << 18);
+  rc.start();
+  uint32_t dict_check = dict_size;
+  int pos_state_mask = L.pos_state_mask();
+  int state = 0;
+  uint32_t rep0 = 0, rep1 = 0, rep2 = 0, rep3 = 0;
+  int64_t total = 0;
+  uint8_t prev = preset_len ? preset[preset_len - 1] : 0;
+  auto hist_byte = [&](uint32_t dist) -> uint8_t {
+    size_t i = wpos >= (size_t)dist + 1 ? wpos - dist - 1 : wpos - dist - 1 + W;
+    return window[i];
+  };
+  auto put_byte = [&](uint8_t b) {
+    window[wpos++] = b;
+    if (wpos == W) {
+      flush(W);
+      wpos = 0;
+      flush_from = 0;
+    }
+  };
+  while (out_size < 0 || total < out_size) {
+    if (rc.src.overrun > 32) return -2;
+    if (rc.src.io_error) return -11;
+    if (write_failed) return -10;
+    int ps = (int)((uint32_t)total & pos_state_mask);
+    if (rc.decode_bit(pr, L.is_match + (state << kNumPosStatesBitsMax) + ps) == 0) {
+      int sub = L.lit_sub((uint32_t)total, prev);
+      unsigned symbol = 1;
+      if (state < 7) {
+        do symbol = (symbol << 1) | rc.decode_bit(pr, sub + symbol);
+        while (symbol < 0x100);
+      } else {
+        unsigned match_byte = hist_byte(rep0);
+        do {
+          unsigned match_bit = (match_byte >> 7) & 1;
+          match_byte = (match_byte << 1) & 0xFF;
+          unsigned bit = rc.decode_bit(pr, sub + ((1 + match_bit) << 8) + symbol);
+          symbol = (symbol << 1) | bit;
+          if (match_bit != bit) {
+            while (symbol < 0x100)
+              symbol = (symbol << 1) | rc.decode_bit(pr, sub + symbol);
+            break;
+          }
+        } while (symbol < 0x100);
+      }
+      prev = (uint8_t)symbol;
+      put_byte(prev);
+      total++;
+      state = next_lit(state);
+      continue;
+    }
+    int length;
+    if (rc.decode_bit(pr, L.is_rep + state) == 1) {
+      length = 0;
+      if (rc.decode_bit(pr, L.is_rep_g0 + state) == 0) {
+        if (rc.decode_bit(pr, L.is_rep0_long + (state << kNumPosStatesBitsMax) + ps) == 0) {
+          state = next_srep(state);
+          length = 1;
+        }
+      } else {
+        uint32_t distance;
+        if (rc.decode_bit(pr, L.is_rep_g1 + state) == 0) {
+          distance = rep1;
+        } else {
+          if (rc.decode_bit(pr, L.is_rep_g2 + state) == 0) {
+            distance = rep2;
+          } else {
+            distance = rep3;
+            rep3 = rep2;
+          }
+          rep2 = rep1;
+        }
+        rep1 = rep0;
+        rep0 = distance;
+      }
+      if (length == 0) {
+        int base = L.rep_len_coder;
+        if (rc.decode_bit(pr, base + kLenChoice) == 0)
+          length = rc.decode_tree(pr, base + kLenLow + (ps << 3), 3);
+        else if (rc.decode_bit(pr, base + kLenChoice2) == 0)
+          length = 8 + rc.decode_tree(pr, base + kLenMid + (ps << 3), 3);
+        else
+          length = 16 + rc.decode_tree(pr, base + kLenHigh, 8);
+        length += kMatchMinLen;
+        state = next_lrep(state);
+      }
+    } else {
+      rep3 = rep2;
+      rep2 = rep1;
+      rep1 = rep0;
+      int base = L.len_coder;
+      if (rc.decode_bit(pr, base + kLenChoice) == 0)
+        length = rc.decode_tree(pr, base + kLenLow + (ps << 3), 3);
+      else if (rc.decode_bit(pr, base + kLenChoice2) == 0)
+        length = 8 + rc.decode_tree(pr, base + kLenMid + (ps << 3), 3);
+      else
+        length = 16 + rc.decode_tree(pr, base + kLenHigh, 8);
+      length += kMatchMinLen;
+      state = next_match(state);
+      int slot = rc.decode_tree(pr, L.pos_slot + len_to_pos_state(length) * 64, 6);
+      if (slot >= kStartPosModelIndex) {
+        int direct_bits = (slot >> 1) - 1;
+        rep0 = (uint32_t)(2 | (slot & 1)) << direct_bits;
+        if (slot < kEndPosModelIndex) {
+          rep0 += (uint32_t)rc.decode_tree_rev(pr, L.spec_pos + (int)rep0 - slot - 1,
+                                               direct_bits);
+        } else {
+          rep0 += rc.decode_direct(direct_bits - kNumAlignBits) << kNumAlignBits;
+          rep0 += (uint32_t)rc.decode_tree_rev(pr, L.align_, kNumAlignBits);
+          if (rep0 >= 0x80000000u) {
+            if (rep0 == 0xFFFFFFFFu) break;  // EOS marker
+            return -3;
+          }
+        }
+      } else {
+        rep0 = (uint32_t)slot;
+      }
+    }
+    if ((uint64_t)rep0 >= (uint64_t)total + preset_len || rep0 >= dict_check)
+      return -4;
+    if (out_size >= 0 && (int64_t)length > out_size - total) {
+      // mirror decode_block: emit what fits, then report the overrun
+      length = (int)(out_size - total);
+      size_t left = (size_t)length;
+      while (left > 0) {
+        size_t src_idx =
+            wpos >= (size_t)rep0 + 1 ? wpos - rep0 - 1 : wpos - rep0 - 1 + W;
+        size_t span = left;
+        if (span > W - wpos) span = W - wpos;
+        if (span > W - src_idx) span = W - src_idx;
+        for (size_t k = 0; k < span; k++) window[wpos + k] = window[src_idx + k];
+        wpos += span;
+        left -= span;
+        total += (int64_t)span;
+        if (wpos == W) {
+          flush(W);
+          wpos = 0;
+          flush_from = 0;
+        }
+      }
+      flush(wpos);
+      return -5;
+    }
+    size_t left = (size_t)length;
+    while (left > 0) {
+      size_t src_idx =
+          wpos >= (size_t)rep0 + 1 ? wpos - rep0 - 1 : wpos - rep0 - 1 + W;
+      size_t span = left;
+      if (span > W - wpos) span = W - wpos;
+      if (span > W - src_idx) span = W - src_idx;
+      if (src_idx < wpos && (size_t)rep0 + 1 >= 8) {
+        // source strictly behind the cursor with >=8 ring gap: 8-byte chunks
+        size_t k = 0;
+        for (; k + 8 <= span; k += 8)
+          std::memcpy(window.data() + wpos + k, window.data() + src_idx + k, 8);
+        for (; k < span; k++) window[wpos + k] = window[src_idx + k];
+      } else {
+        // wrapped source (it sits AFTER the cursor in ring space) or short
+        // distance: byte-forward copy, which reads old bytes before any
+        // same-slot write reaches them
+        for (size_t k = 0; k < span; k++) window[wpos + k] = window[src_idx + k];
+      }
+      wpos += span;
+      left -= span;
+      total += (int64_t)span;
+      if (wpos == W) {
+        flush(W);
+        wpos = 0;
+        flush_from = 0;
+      }
+    }
+    prev = hist_byte(0);
+  }
+  flush(wpos);
+  if (write_failed) return -10;
+  if (out_size >= 0 && total != out_size) return -9;
+  return total;
+}
+
 }  // namespace
 
 // =================================================================== C API
@@ -1872,6 +2275,44 @@ int64_t lzt_encode(const uint8_t* data, int64_t n, int lc, int lp, int pb,
 }
 
 int64_t lzt_encode_bound(int64_t n) { return n + n / 8 + 4096; }
+
+// --- O(window)-memory streaming single-stream codec ------------------------
+// The reference's primary operating mode is stream-to-stream with O(dict)
+// resident memory (InWindow.ReadBlock/MoveBlock, InWindow.java:24-63;
+// OutWindow flush-on-wrap, OutWindow.java:41-67).  These entry points give
+// the native runtime the same property for arbitrarily large single
+// streams: compressed/decoded bytes move through read/write callbacks.
+
+// Stream-encode: reads raw bytes via read_cb until EOF, writes the raw
+// LZMA stream via write_cb.  Output is byte-identical to lzt_encode on the
+// same bytes.  Returns compressed bytes written, or negative error
+// (-10 write callback failed, -11 read callback failed).
+int64_t lzt_encode_stream(lzt_read_cb read_cb, void* rctx,
+                          lzt_write_cb write_cb, void* wctx, int lc, int lp,
+                          int pb, uint32_t dict_size, int fb, int mf, int eos,
+                          int optimal) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (fb < 5 || fb > kMatchMaxLen) return -1;
+  if (dict_size < 1 || dict_size > (1u << 29)) return -1;
+  EncParams p;
+  p.lc = lc; p.lp = lp; p.pb = pb;
+  p.dict_size = dict_size;
+  p.fb = fb; p.mf = mf; p.eos = eos; p.optimal = optimal;
+  Encoder enc(p);
+  return enc.encode_streaming(read_cb, rctx, write_cb, wctx);
+}
+
+// Stream-decode: reads compressed bytes via read_cb, writes decoded bytes
+// via write_cb, in max(dict_size,4K)+chunk resident memory.  out_size < 0
+// decodes until the EOS marker.  Returns total decoded bytes or a negative
+// error (see decode_stream_ring).
+int64_t lzt_decode_stream(lzt_read_cb read_cb, void* rctx,
+                          lzt_write_cb write_cb, void* wctx, int lc, int lp,
+                          int pb, uint32_t dict_size, int64_t out_size) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  return decode_stream_ring(read_cb, rctx, write_cb, wctx, lc, lp, pb,
+                            dict_size, out_size);
+}
 
 // Decode one raw LZMA stream of known uncompressed size.
 int lzt_decode(const uint8_t* comp, int64_t comp_len, int lc, int lp, int pb,

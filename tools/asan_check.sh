@@ -24,11 +24,21 @@ touch -r lzma_tpu/runtime/src/lzma_core.cpp "$LIB"  # defeat mtime rebuild
 LD_PRELOAD="$ASAN_SO" ASAN_OPTIONS=detect_leaks=0 \
 python -m pytest -q -p no:cacheprovider \
     tests/test_native.py tests/test_fuzz.py tests/test_golden_sizes.py \
-    tests/test_filestream.py tests/test_fileobj.py \
+    tests/test_filestream.py tests/test_fileobj.py tests/test_streaming.py \
     "tests/test_preset.py::test_native_matches_scalar" \
     "tests/test_preset.py::test_container_v2_round_trip_native" \
     "tests/test_preset.py::test_native_eos_preset_decode"
 echo "ASAN sweep clean"
+
+# ASan pass with a tiny normalize threshold so the streaming finder's
+# position-rebase path (BinTree.Normalize analogue) runs every ~1 MB
+g++ -O1 -g -std=c++17 -fPIC -shared -fsanitize=address \
+    -fno-omit-frame-pointer -pthread -DLZT_NORMALIZE_LIMIT='(1<<20)' \
+    lzma_tpu/runtime/src/lzma_core.cpp -o "$LIB"
+touch -r lzma_tpu/runtime/src/lzma_core.cpp "$LIB"
+LD_PRELOAD="$ASAN_SO" ASAN_OPTIONS=detect_leaks=0 \
+python -m pytest -q -p no:cacheprovider tests/test_streaming.py
+echo "ASAN normalize-path sweep clean"
 
 # UBSan pass (signed-overflow/shift UB; unsigned range-coder wrap is defined)
 g++ -O1 -g -std=c++17 -fPIC -shared -fsanitize=undefined \

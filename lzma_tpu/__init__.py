@@ -99,18 +99,23 @@ def compress_file(src, dst, params: LzmaParams | None = None,
     )
 
 
-def open(path, mode: str = "rb", **kw):  # noqa: A001 - mirrors lzma.open
-    """Open an LZTB container for streaming IO.
+def open(path, mode: str = "rb", container: str = "lztb", **kw):  # noqa: A001
+    """Open a compressed file for streaming IO (mirrors lzma.open).
 
-    'wb' returns a writer accepting incremental write() with O(batch)
-    memory and unknown final size; 'rb' a reader with incremental
-    read().  Keyword args: params/block_size/num_threads/mode/preset_len
-    (writer), num_threads/batch_bytes (both); LzmaParams fields
-    (dict_size=..., fast_bytes=..., ...) are accepted directly like in
-    :func:`compress`."""
+    'wb' returns a writer accepting incremental write() with constant
+    memory and unknown final size; 'rb' a reader with incremental read().
+    container="lztb" (default for writing): block-parallel LZTB.
+    container="alone": one `.lzma` single stream (O(dict) memory,
+    EOS-terminated since the size is unknown while writing).  Readers
+    auto-detect the container from the file's magic regardless of the
+    argument.  Keyword args: params/block_size/num_threads/mode/preset_len
+    (LZTB writer), num_threads/batch_bytes (LZTB), optimal/mode (alone
+    writer); LzmaParams fields (dict_size=..., fast_bytes=..., ...) are
+    accepted directly like in :func:`compress`."""
+    import builtins
     import dataclasses
 
-    from .parallel.fileobj import open_lztb
+    from .parallel.fileobj import AloneReader, AloneWriter, open_lztb
 
     fields = {f.name for f in dataclasses.fields(LzmaParams)}
     param_kw = {k: kw.pop(k) for k in list(kw) if k in fields}
@@ -121,6 +126,19 @@ def open(path, mode: str = "rb", **kw):  # noqa: A001 - mirrors lzma.open
                 f"{sorted(param_kw)}"
             )
         kw["params"] = LzmaParams(**param_kw)
+    if mode in ("rb", "r"):
+        # auto-detect: LZTB magic vs raw .lzma props header
+        with builtins.open(path, "rb") as f:
+            magic = f.read(4)
+        if magic != b"LZTB":
+            if kw:
+                raise TypeError(f"unsupported kwargs for .lzma reads: {sorted(kw)}")
+            return AloneReader(path)
+        return open_lztb(path, mode, **kw)
+    if mode in ("wb", "w") and container == "alone":
+        return AloneWriter(path, **kw)
+    if container != "lztb":
+        raise ValueError(f"unknown container: {container!r}")
     return open_lztb(path, mode, **kw)
 
 

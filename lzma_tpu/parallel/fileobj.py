@@ -210,3 +210,228 @@ def open_lztb(path, mode: str = "rb", **kw):
     if mode in ("wb", "w"):
         return LZTBWriter(path, **kw)
     raise ValueError(f"mode must be 'rb' or 'wb', not {mode!r}")
+
+
+# --- .lzma (LZMA_Alone) single-stream file objects --------------------------
+# The native streaming codec (runtime/native.encode_stream_io /
+# decode_stream_io) is callback-synchronous: it drives the whole stream in
+# one call.  A file object needs the inverted control flow — incremental
+# read()/write() from the caller — so these classes run the codec on a
+# worker thread and hand bytes across a bounded queue (backpressure keeps
+# memory O(queue), and the codec itself is O(dict)).
+
+class _CodecThread:
+    """Shared worker-thread plumbing for the alone-stream file objects."""
+
+    QUEUE_CHUNKS = 8
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=self.QUEUE_CHUNKS)
+        self._error: list[BaseException] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):  # pragma: no cover - exercised via subclasses
+        raise NotImplementedError
+
+    def _check_error(self):
+        if self._error:
+            raise self._error[0]
+
+
+class AloneWriter(io.RawIOBase, _CodecThread):
+    """Incremental writer producing a `.lzma` (LZMA_Alone) stream.
+
+    The final size is unknown while writing, so the container uses the
+    reference's unknown-size mode: size field -1 + end-of-stream marker
+    (LzmaAlone.java:215-217, Encoder.WriteEndMarker).  Memory is O(dict).
+    """
+
+    _EOF = object()
+
+    def __init__(self, target, params: LzmaParams | None = None,
+                 optimal: bool = True, mode: str | None = None):
+        io.RawIOBase.__init__(self)
+        _CodecThread.__init__(self)
+        from ..runtime import native  # raises NativeUnavailable if unbuilt
+
+        native.available()
+        import dataclasses
+
+        p = params or LzmaParams()
+        p = dataclasses.replace(p, write_eos=True).validated_for_encode()
+        self._params = p
+        self._optimal = optimal
+        self._mode = mode
+        self._target = target
+        self._file = open(target, "wb") if not hasattr(target, "write") else target
+        self._owns = not hasattr(target, "write") or self._file is not target
+        self._file.write(p.encode_props() + b"\xff" * 8)
+        self._pending = b""  # partial chunk handed to the codec's read()
+        self._closed_input = False
+        self._thread.start()
+
+    def _run(self):
+        from ..runtime import native
+
+        def read(cap: int) -> bytes:
+            while True:
+                if self._pending:
+                    out, self._pending = self._pending[:cap], self._pending[cap:]
+                    return out
+                item = self._q.get()
+                if item is self._EOF:
+                    return b""
+                self._pending = item
+
+        try:
+            native.encode_stream_io(read, self._file.write, self._params,
+                                    optimal=self._optimal, mode=self._mode)
+        except BaseException as e:  # noqa: BLE001 - re-raised on the caller side
+            self._error.append(e)
+            # drain so a blocked writer wakes up
+            try:
+                while self._q.get_nowait() is not self._EOF:
+                    pass
+            except Exception:
+                pass
+
+    def writable(self):
+        return True
+
+    def write(self, data) -> int:
+        import queue
+
+        self._check_error()
+        if self._closed_input:
+            raise ValueError("write after close")
+        b = bytes(data)
+        if b:
+            while True:  # bounded put that stays responsive to codec errors
+                self._check_error()
+                try:
+                    self._q.put(b, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+        self._check_error()
+        return len(b)
+
+    def close(self):
+        if self.closed:
+            return
+        if not self._closed_input:
+            self._closed_input = True
+            self._q.put(self._EOF)
+            self._thread.join()
+        try:
+            self._check_error()
+        finally:
+            if self._owns:
+                self._file.close()
+            io.RawIOBase.close(self)
+
+
+class AloneReader(io.RawIOBase, _CodecThread):
+    """Incremental reader over a `.lzma` (LZMA_Alone) stream; handles both
+    known-size and EOS-terminated containers in O(dict) memory."""
+
+    _EOF = object()
+    _CHUNK = 1 << 18
+
+    class _Cancelled(Exception):
+        pass
+
+    def __init__(self, source):
+        io.RawIOBase.__init__(self)
+        _CodecThread.__init__(self)
+        from ..format.properties import decode_props
+        from ..runtime import native
+
+        native.available()
+        self._cancel = False
+        self._file = open(source, "rb") if not hasattr(source, "read") else source
+        self._owns = not hasattr(source, "read") or self._file is not source
+        head = self._file.read(13)
+        if len(head) < 13:
+            if self._owns:
+                self._file.close()
+            raise CorruptStreamError(".lzma input too short")
+        try:
+            self._params = decode_props(head[:5])
+        except ValueError as e:
+            if self._owns:
+                self._file.close()
+            raise CorruptStreamError(str(e)) from e
+        size = int.from_bytes(head[5:13], "little")
+        self._out_size = -1 if size == 0xFFFFFFFFFFFFFFFF else size
+        self._buf = b""
+        self._done = False
+        self._thread.start()
+
+    def _run(self):
+        from ..runtime import native
+
+        def write(b: bytes) -> None:
+            if self._cancel:
+                raise AloneReader._Cancelled()
+            self._q.put(bytes(b))
+
+        try:
+            native.decode_stream_io(
+                lambda cap: self._file.read(min(cap, self._CHUNK)),
+                write, self._params, self._out_size,
+            )
+        except AloneReader._Cancelled:
+            pass
+        except BaseException as e:  # noqa: BLE001
+            self._error.append(e)
+        finally:
+            self._q.put(self._EOF)
+
+    def readable(self):
+        return True
+
+    def read(self, size: int = -1) -> bytes:
+        if self.closed:
+            raise ValueError("read on closed file")
+        out = bytearray()
+        while size < 0 or len(out) < size:
+            if self._buf:
+                take = len(self._buf) if size < 0 else size - len(out)
+                out += self._buf[:take]
+                self._buf = self._buf[take:]
+                continue
+            if self._done:
+                break
+            item = self._q.get()
+            if item is self._EOF:
+                self._done = True
+                self._check_error()
+                break
+            self._buf = item
+        self._check_error()
+        return bytes(out)
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self):
+        if self.closed:
+            return
+        # cancel the codec (its next write callback raises), then drain so
+        # a blocked put wakes up and the worker retires promptly
+        self._cancel = True
+        try:
+            while not self._done:
+                if self._q.get() is self._EOF:
+                    self._done = True
+        finally:
+            self._thread.join()
+            if self._owns:
+                self._file.close()
+            io.RawIOBase.close(self)

@@ -305,7 +305,10 @@ def decode_file_alone(src, dst, progress=None, chunk: int = 1 << 20) -> int:
         head = fi.read(13)
         if len(head) < 13:
             raise CorruptStreamError(".lzma input too short")
-        params = decode_props(head[:5])
+        try:
+            params = decode_props(head[:5])
+        except ValueError as e:
+            raise CorruptStreamError(str(e)) from e
         out_size = int.from_bytes(head[5:13], "little")
         eos = out_size == 0xFFFFFFFFFFFFFFFF
         if not eos and out_size > (1 << 62):

@@ -434,7 +434,7 @@ class MatchFinder {
     // compact: keep [pos - keep_before, n) at the front of `owned`
     int32_t keepb = pos - win_start < keep_before ? pos - win_start : keep_before;
     int32_t new_start = pos - keepb;
-    if (new_start > win_start) {
+    if (new_start > win_start && new_start <= n) {
       std::memmove(owned.data(), owned.data() + (size_t)(new_start - win_start),
                    (size_t)(n - new_start));
       win_start = new_start;

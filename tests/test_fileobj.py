@@ -114,10 +114,19 @@ def test_single_block_drops_preset(tmp_path):
 
 
 def test_reader_rejects_garbage(tmp_path):
-    bad = tmp_path / "bad.lztb"
-    bad.write_bytes(b"NOPE" + bytes(40))
+    # an invalid .lzma properties byte (>= 225) is rejected at open
+    bad = tmp_path / "bad.lzma"
+    bad.write_bytes(b"\xff" + bytes(40))
     with pytest.raises(CorruptStreamError):
         lzma_tpu.open(bad, "rb")
+    # NB: non-LZTB magic with a VALID props byte is a syntactically legal
+    # .lzma container (the format has no magic; b"NOPE"+zeros parses as an
+    # empty known-size stream — the reference CLI accepts it the same way,
+    # LzmaAlone.java:220-236)
+    weird = tmp_path / "weird.lzma"
+    weird.write_bytes(b"NOPE" + bytes(40))
+    with lzma_tpu.open(weird, "rb") as r:
+        assert r.read() == b""
 
 
 def test_bad_mode():

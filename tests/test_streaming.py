@@ -182,3 +182,55 @@ def test_file_codec_streamed_equals_flat_container(tmp_path):
     p = LzmaParams(dict_size=1 << 15, fast_bytes=64)
     lzma_tpu.compress_file(src, dst, params=p, container="alone")
     assert dst.read_bytes() == native.encode_alone(data, p)
+
+
+# --- incremental file objects over .lzma single streams --------------------
+
+def test_alone_fileobj_write_read(tmp_path):
+    import lzma_tpu
+
+    data = _lz_data(700_000, seed=41)
+    path = tmp_path / "s.lzma"
+    with lzma_tpu.open(path, "wb", container="alone",
+                       dict_size=1 << 15, fast_bytes=16) as w:
+        for i in range(0, len(data), 50_000):
+            w.write(data[i : i + 50_000])
+    # unknown-size container: EOS mode, liblzma-decodable
+    blob = path.read_bytes()
+    assert blob[5:13] == b"\xff" * 8
+    assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == data
+    with lzma_tpu.open(path, "rb") as r:
+        got = bytearray()
+        while True:
+            chunk = r.read(37_000)
+            if not chunk:
+                break
+            got += chunk
+    assert bytes(got) == data
+
+
+def test_alone_fileobj_reads_liblzma_and_early_close(tmp_path):
+    import lzma_tpu
+
+    data = fixture_bytes(400_000)
+    path = tmp_path / "lib.lzma"
+    path.write_bytes(lzma.compress(data, format=lzma.FORMAT_ALONE, preset=1))
+    with lzma_tpu.open(path, "rb") as r:
+        head = r.read(10_000)
+        assert head == data[:10_000]
+        # early close must cancel the worker cleanly
+    with lzma_tpu.open(path, "rb") as r:
+        assert r.read() == data
+
+
+def test_alone_fileobj_corrupt_read_raises(tmp_path):
+    import lzma_tpu
+
+    data = _lz_data(200_000, seed=43)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    blob = native.encode_alone(data, p)
+    path = tmp_path / "bad.lzma"
+    path.write_bytes(blob[: len(blob) // 3])  # truncated
+    with pytest.raises(CorruptStreamError):
+        with lzma_tpu.open(path, "rb") as r:
+            r.read()

@@ -324,7 +324,7 @@ def decode_stream(comp: bytes, params: LzmaParams, out_size: int,
         )
     if rc != 0:
         raise CorruptStreamError(f"native decode failed: {rc}")
-    return out.raw[:out_size]
+    return ctypes.string_at(out, out_size)
 
 
 def decode_stream_eos(comp: bytes, params: LzmaParams,
@@ -350,7 +350,7 @@ def decode_stream_eos(comp: bytes, params: LzmaParams,
                 params.dict_size, out, cap,
             )
         if n >= 0:
-            return out.raw[: int(n)]
+            return ctypes.string_at(out, int(n))
         if n != -6:
             raise CorruptStreamError(f"native decode failed: {n}")
         if cap >= size_limit:
@@ -374,7 +374,29 @@ def decode_alone(data: bytes) -> bytes:
     params = decode_props(data[:5])
     out_size = int.from_bytes(data[5:13], "little")
     if out_size == 0xFFFFFFFFFFFFFFFF:  # EOS-terminated (unknown size)
-        return decode_stream_eos(data[13:], params)
+        # the ring streaming decoder sizes memory to the real output as it
+        # goes — no oversized zero-filled guess buffer, no grow-and-retry
+        # (liblzma's FORMAT_ALONE output always uses this unknown-size mode)
+        import io as _io
+
+        limit = 1 << 33
+        sink = _io.BytesIO()
+
+        def _write(b: bytes) -> None:
+            if sink.tell() + len(b) > limit:
+                raise CorruptStreamError("EOS stream exceeds decode size limit")
+            sink.write(b)
+
+        src = memoryview(data)[13:]
+        pos = [0]
+
+        def _read(cap: int) -> bytes:
+            chunk = bytes(src[pos[0] : pos[0] + cap])
+            pos[0] += len(chunk)
+            return chunk
+
+        decode_stream_io(_read, _write, params, -1)
+        return sink.getvalue()
     return decode_stream(data[13:], params, out_size)
 
 

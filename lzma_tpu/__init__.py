@@ -17,6 +17,7 @@ re-architected TPU-first:
 from .format.properties import LzmaParams, decode_props  # noqa: F401
 from .codec.encoder import encode_alone, encode_stream  # noqa: F401
 from .codec.decoder import decode_alone, decode_stream  # noqa: F401
+from .utils.dicttrain import train_dictionary  # noqa: F401
 
 __version__ = "0.1.0"
 
@@ -69,17 +70,23 @@ def decompress(data: bytes) -> bytes:
 
 def compress_file(src, dst, params: LzmaParams | None = None,
                   block_size: int = 1 << 20, num_threads: int = 0,
-                  preset_len: int = 0, container: str = "lztb", **kw) -> int:
+                  preset_len: int = 0, dictionary: bytes = b"",
+                  train_dict: int = 0, container: str = "lztb", **kw) -> int:
     """Stream-compress a file with constant memory.  Returns the container
     size in bytes.
 
     container="lztb" (default): block-parallel LZTB container, O(batch)
     memory, all host threads; `preset_len` shares the file's first bytes
-    as a dictionary for every block after block 0 (LZTB v2).
+    as a dictionary for every block after block 0 (LZTB v2);
+    `dictionary` stores a trained dictionary that primes every block
+    (LZTB v3); `train_dict=N` trains an N-byte dictionary from the
+    file's first batch (utils/dicttrain.py) and uses it as `dictionary`.
     container="alone": one `.lzma` (LZMA_Alone) single stream, O(dict)
     memory via the native sliding window — the reference's own container,
     decodable by stock liblzma and best compression ratio (no block
     boundaries)."""
+    import builtins
+
     from .parallel import filestream
 
     if params is not None and kw:
@@ -88,14 +95,22 @@ def compress_file(src, dst, params: LzmaParams | None = None,
         )
     params = params or (LzmaParams(**kw) if kw else None)
     if container == "alone":
-        if preset_len:
-            raise ValueError("preset_len applies to the LZTB container only")
+        if preset_len or dictionary or train_dict:
+            raise ValueError(
+                "preset dictionaries apply to the LZTB container only"
+            )
         return filestream.encode_file_alone(src, dst, params)
     if container != "lztb":
         raise ValueError(f"unknown container: {container!r}")
+    if train_dict:
+        if dictionary:
+            raise ValueError("pass either dictionary= or train_dict=, not both")
+        with builtins.open(src, "rb") as f:
+            sample = f.read(filestream.DEFAULT_BATCH_BYTES)
+        dictionary = train_dictionary(sample, train_dict)
     return filestream.encode_file(
         src, dst, params, block_size=block_size, num_threads=num_threads,
-        preset_len=preset_len,
+        preset_len=preset_len, dictionary=dictionary,
     )
 
 
@@ -108,8 +123,8 @@ def open(path, mode: str = "rb", container: str = "lztb", **kw):  # noqa: A001
     container="alone": one `.lzma` single stream (O(dict) memory,
     EOS-terminated since the size is unknown while writing).  Readers
     auto-detect the container from the file's magic regardless of the
-    argument.  Keyword args: params/block_size/num_threads/mode/preset_len
-    (LZTB writer), num_threads/batch_bytes (LZTB), optimal/mode (alone
+    argument.  Keyword args: params/block_size/num_threads/mode/preset_len/
+    dictionary (LZTB writer), num_threads/batch_bytes (LZTB), optimal/mode (alone
     writer); LzmaParams fields (dict_size=..., fast_bytes=..., ...) are
     accepted directly like in :func:`compress`."""
     import builtins

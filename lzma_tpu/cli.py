@@ -34,6 +34,8 @@ Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
   -backend{B}: scalar | native | tpu (default: native if built, else scalar)
   -bs{N}: block size (bytes) -> block-parallel LZTB container
   -ps{N}: shared preset-dictionary bytes for block-parallel mode (LZTB v2)
+  -td{N}: train an N-byte dictionary from the input and store it in the
+          container, priming every block (LZTB v3)
   -t{N}:  worker threads for block-parallel mode
 """
 
@@ -54,6 +56,7 @@ class CommandLine:
         self.backend = None
         self.block_size = 0
         self.preset_len = 0
+        self.train_dict = 0
         self.threads = 0
         self.quiet = False
         self.in_file = None
@@ -90,6 +93,10 @@ class CommandLine:
                 if mf not in ("bt2", "bt4", "hc4", "fast4"):
                     return False
                 self.match_finder = mf
+            elif s.startswith("td"):
+                self.train_dict = int(s[2:])
+                if self.train_dict < 1:
+                    return False
             elif s.startswith("t"):
                 self.threads = int(s[1:])
             elif s.startswith("q"):
@@ -223,6 +230,20 @@ def main(argv=None) -> int:
 
     import os
 
+    if cmd.command == "e" and cmd.train_dict and not cmd.block_size:
+        print("error: -td requires the block container (-bs{N})")
+        return 1
+
+    def _trained_dict() -> bytes:
+        if not cmd.train_dict:
+            return b""
+        from .parallel.filestream import DEFAULT_BATCH_BYTES
+        from .utils.dicttrain import train_dictionary
+
+        with open(cmd.in_file, "rb") as f:
+            sample = f.read(DEFAULT_BATCH_BYTES)
+        return train_dictionary(sample, cmd.train_dict)
+
     # Block-parallel file paths stream with O(batch) memory
     # (parallel/filestream.py); .lzma single streams are in-memory.
     try:
@@ -235,7 +256,7 @@ def main(argv=None) -> int:
             out_size = filestream.encode_file(
                 cmd.in_file, cmd.out_file, params,
                 block_size=cmd.block_size, num_threads=cmd.threads, mode=mode,
-                preset_len=cmd.preset_len,
+                preset_len=cmd.preset_len, dictionary=_trained_dict(),
             )
             if not cmd.quiet:
                 print(f"e: {in_size} -> {out_size} bytes [stream]")
@@ -319,7 +340,7 @@ def main(argv=None) -> int:
 
                     out = tpu_api.encode_blocks(
                         data, params, block_size=cmd.block_size,
-                        preset_len=cmd.preset_len,
+                        preset_len=cmd.preset_len, dictionary=_trained_dict(),
                     )
                 else:
                     from .parallel.blocks import encode_blocks
@@ -327,7 +348,7 @@ def main(argv=None) -> int:
                     out = encode_blocks(
                         data, params, block_size=cmd.block_size,
                         num_threads=max(cmd.threads, 1),
-                        preset_len=cmd.preset_len,
+                        preset_len=cmd.preset_len, dictionary=_trained_dict(),
                     )
             else:
                 out = enc(data, params, mode=mode)

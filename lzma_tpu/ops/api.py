@@ -53,28 +53,41 @@ def encode_blocks(
     block_size: int = 1 << 18,
     use_pallas: bool = False,
     preset_len: int = 0,
+    dictionary: bytes = b"",
 ) -> bytes:
     """Lane-parallel block encode to an LZTB container.
 
     use_pallas routes range coding through the in-VMEM Pallas serializer
     (ops/pallas_serializer.py) instead of the XLA serializer.
     `preset_len > 0` writes LZTB v2: block 0 plain, every other lane's
-    window primed with block 0's prefix.
+    window primed with block 0's prefix.  `dictionary` writes LZTB v3:
+    the trained dictionary is stored as its own compressed stream and
+    primes EVERY lane.
     """
     params = (params or LzmaParams()).validated_for_encode()
     if params.write_eos:
         raise ValueError("block container uses known sizes; EOS not supported")
     preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    dictionary = blk.validated_dictionary(dictionary, preset_len)
     if len(data) <= block_size:
         preset_len = 0  # single block: a preset would be pointless
+    if not data:
+        dictionary = b""
     blocks = blk.split_blocks(data, block_size)
-    if preset_len:
+    dict_stream = b""
+    if dictionary:
+        streams = encode_batch(blocks, params, use_pallas=use_pallas,
+                               preset=dictionary)
+        (dict_stream,) = encode_batch([dictionary], params,
+                                      use_pallas=use_pallas)
+    elif preset_len:
         streams = encode_batch(blocks[:1], params, use_pallas=use_pallas)
         streams += encode_batch(blocks[1:], params, use_pallas=use_pallas,
                                 preset=data[:preset_len])
     else:
         streams = encode_batch(blocks, params, use_pallas=use_pallas) if blocks else []
-    return blk.build_container(params, block_size, len(data), streams, preset_len)
+    return blk.build_container(params, block_size, len(data), streams,
+                               preset_len, dict_stream, len(dictionary))
 
 
 def decode_blocks(blob, use_pallas: bool = False) -> bytes:
@@ -87,7 +100,7 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
     n = len(frame.comp_sizes)
     if n == 0:
         return b""
-    offsets = [frame.payload_offset]
+    offsets = [frame.blocks_offset]
     for s in frame.comp_sizes:
         offsets.append(offsets[-1] + s)
     if offsets[-1] > len(blob):
@@ -101,7 +114,15 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
         from .pallas_decoder import decode_batch_pallas as _dec
     else:
         _dec = decode_batch
-    if frame.preset_len:
+    if frame.dict_len:
+        # LZTB v3: decode the (tiny) stored dictionary on one lane, then
+        # ALL blocks in parallel against it
+        (dictionary,) = _dec(
+            [bytes(blob[frame.payload_offset : frame.blocks_offset])],
+            frame.params, [frame.dict_len],
+        )
+        parts = _dec(streams, frame.params, sizes, preset=dictionary)
+    elif frame.preset_len:
         # LZTB v2: block 0 decodes plain and IS the preset source; the
         # remaining lanes then decode in parallel against its prefix.
         head = _dec(streams[:1], frame.params, sizes[:1])

@@ -44,16 +44,20 @@ def encode_blocks_hybrid(
     fb: int | None = None,
     num_candidates: int = 2,
     preset_len: int = 0,
+    dictionary: bytes = b"",
 ) -> bytes:
     """TPU-search + host-serialize block-parallel encode to LZTB.
 
     `preset_len > 0` writes LZTB v2: block 0 plain, every other block's
     window primed with block 0's prefix — the device lanes search
     preset||block (parse starting at the boundary) and the native
-    TokenEncoder serializes against the same preset.
+    TokenEncoder serializes against the same preset.  `dictionary`
+    writes LZTB v3: the trained dictionary is stored as its own
+    compressed stream and primes EVERY lane (block 0 included).
     """
     params = (params or LzmaParams()).validated_for_encode()
     preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    dictionary = blk.validated_dictionary(dictionary, preset_len)
     if len(data) <= block_size:
         preset_len = 0  # single block: a preset would be pointless
     blocks = blk.split_blocks(data, block_size)
@@ -67,10 +71,28 @@ def encode_blocks_hybrid(
     for i, b in enumerate(blocks):
         arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i] = len(b)
-    preset = data[:preset_len] if preset_len else b""
+    preset = dictionary or (data[:preset_len] if preset_len else b"")
 
     # device: parallel match search + parse
-    if preset_len:
+    if dictionary:
+        dlen = len(dictionary)
+        pre_np = np.frombuffer(dictionary, dtype=np.uint8)
+        primed = np.concatenate(
+            [np.broadcast_to(pre_np, (n, dlen)), arr], axis=1
+        )
+        tp, tl, td, tv, ntok = _tokenize_lanes(
+            jnp.asarray(np.ascontiguousarray(primed)),
+            jnp.asarray(lens + dlen),
+            jnp.int32(min(params.dict_size, bs + dlen)),
+            fb, num_candidates, start=dlen,
+        )
+        t_pos = [np.asarray(tp) - dlen]  # block-relative
+        t_len, t_dist = [np.asarray(tl)], [np.asarray(td)]
+        counts = np.asarray(ntok, dtype=np.int64)
+
+        def tok_row(a, i):
+            return a[0][i]
+    elif preset_len:
         # block 0 (the preset source) parses plain on one lane; the other
         # lanes search preset||block with the parse starting at the boundary
         p0, l0, d0, v0, nt0 = _tokenize_lanes(
@@ -124,8 +146,13 @@ def encode_blocks_hybrid(
     payload, sizes = native.encode_token_blocks(
         arr.reshape(-1), bs, params.lc, params.lp, params.pb,
         fp, fl, fd, offsets, counts, num_threads=num_threads, preset=preset,
+        preset_first=bool(dictionary),
     )
     import struct
 
-    head = blk.pack_header(params, bs, len(data), n, preset_len)
-    return head + struct.pack(f"<{n}I", *sizes) + payload
+    dict_stream = (
+        native.encode_stream(dictionary, params) if dictionary else b""
+    )
+    head = blk.pack_header(params, bs, len(data), n, preset_len,
+                           len(dictionary), len(dict_stream))
+    return head + struct.pack(f"<{n}I", *sizes) + dict_stream + payload

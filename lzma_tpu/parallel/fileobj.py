@@ -36,7 +36,7 @@ class LZTBWriter(io.RawIOBase):
     def __init__(self, target, params: LzmaParams | None = None,
                  block_size: int = blk.DEFAULT_BLOCK_SIZE,
                  num_threads: int = 0, mode: str | None = None,
-                 preset_len: int = 0,
+                 preset_len: int = 0, dictionary: bytes = b"",
                  batch_bytes: int = DEFAULT_BATCH_BYTES):
         self._params = (params or LzmaParams()).validated_for_encode()
         if self._params.write_eos:
@@ -47,7 +47,8 @@ class LZTBWriter(io.RawIOBase):
         self._mode = mode
         self._preset_req = blk.validated_preset_len(
             preset_len, block_size, 1 << 62)
-        self._preset = b""
+        self._dictionary = blk.validated_dictionary(dictionary, preset_len)
+        self._preset = self._dictionary
         self._batch_bytes = max(
             block_size, (batch_bytes // block_size) * block_size)
         if num_threads <= 0:
@@ -78,7 +79,10 @@ class LZTBWriter(io.RawIOBase):
         return len(data)
 
     def _flush_batch(self, chunk: bytes) -> None:
-        if self._preset_req and not self._sizes:
+        if self._dictionary:
+            payload, sizes = self._enc(chunk, self._params, self._block_size,
+                                       self._mode, self._dictionary)
+        elif self._preset_req and not self._sizes:
             # first batch: block 0 (the preset source) encodes plain
             self._preset = chunk[: min(self._preset_req,
                                        self._block_size, len(chunk))]
@@ -101,11 +105,23 @@ class LZTBWriter(io.RawIOBase):
                 self._flush_batch(bytes(self._buf))
                 self._buf.clear()
             n = len(self._sizes)
-            preset_len = len(self._preset) if n > 1 else 0
+            dict_stream = b""
+            if self._dictionary and n > 0:
+                # optimal-parse the (small) dict stream whatever the block
+                # mode — byte-identical to the in-memory encoders
+                dict_stream, _ = self._enc(
+                    self._dictionary, self._params, len(self._dictionary), None
+                )
+                preset_len, dict_len = 0, len(self._dictionary)
+            else:
+                preset_len = len(self._preset) if n > 1 else 0
+                dict_len = 0
             head = blk.pack_header(self._params, self._block_size,
-                                   self._total, n, preset_len)
+                                   self._total, n, preset_len,
+                                   dict_len, len(dict_stream))
             self._out.write(head)
             self._out.write(struct.pack(f"<{n}I", *self._sizes))
+            self._out.write(dict_stream)
             self._spill.seek(0)
             shutil.copyfileobj(self._spill, self._out)
         finally:
@@ -128,7 +144,7 @@ class LZTBReader(io.RawIOBase):
         self._own_source = isinstance(source, (str, os.PathLike))
         self._in = open(source, "rb") if self._own_source else source
         (self._params, self._block_size, self._total, self._n,
-         self._preset_len, _) = blk.read_header(self._in)
+         self._preset_len, dict_len, dict_comp, _) = blk.read_header(self._in)
         table = self._in.read(4 * self._n)
         if len(table) < 4 * self._n:
             raise CorruptStreamError("container size table truncated")
@@ -137,6 +153,12 @@ class LZTBReader(io.RawIOBase):
         self._next_block = 0
         self._done = 0
         self._preset = b""
+        if dict_len:  # LZTB v3: the stored dictionary primes every block
+            ds = self._in.read(dict_comp)
+            if len(ds) < dict_comp:
+                raise CorruptStreamError("container dict stream truncated")
+            self._preset = self._dec(ds, self._params, dict_len, dict_len,
+                                     [dict_comp])
         self._buf = memoryview(b"")
         self._closed = False
 

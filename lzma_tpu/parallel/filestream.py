@@ -105,6 +105,7 @@ def encode_file(
     batch_bytes: int = DEFAULT_BATCH_BYTES,
     progress=None,
     preset_len: int = 0,
+    dictionary: bytes = b"",
 ) -> int:
     """Stream-encode file `src` into an LZTB container at `dst`.
 
@@ -112,7 +113,9 @@ def encode_file(
     size.  `progress(in_bytes, out_bytes)` mirrors the reference's
     ICodeProgress callback (ICodeProgress.java:4).  `preset_len` shares
     the file's first bytes as a preset dictionary for every block after
-    block 0 (LZTB v2).  Returns the container size in bytes.
+    block 0 (LZTB v2); `dictionary` stores a trained dictionary that
+    primes EVERY block (LZTB v3, utils/dicttrain.py).  Returns the
+    container size in bytes.
     """
     params = (params or LzmaParams()).validated_for_encode()
     if params.write_eos:
@@ -125,19 +128,29 @@ def encode_file(
     total_size = os.path.getsize(src)
     num_blocks = (total_size + block_size - 1) // block_size
     preset_len = blk.validated_preset_len(preset_len, block_size, total_size)
+    dictionary = blk.validated_dictionary(dictionary, preset_len)
     if num_blocks < 2:
         preset_len = 0  # single block: a preset would be pointless
+    if num_blocks == 0:
+        dictionary = b""
     enc, _ = _backend(num_threads)
 
+    dict_stream = b""
+    if dictionary:
+        # always optimal-parse the (small) dict stream, whatever the block
+        # mode — keeps the container byte-identical to the in-memory path
+        dict_stream, _ds = enc(dictionary, params, len(dictionary), None)
     sizes: list[int] = []
     written = 0
-    preset = b""
+    preset = dictionary
     with open(src, "rb") as fi, open(dst, "wb") as fo:
         head = blk.pack_header(params, block_size, total_size, num_blocks,
-                               preset_len)
+                               preset_len, len(dictionary), len(dict_stream))
         fo.write(head)
         table_offset = len(head)
         fo.write(b"\x00" * (4 * num_blocks))  # patched after the payload
+        fo.write(dict_stream)
+        written += len(dict_stream)
         consumed = 0
         # read-ahead thread: overlap input IO with encoding (one batch of
         # look-ahead — bounded so memory stays O(batch))
@@ -205,7 +218,8 @@ def decode_file(
         num_threads = os.cpu_count() or 1
     _, dec = _backend(num_threads)
     with open(src, "rb") as fi, open(dst, "wb") as fo:
-        params, block_size, total_size, n, preset_len, head_size = (
+        (params, block_size, total_size, n, preset_len,
+         dict_len, dict_comp, head_size) = (
             blk.read_header(fi)  # validates the block geometry
         )
         src_size = os.fstat(fi.fileno()).st_size
@@ -222,6 +236,12 @@ def decode_file(
         done = 0  # uncompressed bytes written
         comp_done = 0  # compressed payload bytes consumed
         preset = b""
+        if dict_len:  # LZTB v3: the stored dictionary primes every block
+            ds = fi.read(dict_comp)
+            if len(ds) < dict_comp:
+                raise CorruptStreamError("container dict stream truncated")
+            preset = dec(ds, params, dict_len, dict_len, [dict_comp])
+            comp_done += dict_comp
         for start in range(0, n, blocks_per_batch):
             batch = comp_sizes[start : start + blocks_per_batch]
             need = sum(batch)

@@ -165,19 +165,25 @@ def encode_blocks_mesh(
     mesh: Mesh | None = None,
     fb: int | None = None,
     preset_len: int = 0,
+    dictionary: bytes = b"",
 ) -> bytes:
     """Data-parallel block encode over every device in the mesh.
 
     `preset_len > 0` writes LZTB v2: block 0 encodes plain on one lane,
     then its prefix is broadcast to every device (replicated shard_map
-    operand) and all remaining blocks encode against it.
+    operand) and all remaining blocks encode against it.  `dictionary`
+    writes LZTB v3: the trained dictionary is stored as its own
+    compressed stream and broadcast to every device, priming EVERY lane.
     """
     params = (params or LzmaParams()).validated_for_encode()
     mesh = mesh or make_mesh()
     d = mesh.devices.size
     preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    dictionary = blk.validated_dictionary(dictionary, preset_len)
     if len(data) <= block_size:
         preset_len = 0  # single block: a preset would be pointless
+    if not data:
+        dictionary = b""
     blocks = blk.split_blocks(data, block_size)
     if not blocks:
         return blk.build_container(params, block_size, 0, [])
@@ -190,12 +196,18 @@ def encode_blocks_mesh(
 
     first = 0
     streams = []
-    if preset_len:
+    dict_stream = b""
+    if dictionary:
+        from ..ops.device_encoder import encode_batch
+
+        (dict_stream,) = encode_batch([dictionary], params, fb=fb)
+    elif preset_len:
         from ..ops.device_encoder import encode_batch
 
         streams.append(encode_batch(blocks[:1], params, fb=fb)[0])
         first = 1
 
+    pre_bytes = dictionary or (data[:preset_len] if preset_len else b"")
     m = n - first
     lanes = _pad_lanes(m, d)
     max_n = max(block_size, 16)
@@ -205,9 +217,9 @@ def encode_blocks_mesh(
         b = blocks[i]
         arr[i - first, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i - first] = len(b)
-    dict_size = jnp.int32(min(params.dict_size, max_n + preset_len))
-    if preset_len:
-        preset = np.frombuffer(data[:preset_len], dtype=np.uint8)
+    dict_size = jnp.int32(min(params.dict_size, max_n + len(pre_bytes)))
+    if pre_bytes:
+        preset = np.frombuffer(pre_bytes, dtype=np.uint8)
         comp, comp_lens = _encode_step_preset(
             jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(preset),
             dict_size, **common,
@@ -219,7 +231,8 @@ def encode_blocks_mesh(
     comp = np.asarray(comp)
     comp_lens = np.asarray(comp_lens)
     streams.extend(comp[i, : comp_lens[i]].tobytes() for i in range(m))
-    return blk.build_container(params, block_size, len(data), streams, preset_len)
+    return blk.build_container(params, block_size, len(data), streams,
+                               preset_len, dict_stream, len(dictionary))
 
 
 def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
@@ -235,7 +248,7 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
     n = len(frame.comp_sizes)
     if n == 0:
         return b""
-    offsets = [frame.payload_offset]
+    offsets = [frame.blocks_offset]
     for s in frame.comp_sizes:
         offsets.append(offsets[-1] + s)
 
@@ -246,7 +259,19 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
     first = 0
     parts = []
     preset = None
-    if frame.preset_len:
+    plen = 0
+    if frame.dict_len:
+        # LZTB v3: decode the stored dictionary on one lane, broadcast it
+        # to every device, then ALL blocks decode data-parallel against it
+        from ..ops.device_decoder import decode_batch
+
+        (dictionary,) = decode_batch(
+            [bytes(blob[frame.payload_offset : frame.blocks_offset])],
+            frame.params, [frame.dict_len],
+        )
+        preset = np.frombuffer(dictionary, dtype=np.uint8)
+        plen = frame.dict_len
+    elif frame.preset_len:
         from ..ops.device_decoder import decode_batch
 
         head = decode_batch(
@@ -255,6 +280,7 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
         )
         parts.append(head[0])
         preset = np.frombuffer(head[0][: frame.preset_len], dtype=np.uint8)
+        plen = frame.preset_len
         first = 1
         if n == 1:
             return parts[0]
@@ -280,10 +306,10 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
         out, ok = _decode_step_preset(
             jnp.asarray(comp),
             jnp.asarray(lens),
-            jnp.asarray(sizes + frame.preset_len),  # absolute end positions
+            jnp.asarray(sizes + plen),  # absolute end positions
             jnp.asarray(preset),
             dict_size,
-            max_out=max(frame.block_size, 1) + frame.preset_len,
+            max_out=max(frame.block_size, 1) + plen,
             **common,
         )
     else:
@@ -301,6 +327,6 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
     if not ok[:m].all():
         bad = int(np.argmin(ok[:m])) + first
         raise ValueError(f"mesh decode failed for block {bad}")
-    skip = frame.preset_len if preset is not None else 0
+    skip = plen if preset is not None else 0
     parts.extend(out[i, skip : skip + sizes[i]].tobytes() for i in range(m))
     return b"".join(parts)

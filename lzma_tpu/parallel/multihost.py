@@ -56,13 +56,17 @@ def is_coordinator() -> bool:
 
 def encode_blocks_pod(data: bytes, params: LzmaParams | None = None,
                       block_size: int = 1 << 18,
-                      preset_len: int = 0) -> bytes | None:
+                      preset_len: int = 0,
+                      dictionary: bytes = b"") -> bytes | None:
     """Pod-wide block-parallel encode.  Every process must call this with
     identical arguments (SPMD); the container is returned on the
     coordinator and None elsewhere.  `preset_len` writes LZTB v2 — the
-    shared dictionary is broadcast to every chip on every host."""
+    shared dictionary is broadcast to every chip on every host;
+    `dictionary` writes LZTB v3 (stored trained dictionary, same
+    broadcast, every block primed)."""
     blob = encode_blocks_mesh(data, params, block_size=block_size,
-                              mesh=global_mesh(), preset_len=preset_len)
+                              mesh=global_mesh(), preset_len=preset_len,
+                              dictionary=dictionary)
     return blob if is_coordinator() else None
 
 

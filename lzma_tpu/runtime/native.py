@@ -135,7 +135,7 @@ def _lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
     ]
     return lib
 
@@ -143,7 +143,7 @@ def _lib():
 def encode_token_blocks(
     data_padded, block_size: int, lc: int, lp: int, pb: int,
     t_pos, t_len, t_dist, tok_offsets, tok_counts, num_threads: int = 0,
-    preset: bytes = b"",
+    preset: bytes = b"", preset_first: bool = False,
 ):
     """Serialize precomputed per-block token streams (hybrid TPU pipeline).
 
@@ -151,7 +151,8 @@ def encode_token_blocks(
     t_*: flat int32 arrays with BLOCK-RELATIVE positions;
     tok_offsets/tok_counts: int64 per block.  `preset` primes the window
     of every block AFTER block 0 (the LZTB v2 shared-dictionary policy —
-    block 0 is the preset source and encodes plain).
+    block 0 is the preset source and encodes plain); `preset_first`
+    primes block 0 too (LZTB v3, stored trained dictionary).
     Returns (payload bytes, [sizes]).
     """
     import numpy as np
@@ -175,6 +176,7 @@ def encode_token_blocks(
         t_pos.ctypes.data, t_len.ctypes.data, t_dist.ctypes.data,
         offs.ctypes.data, cnts.ctypes.data, num_blocks,
         num_threads, out, cap, sizes, preset, len(preset),
+        1 if preset_first else 0,
     )
     if total < 0:
         raise ValueError(f"native token serialize failed: {total}")
@@ -557,16 +559,30 @@ def encode_blocks(
     optimal: bool = True,
     mode: str | None = None,
     preset_len: int = 0,
+    dictionary: bytes = b"",
 ) -> bytes:
     """Multithreaded block-parallel encode to an LZTB container.
 
     `preset_len > 0` writes LZTB v2: the first preset_len bytes of the
     data (a prefix of block 0) prime every other block's window.
+    `dictionary` writes LZTB v3: the trained dictionary is stored as its
+    own compressed stream and primes EVERY block (utils/dicttrain.py).
     """
     params = (params or LzmaParams()).validated_for_encode()
     if params.write_eos:
         raise ValueError("block container uses known sizes; EOS not supported")
     preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    dictionary = blk.validated_dictionary(dictionary, preset_len)
+    if dictionary and data:
+        payload, sizes = encode_block_payload_pre(
+            data, dictionary, params, block_size, num_threads,
+            optimal=optimal, mode=mode,
+        )
+        dict_stream = encode_stream(dictionary, params)
+        head = blk.pack_header(params, block_size, len(data), len(sizes),
+                               0, len(dictionary), len(dict_stream))
+        return (head + struct.pack(f"<{len(sizes)}I", *sizes)
+                + dict_stream + payload)
     if preset_len and len(data) > block_size:
         b0, rest = data[:block_size], data[block_size:]
         preset = data[:preset_len]
@@ -592,11 +608,22 @@ def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
     """Multithreaded block-parallel decode of an LZTB container.
 
     LZTB v2 (shared preset): block 0 decodes first, then every other
-    block decodes in parallel against the shared preset window.
+    block decodes in parallel against the shared preset window.  LZTB v3
+    (stored dictionary): the dict stream decodes first, then ALL blocks
+    in parallel against it.
     """
     frame = blk.parse_container(blob)
     if not frame.comp_sizes:
         return b""
+    if frame.dict_len:
+        dictionary = decode_stream(
+            bytes(blob[frame.payload_offset : frame.blocks_offset]),
+            frame.params, frame.dict_len,
+        )
+        return decode_block_payload_pre(
+            memoryview(blob)[frame.blocks_offset :], dictionary, frame.params,
+            frame.block_size, frame.total_size, frame.comp_sizes, num_threads,
+        )
     # zero-copy view: the payload is nearly the whole blob
     payload = memoryview(blob)[frame.payload_offset :]
     if not frame.preset_len:

@@ -2589,7 +2589,7 @@ int64_t lzt_encode_token_blocks(const uint8_t* data, int64_t n,
                                 const int64_t* tok_counts, int64_t num_blocks,
                                 int num_threads, uint8_t* out, int64_t out_cap,
                                 uint32_t* sizes, const uint8_t* preset = nullptr,
-                                int64_t preset_len = 0) {
+                                int64_t preset_len = 0, int preset_first = 0) {
   std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);
   std::atomic<int64_t> next(0);
   int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
@@ -2599,9 +2599,11 @@ int64_t lzt_encode_token_blocks(const uint8_t* data, int64_t n,
       int64_t i = next.fetch_add(1);
       if (i >= num_blocks) break;
       int64_t off = i * block_size;
-      // block 0 is the preset SOURCE in the v2 design: it encodes plain
-      const uint8_t* pre = (preset_len && i > 0) ? preset : nullptr;
-      size_t plen = (preset_len && i > 0) ? (size_t)preset_len : 0;
+      // v2: block 0 is the preset SOURCE and encodes plain; v3
+      // (preset_first, stored trained dictionary) primes every block
+      bool primed = preset_len && (preset_first || i > 0);
+      const uint8_t* pre = primed ? preset : nullptr;
+      size_t plen = primed ? (size_t)preset_len : 0;
       enc.encode(data + off, t_pos + tok_offsets[i], t_len + tok_offsets[i],
                  t_dist + tok_offsets[i], tok_counts[i], &streams[(size_t)i],
                  pre, plen);

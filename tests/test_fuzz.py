@@ -139,6 +139,35 @@ def test_fuzz_corrupt_v2_container_never_crashes(seed):
         ), type(e).__name__
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_corrupt_v3_container_never_crashes(seed):
+    """Arbitrary corruption of an LZTB v3 container (header, dict fields,
+    dict stream, size table, payload) must raise a typed error or produce
+    different output — never crash the native runtime or hang."""
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(6000 + seed)
+    data = _random_corpus(rng)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    dict_len = int(rng.integers(1, 4096))
+    dictionary = _random_corpus(rng)[:dict_len] or b"\x00"
+    blob = bytearray(
+        native.encode_blocks(data, p, block_size=1 << 12,
+                             dictionary=dictionary)
+    )
+    for _ in range(6):
+        blob[int(rng.integers(0, len(blob)))] ^= int(rng.integers(1, 256))
+    try:
+        out = native.decode_blocks(bytes(blob))
+        assert isinstance(out, bytes)
+    except Exception as e:
+        assert type(e).__name__ in (
+            "CorruptStreamError", "ValueError", "IndexError", "error",
+            "struct.error",
+        ), type(e).__name__
+
+
 def test_forged_total_size_rejected_before_allocation():
     """A forged multi-GB total_size in a tiny container must be rejected
     by the expansion bound, not attempted as an allocation."""

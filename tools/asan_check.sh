@@ -27,7 +27,10 @@ python -m pytest -q -p no:cacheprovider \
     tests/test_filestream.py tests/test_fileobj.py tests/test_streaming.py \
     "tests/test_preset.py::test_native_matches_scalar" \
     "tests/test_preset.py::test_container_v2_round_trip_native" \
-    "tests/test_preset.py::test_native_eos_preset_decode"
+    "tests/test_preset.py::test_native_eos_preset_decode" \
+    tests/test_dicttrain.py \
+    --deselect tests/test_dicttrain.py::test_v3_device_and_mesh \
+    --deselect tests/test_dicttrain.py::test_v3_hybrid
 echo "ASAN sweep clean"
 
 # ASan pass with a tiny normalize threshold so the streaming finder's
@@ -66,6 +69,11 @@ for mf, opt, ps in [("hc4", False, 0), ("bt4", True, 0), ("bt4", True, 1 << 16)]
     blob = native.encode_blocks(data, p, block_size=1 << 17, num_threads=4,
                                 optimal=opt, preset_len=ps)
     assert native.decode_blocks(blob, num_threads=4) == data
+# LZTB v3: every worker reads the shared stored dictionary
+p = LzmaParams(dict_size=1 << 18, fast_bytes=16, match_finder="bt4")
+blob = native.encode_blocks(data, p, block_size=1 << 17, num_threads=4,
+                            dictionary=data[: 1 << 14])
+assert native.decode_blocks(blob, num_threads=4) == data
 print("threaded round trips clean under TSan")
 PYEOF
 echo "TSan sweep clean"

@@ -6,7 +6,9 @@ round-trip preset streams native<->scalar.  Run:
 
     python tools/fuzz_soak.py [seconds]
 
-Latest recorded run: 103,326 cases / 600 s, zero failures (2026-08-18).
+Latest recorded run: 103,326 cases / 600 s, zero failures (2026-08-18);
+with the LZTB v3 stored-dictionary cases (trained/random dictionaries,
+round trip + random container corruption): 18,488 cases / 120 s clean.
 """
 import lzma, os, sys, time
 
@@ -63,5 +65,29 @@ while time.time() < t_end:
         assert native.decode_stream(c2, p, len(data), preset=preset) == data
         if n < 8000:  # scalar decode is slow; sample small cases
             assert s_dec(c2, p, out_size=len(data), preset=preset) == data
+    # LZTB v3 stored-dictionary round trip + random container corruption
+    if n > 0 and not p.write_eos and rng.integers(0, 4) == 0:
+        from lzma_tpu.core.rangecoder import CorruptStreamError
+        from lzma_tpu.parallel import blocks as blk
+        from lzma_tpu.utils.dicttrain import train_dictionary
+
+        if rng.integers(0, 2):
+            dct = train_dictionary(data, int(rng.integers(1, 8192)))
+        else:
+            dct = rng.integers(0, 256, int(rng.integers(1, 4096)),
+                               dtype=np.uint8).tobytes()
+        bs = 1 << int(rng.integers(10, 16))
+        v3 = native.encode_blocks(data, p, block_size=bs, dictionary=dct,
+                                  mode=mode)
+        assert native.decode_blocks(v3) == data
+        if n < 8000:
+            assert blk.decode_blocks(v3) == data
+        mut = bytearray(v3)
+        for _ in range(int(rng.integers(1, 8))):
+            mut[int(rng.integers(0, len(mut)))] ^= int(rng.integers(1, 256))
+        try:
+            native.decode_blocks(bytes(mut))
+        except (CorruptStreamError, ValueError):
+            pass
     n_cases += 1
 print(f"SOAK-OK {n_cases} cases")

@@ -80,7 +80,9 @@ def compress_file(src, dst, params: LzmaParams | None = None,
     as a dictionary for every block after block 0 (LZTB v2);
     `dictionary` stores a trained dictionary that primes every block
     (LZTB v3); `train_dict=N` trains an N-byte dictionary from the
-    file's first batch (utils/dicttrain.py) and uses it as `dictionary`.
+    file's first batch (utils/dicttrain.py) and uses it as `dictionary`;
+    `train_dict="auto"` also auto-sizes it against its storage cost
+    (possibly choosing no dictionary at all).
     container="alone": one `.lzma` (LZMA_Alone) single stream, O(dict)
     memory via the native sliding window — the reference's own container,
     decodable by stock liblzma and best compression ratio (no block
@@ -107,7 +109,13 @@ def compress_file(src, dst, params: LzmaParams | None = None,
             raise ValueError("pass either dictionary= or train_dict=, not both")
         with builtins.open(src, "rb") as f:
             sample = f.read(filestream.DEFAULT_BATCH_BYTES)
-        dictionary = train_dictionary(sample, train_dict)
+        if train_dict == "auto":
+            from .utils.dicttrain import select_dictionary
+
+            dictionary = select_dictionary(sample, params,
+                                           block_size=block_size)
+        else:
+            dictionary = train_dictionary(sample, train_dict)
     return filestream.encode_file(
         src, dst, params, block_size=block_size, num_threads=num_threads,
         preset_len=preset_len, dictionary=dictionary,

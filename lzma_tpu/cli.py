@@ -35,7 +35,8 @@ Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
   -bs{N}: block size (bytes) -> block-parallel LZTB container
   -ps{N}: shared preset-dictionary bytes for block-parallel mode (LZTB v2)
   -td{N}: train an N-byte dictionary from the input and store it in the
-          container, priming every block (LZTB v3)
+          container, priming every block (LZTB v3); -tdauto auto-sizes
+          the dictionary against its storage cost
   -t{N}:  worker threads for block-parallel mode
 """
 
@@ -94,9 +95,12 @@ class CommandLine:
                     return False
                 self.match_finder = mf
             elif s.startswith("td"):
-                self.train_dict = int(s[2:])
-                if self.train_dict < 1:
-                    return False
+                if s[2:] == "auto":
+                    self.train_dict = "auto"
+                else:
+                    self.train_dict = int(s[2:])
+                    if self.train_dict < 1:
+                        return False
             elif s.startswith("t"):
                 self.threads = int(s[1:])
             elif s.startswith("q"):
@@ -238,10 +242,13 @@ def main(argv=None) -> int:
         if not cmd.train_dict:
             return b""
         from .parallel.filestream import DEFAULT_BATCH_BYTES
-        from .utils.dicttrain import train_dictionary
+        from .utils.dicttrain import select_dictionary, train_dictionary
 
         with open(cmd.in_file, "rb") as f:
             sample = f.read(DEFAULT_BATCH_BYTES)
+        if cmd.train_dict == "auto":
+            return select_dictionary(sample, cmd.params(),
+                                     block_size=cmd.block_size)
         return train_dictionary(sample, cmd.train_dict)
 
     # Block-parallel file paths stream with O(batch) memory

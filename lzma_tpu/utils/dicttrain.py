@@ -119,3 +119,71 @@ def train_dictionary(
     chosen.sort(key=lambda t: t[0])
     cat = b"".join(seg for _, seg in chosen)
     return cat[-dict_size:]
+
+
+def select_dictionary(
+    data,
+    params=None,
+    block_size: int = 1 << 20,
+    max_size: int = 1 << 16,
+    sample_blocks: int = 8,
+    **train_kw,
+) -> bytes:
+    """Train a dictionary and auto-size it against its storage cost.
+
+    A stored dictionary (LZTB v3) is paid for in the container, so the
+    right size depends on the data: large dictionaries are
+    cost-dominated, and on low-redundancy data NO dictionary is best
+    (MEASUREMENTS.md).  This trains once at `max_size`, then — because
+    the trainer lays segments worst→best, making every suffix itself a
+    well-ordered dictionary — scores the suffix lengths
+    {max, max/2, max/4, max/8, 0} by actual compressed cost on a spread
+    sample of blocks (payload extrapolated to the full block count, dict
+    stream cost included) and returns the cheapest, possibly ``b""``.
+    """
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        buf = bytes(data)
+    else:
+        buf = b"".join(bytes(s) for s in data)
+    params = params.validated_for_encode() if params is not None else None
+    if params is None:
+        from ..format.properties import LzmaParams
+
+        params = LzmaParams().validated_for_encode()
+    try:
+        from ..runtime import native
+
+        if not native.available():
+            raise RuntimeError
+        enc = lambda b, pre=b"": native.encode_stream(b, params, preset=pre)  # noqa: E731
+    except Exception:
+        from ..codec.encoder import encode_stream
+
+        enc = lambda b, pre=b"": encode_stream(b, params, preset=pre)  # noqa: E731
+
+    n_blocks = max(1, (len(buf) + block_size - 1) // block_size)
+    step = max(1, n_blocks // max(1, min(sample_blocks, n_blocks)))
+    sample = [buf[i * block_size : (i + 1) * block_size]
+              for i in range(0, n_blocks, step)][:sample_blocks]
+    scale = n_blocks / len(sample)
+
+    trained = train_dictionary(buf, max_size, **train_kw)
+    length = len(trained)
+    candidates = []
+    while length >= 256:
+        candidates.append(length)
+        length //= 2
+    candidates.append(0)
+    costs = {}
+    for cand in candidates:
+        dct = trained[len(trained) - cand :] if cand else b""
+        dict_cost = len(enc(dct)) + 8 if dct else 0
+        payload = sum(len(enc(b, dct)) for b in sample)
+        costs[cand] = dict_cost + payload * scale
+    # sampling extrapolation is noisy (blocks containing a segment's own
+    # source match it once, which scales misleadingly): take the SMALLEST
+    # candidate within 0.2% of the best, so noise-level "wins" collapse
+    # to a smaller — or no — dictionary
+    floor = min(costs.values()) * 1.002
+    cand = min(c for c, cost in costs.items() if cost <= floor)
+    return trained[len(trained) - cand :] if cand else b""

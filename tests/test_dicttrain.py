@@ -84,6 +84,42 @@ def test_trained_dict_captures_dispersed_redundancy():
     assert blk.decode_blocks(v3) == data
 
 
+def test_select_dictionary_auto_sizes():
+    from lzma_tpu.utils.dicttrain import select_dictionary
+
+    _native_or_skip()
+    p = LzmaParams(dict_size=1 << 16, fast_bytes=16)
+    # no-redundancy corpus: a stored dictionary can never pay -> none
+    rng = random.Random(42)
+    rand = bytes(rng.randrange(256) for _ in range(1 << 17))
+    assert select_dictionary(rand, p, block_size=1 << 13,
+                             max_size=1 << 12) == b""
+    # dispersed records: a dictionary pays and the selection must beat
+    # the plain container when actually used
+    data = _records(160_000)
+    d = select_dictionary(data, p, block_size=1 << 13, max_size=1 << 12)
+    assert d
+    v1 = blk.encode_blocks(data, p, block_size=1 << 13)
+    v3 = blk.encode_blocks(data, p, block_size=1 << 13, dictionary=d)
+    assert len(v3) < len(v1)
+
+
+def test_compress_file_train_dict_auto(tmp_path):
+    _native_or_skip()
+    import lzma_tpu
+
+    data = _records(120_000)
+    src = tmp_path / "src"
+    src.write_bytes(data)
+    dst = tmp_path / "auto.lztb"
+    lzma_tpu.compress_file(str(src), str(dst), dict_size=1 << 16,
+                           block_size=1 << 13, train_dict="auto")
+    assert blk.parse_container(dst.read_bytes()).dict_len > 0
+    back = tmp_path / "back"
+    assert lzma_tpu.decompress_file(str(dst), str(back)) == len(data)
+    assert back.read_bytes() == data
+
+
 # ------------------------------------------------------------- container
 
 def test_v3_scalar_round_trip_and_threads():
@@ -253,6 +289,10 @@ def test_cli_train_dict(tmp_path, capsys):
     back = tmp_path / "back.bin"
     assert main(["e", "-bs8192", "-d16", "-td2048", str(src), str(out)]) == 0
     assert blk.parse_container(out.read_bytes()).dict_len > 0
+    assert main(["d", str(out), str(back)]) == 0
+    assert back.read_bytes() == data
+    # auto-sized dictionary
+    assert main(["e", "-bs8192", "-d16", "-tdauto", str(src), str(out)]) == 0
     assert main(["d", str(out), str(back)]) == 0
     assert back.read_bytes() == data
     # -td without -bs is an error

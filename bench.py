@@ -217,13 +217,22 @@ def main():
             blob_v2 = _nat.encode_blocks(real, p, block_size=1 << 20,
                                          preset_len=1 << 18)
             assert _nat.decode_blocks(blob_v2) == real
+            # trained auto-sized dictionary (LZTB v3)
+            from lzma_tpu.utils.dicttrain import select_dictionary
+
+            dct = select_dictionary(real, p, block_size=1 << 20,
+                                    max_size=1 << 18)
+            blob_v3 = (_nat.encode_blocks(real, p, block_size=1 << 20,
+                                          dictionary=dct) if dct else blob)
+            assert _nat.decode_blocks(blob_v3) == real
             comp_l, t_enc_l = timed(
                 lambda: _lzma.compress(real, format=_lzma.FORMAT_ALONE, preset=6)
             )
             log(
                 f"real files ({len(real)/1e6:.1f} MB): native enc "
                 f"{len(real)/t_enc/1e6:.1f} MB/s ratio {len(real)/len(blob):.2f} "
-                f"(v2 preset {len(real)/len(blob_v2):.2f}) | "
+                f"(v2 preset {len(real)/len(blob_v2):.2f}, v3 trained "
+                f"{len(real)/len(blob_v3):.2f} @{len(dct)>>10}K) | "
                 f"liblzma p6 enc {len(real)/t_enc_l/1e6:.1f} MB/s ratio "
                 f"{len(real)/len(comp_l):.2f} | native dec {len(real)/t_dec/1e6:.1f} MB/s"
             )

@@ -40,14 +40,53 @@ def _native_or_none():
     return _NATIVE_PROBE[0]
 
 
-def compress(data: bytes, params: LzmaParams | None = None, **kw) -> bytes:
-    """Compress to a `.lzma` (LZMA_Alone) container.
+def compress(data: bytes, params: LzmaParams | None = None,
+             container: str = "alone", block_size: int = 1 << 20,
+             num_threads: int = 0, preset_len: int = 0,
+             dictionary: bytes = b"", train_dict=0, **kw) -> bytes:
+    """Compress in memory.  container="alone" (default): one `.lzma`
+    (LZMA_Alone) stream — the reference's container, liblzma-decodable.
+    container="lztb": the block-parallel LZTB container (all host
+    threads; `preset_len`/`dictionary`/`train_dict` as in
+    :func:`compress_file`).
 
     Routes through the native runtime when built (byte-identical to the
     scalar oracle — pinned by tests), scalar otherwise.
     """
-    params = params or LzmaParams(**kw)
+    params = params or (LzmaParams(**kw) if kw else None)
     native = _native_or_none()
+    if container == "lztb":
+        if train_dict:
+            if dictionary:
+                raise ValueError(
+                    "pass either dictionary= or train_dict=, not both"
+                )
+            if train_dict == "auto":
+                from .utils.dicttrain import select_dictionary
+
+                dictionary = select_dictionary(data, params,
+                                               block_size=block_size)
+            else:
+                dictionary = train_dictionary(data, train_dict)
+        if native is not None:
+            return native.encode_blocks(
+                data, params, block_size=block_size, num_threads=num_threads,
+                preset_len=preset_len, dictionary=dictionary,
+            )
+        import os as _os
+
+        from .parallel import blocks as _blk
+
+        return _blk.encode_blocks(
+            data, params, block_size=block_size,
+            num_threads=num_threads or (_os.cpu_count() or 1),
+            preset_len=preset_len, dictionary=dictionary,
+        )
+    if container != "alone":
+        raise ValueError(f"unknown container: {container!r}")
+    if preset_len or dictionary or train_dict:
+        raise ValueError("preset dictionaries apply to the LZTB container only")
+    params = params or LzmaParams()
     if native is not None:
         return native.encode_alone(data, params)
     return encode_alone(data, params)

@@ -70,6 +70,21 @@ def main():
         assert v2pod is not None and v2pod[4] == 2
     else:
         assert v2pod is None
+
+    # LZTB v3: a stored TRAINED dictionary broadcast to every process,
+    # priming every block (encode and decode sides)
+    dictionary = data[256:768]  # deterministic, identical on all hosts
+    v3 = scalar_encode_blocks(data, params, block_size=1 << 10,
+                              dictionary=dictionary)
+    assert v3[4] == 3, "expected an LZTB v3 container"
+    out3 = decode_blocks_mesh(v3, mesh=mesh)
+    assert out3 == data, "pod v3 trained-dict round-trip mismatch"
+    v3pod = multihost.encode_blocks_pod(data, params, block_size=1 << 10,
+                                        dictionary=dictionary)
+    if multihost.is_coordinator():
+        assert v3pod is not None and v3pod[4] == 3
+    else:
+        assert v3pod is None
     print(f"worker {process_id}: OK", flush=True)
 
 

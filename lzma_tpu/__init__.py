@@ -164,8 +164,11 @@ def compress_file(src, dst, params: LzmaParams | None = None,
 def open(path, mode: str = "rb", container: str = "lztb", **kw):  # noqa: A001
     """Open a compressed file for streaming IO (mirrors lzma.open).
 
-    'wb' returns a writer accepting incremental write() with constant
-    memory and unknown final size; 'rb' a reader with incremental read().
+    `path` is a filename or a binary file object (readable for 'rb',
+    writable for 'wb'; auto-detecting a file-object read requires it to
+    be seekable).  'wb' returns a writer accepting incremental write()
+    with constant memory and unknown final size; 'rb' a reader with
+    incremental read().
     container="lztb" (default for writing): block-parallel LZTB.
     container="alone": one `.lzma` single stream (O(dict) memory,
     EOS-terminated since the size is unknown while writing).  Readers
@@ -190,8 +193,13 @@ def open(path, mode: str = "rb", container: str = "lztb", **kw):  # noqa: A001
         kw["params"] = LzmaParams(**param_kw)
     if mode in ("rb", "r"):
         # auto-detect: LZTB magic vs raw .lzma props header
-        with builtins.open(path, "rb") as f:
-            magic = f.read(4)
+        if hasattr(path, "read"):
+            pos = path.tell()
+            magic = path.read(4)
+            path.seek(pos)
+        else:
+            with builtins.open(path, "rb") as f:
+                magic = f.read(4)
         if magic != b"LZTB":
             if kw:
                 raise TypeError(f"unsupported kwargs for .lzma reads: {sorted(kw)}")

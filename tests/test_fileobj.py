@@ -94,6 +94,29 @@ def test_file_object_targets():
     r.close()
 
 
+def test_open_accepts_file_objects():
+    """lzma_tpu.open mirrors lzma.open: filenames OR binary file objects,
+    with container auto-detection on seekable reads."""
+    data = _mixed(50_000, seed=36)
+    # LZTB through the top-level open
+    sink = io.BytesIO()
+    with lzma_tpu.open(sink, "wb", params=PARAMS, block_size=1 << 14) as w:
+        w.write(data)
+    blob = sink.getvalue()
+    with lzma_tpu.open(io.BytesIO(blob), "rb") as r:
+        assert r.read() == data
+    # .lzma single stream: auto-detected from the same entry point
+    from lzma_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("alone file objects need the native runtime")
+    sink2 = io.BytesIO()
+    with lzma_tpu.open(sink2, "wb", container="alone", params=PARAMS) as w:
+        w.write(data)
+    with lzma_tpu.open(io.BytesIO(sink2.getvalue()), "rb") as r:
+        assert r.read() == data
+
+
 def test_empty_stream(tmp_path):
     dst = tmp_path / "e.lztb"
     with lzma_tpu.open(dst, "wb", params=PARAMS) as w:

@@ -44,7 +44,16 @@ def _mask2d(m):
 def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                      interpret: bool = False):
     """Drop-in replacement for device_encoder.serialize (same contract)."""
-    N, B = ctx.shape
+    n_real, B = ctx.shape
+    # Mosaic tiles the lane axis in sublanes of 8: unaligned lane counts
+    # fail to lower on real hardware (memref_slice of a 12-row tile), so
+    # pad with idle lanes (totals=0) and slice them back off below
+    N = _round_up(n_real, 8)
+    if N != n_real:
+        rows = ((0, N - n_real), (0, 0))
+        ctx = jnp.pad(ctx, rows, constant_values=-3)
+        bits = jnp.pad(bits, rows)
+        totals = jnp.pad(totals, (0, N - n_real))
     S = _round_up(arena_size, 128)
     B_pad = _round_up(B, CHUNK)
     if B_pad != B:
@@ -224,7 +233,8 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(totals.reshape(-1, 1), ctx, bits)
-    return out[:, :max_out].astype(jnp.uint8), lens[:, 0], lens[:, 1]
+    return (out[:n_real, :max_out].astype(jnp.uint8),
+            lens[:n_real, 0], lens[:n_real, 1])
 
 
 def serialize_with_fallback(ctx, bits, totals, arena_size: int, max_out: int):

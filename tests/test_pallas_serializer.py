@@ -56,6 +56,25 @@ def test_pallas_serializer_bit_exact(seed):
         assert po[i, :n].tobytes() == ro[i, :n].tobytes()
 
 
+@pytest.mark.parametrize("n_lanes", [3, 12])
+def test_pallas_serializer_unaligned_lanes(n_lanes):
+    """Lane counts that aren't sublane (8) multiples must pad internally —
+    unaligned scratch tiles fail Mosaic lowering on real hardware — and
+    slice back to exactly the caller's lanes."""
+    ctx, bits, totals, arena, mo = _bit_streams(n_lanes=n_lanes, seed=5)
+    ref_out, ref_lens = serialize(ctx, bits, totals, arena, mo)
+    pl_out, pl_lens, consumed = serialize_pallas(
+        ctx, bits, totals, arena, mo, interpret=True
+    )
+    assert pl_out.shape[0] == n_lanes and pl_lens.shape[0] == n_lanes
+    assert bool(jnp.all(consumed == totals))
+    assert bool(jnp.all(pl_lens == ref_lens))
+    po, ro = np.asarray(pl_out), np.asarray(ref_out)
+    for i in range(n_lanes):
+        n = int(ref_lens[i])
+        assert po[i, :n].tobytes() == ro[i, :n].tobytes()
+
+
 def test_pallas_fallback_wrapper():
     ctx, bits, totals, arena, mo = _bit_streams(seed=7)
     ref_out, ref_lens = serialize(ctx, bits, totals, arena, mo)

@@ -216,17 +216,50 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
     return (out[:, :max_out].astype(jnp.uint8), okv[:, 0] == 1, okv[:, 1])
 
 
+#: soft VMEM budget for one kernel invocation (bytes): the residents are
+#: the decoded window twice (outb scratch + out_ref), the compressed
+#: input and the prob arena, all (N, ·) int32.  32x16 KB windows compile
+#: and run on a real v5e (~7 MB by this accounting); 64x16 KB does not
+#: (MEASUREMENTS.md) — so batches are chunked into lane groups under
+#: this budget instead of failing at compile time.
+VMEM_BUDGET = 8 << 20
+
+
+def _lane_group(mo: int, arena: int, max_group=None) -> int:
+    per_lane = 4 * (3 * mo + arena)
+    g = max(8, (VMEM_BUDGET // max(per_lane, 1)) // 8 * 8)
+    if max_group:
+        g = min(g, max_group)
+    return g
+
+
 def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
-                        fallback: bool = True, preset: bytes = b""):
+                        fallback: bool = True, preset: bytes = b"",
+                        max_group=None):
     """Decode raw LZMA streams via the Pallas kernel (same contract as
     device_decoder.decode_batch, including the shared `preset`
-    dictionary); lanes the kernel cannot finish reroute to the XLA FSM
-    when fallback=True, so correctness never depends on the kernel
-    envelope."""
+    dictionary).  Batches are chunked into lane groups sized to the VMEM
+    budget; lanes the kernel cannot finish — or a whole group whose
+    shape fails to compile — reroute to the XLA FSM when fallback=True,
+    so correctness never depends on the kernel envelope."""
     n = len(streams)
     if n == 0:
         return []
     plen = len(preset)
+    layout_arena = ProbLayout(params.lc, params.lp, params.pb).size
+    mo_all = int(max_out if max_out is not None else max(out_sizes)) + plen
+    mo_all = 1 << (max(mo_all, 128) - 1).bit_length()  # pow2: stable jit shapes
+    group = _lane_group(mo_all, _round_up(layout_arena, 128), max_group)
+    if n > group:
+        results = []
+        for lo in range(0, n, group):
+            results.extend(decode_batch_pallas(
+                streams[lo : lo + group], params, out_sizes[lo : lo + group],
+                max_out=max_out, fallback=fallback, preset=preset,
+                max_group=max_group,
+            ))
+        return results
+
     n_pad = _round_up(n, 8)  # sublane-align the lane axis for Mosaic
     max_in = max(max(len(s) for s in streams), 16)
     max_in = 1 << (max_in - 1).bit_length()
@@ -237,17 +270,24 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
         lens[i] = len(s)
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[:n] = np.asarray(out_sizes, dtype=np.int32) + plen
-    mo = int(max_out if max_out is not None else max(out_sizes)) + plen
-    mo = 1 << (max(mo, 128) - 1).bit_length()  # pow2 bucket: stable jit shapes
+    mo = mo_all
     interpret = jax.default_backend() != "tpu"
-    out, ok, _ = decode_pallas(
-        jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(sizes),
-        min(int(params.dict_size), 2**31 - 1),
-        params.lc, params.lp, params.pb, mo, interpret=interpret,
-        preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
-                if plen else None))
-    out = np.asarray(out)
-    ok = np.asarray(ok)
+    try:
+        out, ok, _ = decode_pallas(
+            jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(sizes),
+            min(int(params.dict_size), 2**31 - 1),
+            params.lc, params.lp, params.pb, mo, interpret=interpret,
+            preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
+                    if plen else None))
+        out = np.asarray(out)
+        ok = np.asarray(ok)
+    except Exception:
+        # Mosaic lowering / VMEM-exhaustion failures surface at compile
+        # time; degrade to the XLA FSM rather than erroring
+        if not fallback:
+            raise
+        out = None
+        ok = np.zeros(n_pad, dtype=bool)
     results = []
     retry = [i for i in range(n) if not ok[i]]
     if retry:

@@ -250,9 +250,14 @@ def serialize_with_fallback(ctx, bits, totals, arena_size: int, max_out: int):
     import jax as _jax
 
     interpret = _jax.default_backend() != "tpu"
-    out, lens, consumed = serialize_pallas(
-        ctx, bits, totals, arena_size, max_out, interpret=interpret
-    )
+    try:
+        out, lens, consumed = serialize_pallas(
+            ctx, bits, totals, arena_size, max_out, interpret=interpret
+        )
+    except Exception:
+        # Mosaic lowering / VMEM-exhaustion failures surface at compile
+        # time; degrade to the XLA serializer rather than erroring
+        return serialize(ctx, bits, totals, arena_size, max_out)
     if bool(jnp.all(consumed == totals)):
         return out, lens
     return serialize(ctx, bits, totals, arena_size, max_out)

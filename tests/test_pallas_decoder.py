@@ -89,3 +89,24 @@ def test_pallas_decode_match_heavy_iteration_budget():
     assert len(stream) < 120  # sanity: the case is genuinely match-heavy
     (out,) = decode_batch_pallas([stream], params, [len(payload)], fallback=False)
     assert out == payload
+
+
+def test_pallas_decode_lane_grouping():
+    """Batches above the VMEM lane budget split into groups transparently;
+    forced tiny groups must return byte-identical results (and keep the
+    per-lane order) vs one big batch."""
+    rng = np.random.default_rng(23)
+    params = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    word = rng.integers(0, 256, 13, dtype=np.uint8).tobytes()
+    payloads = [(word * 50)[: 200 + 17 * i] for i in range(20)]
+    streams = [encode_stream(p, params) for p in payloads]
+    sizes = [len(p) for p in payloads]
+    grouped = decode_batch_pallas(streams, params, sizes, max_group=8,
+                                  fallback=False)
+    assert grouped == payloads
+    # and with a shared preset (the group recursion must carry it)
+    preset = (word * 10)[:100]
+    streams_p = [encode_stream(p, params, preset=preset) for p in payloads]
+    grouped_p = decode_batch_pallas(streams_p, params, sizes, max_group=8,
+                                    fallback=False, preset=preset)
+    assert grouped_p == payloads

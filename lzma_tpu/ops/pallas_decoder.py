@@ -135,14 +135,18 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         st0 = _state_struct(N, layout.size, MO, max_in)
         if pos_base:
             st0["out_pos"] = jnp.full((N,), pos_base, dtype=_I32)
+            # literal context starts from the LAST preset byte (§1.1)
+            prev0 = jnp.full((N,), 1, dtype=_I32) * preset_ref[0, pos_base - 1]
+        else:
+            prev0 = jnp.zeros((N,), dtype=_I32)
 
         def cond(carry):
-            st, rng, code, iters = carry
+            st, rng, code, iters, prev = carry
             active = (st["phase"] != PH_DONE) & (st["phase"] != PH_ERROR)
             return jnp.any(active) & (iters < max_iters)
 
         def body(carry):
-            st, rng, code, iters = carry
+            st, rng, code, iters, prev = carry
             out_pos = st["out_pos"]
 
             idx, is_adaptive, is_direct, consumes_bit = _ctx_index(
@@ -167,21 +171,24 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
             in_pos = jnp.where(need, in_pos + 1, in_pos)
             st = dict(st, in_pos=in_pos, overrun=overrun)
 
-            # transition + output byte
+            # transition + output byte.  The literal-context "previous
+            # byte" is always the last byte written (match copies emit one
+            # byte per iteration too), so it rides as a loop-carried
+            # register instead of an O(N*MO) window gather per bit.
             outv = outb[:]
-            prev_byte = _gather_cols(outv, jnp.maximum(out_pos - 1, 0))
             back_byte = _gather_cols(
                 outv, jnp.clip(out_pos - st["rep0"] - 1, 0, MO - 1))
             st2, emit, emit_byte = _transition(
-                st, bit, prev_byte, back_byte, sizes, dict_check,
+                st, bit, prev, back_byte, sizes, dict_check,
                 layout, lc, lp, pb, MO, pos_base)
             widx = jnp.minimum(out_pos, MO - 1)
             wmask = (out_cols == widx[:, None]) & _mask2d(emit)
             outb[:] = jnp.where(wmask, emit_byte[:, None], outv)
-            return (st2, new_rng, new_code, iters + 1)
+            prev2 = jnp.where(emit, emit_byte, prev)
+            return (st2, new_rng, new_code, iters + 1, prev2)
 
-        st, rng, code, iters = jax.lax.while_loop(
-            cond, body, (st0, rng0, code0, jnp.int32(0)))
+        st, rng, code, iters, _prev = jax.lax.while_loop(
+            cond, body, (st0, rng0, code0, jnp.int32(0), prev0))
         out_ref[:] = outb[:]
         ok_ref[:, 0] = (st["phase"] == PH_DONE).astype(_I32)
         ok_ref[:, 1] = jnp.full((N,), iters, dtype=_I32)

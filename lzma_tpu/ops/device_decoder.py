@@ -470,17 +470,20 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
     st = _state_struct(n_lanes, layout.size, max_out, max_in)
     if pos_base:
         st["out_pos"] = jnp.full((n_lanes,), pos_base, dtype=_I32)
+        prev0 = jnp.full((n_lanes,), 1, dtype=_I32) * preset[-1].astype(_I32)
+    else:
+        prev0 = jnp.zeros((n_lanes,), dtype=_I32)
     dict_check = jnp.maximum(dict_size, 1)
 
     def cond(carry):
-        st, probs, out, rng, code, iters = carry
+        st, probs, out, rng, code, iters, prev = carry
         active = (st["phase"] != PH_DONE) & (st["phase"] != PH_ERROR)
         if max_iters:
             return jnp.any(active) & (iters < max_iters)
         return jnp.any(active)
 
     def body(carry):
-        st, probs, out, rng, code, iters = carry
+        st, probs, out, rng, code, iters, prev = carry
         out_pos = st["out_pos"]
 
         # 1. context index + uniform bit decode (shared select networks)
@@ -503,18 +506,21 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
         in_pos = jnp.where(need, in_pos + 1, in_pos)
         st = dict(st, in_pos=in_pos, overrun=overrun)
 
-        # 3. FSM transition (shared) + this iteration's output byte
-        prev_byte = out[lanes, jnp.maximum(out_pos - 1, 0)].astype(_I32)
+        # 3. FSM transition (shared) + this iteration's output byte.  The
+        # literal-context previous byte is always the last byte written
+        # (match copies emit one byte per iteration too), so it rides the
+        # loop carry instead of a per-iteration window gather.
         back_byte = out[lanes, jnp.clip(out_pos - st["rep0"] - 1, 0, max_out - 1)].astype(_I32)
         st2, emit, emit_byte = _transition(
-            st, bit, prev_byte, back_byte, out_sizes, dict_check,
+            st, bit, prev, back_byte, out_sizes, dict_check,
             layout, lc, lp, pb, max_out, pos_base)
         write_idx = jnp.where(emit, jnp.minimum(out_pos, max_out - 1), max_out)
         out = out.at[lanes, write_idx].set(emit_byte.astype(_U8), mode="drop")
-        return (st2, probs, out, new_rng, new_code, iters + 1)
+        prev2 = jnp.where(emit, emit_byte, prev)
+        return (st2, probs, out, new_rng, new_code, iters + 1, prev2)
 
-    carry = (st, probs0, out0, range0, code0, jnp.int32(0))
-    st, probs, out, rng, code, iters = jax.lax.while_loop(cond, body, carry)
+    carry = (st, probs0, out0, range0, code0, jnp.int32(0), prev0)
+    st, probs, out, rng, code, iters, _prev = jax.lax.while_loop(cond, body, carry)
     ok = st["phase"] == PH_DONE
     return out, ok, iters
 

@@ -1,4 +1,4 @@
-"""Parallel match finding + greedy parse — no sequential scan anywhere.
+"""Parallel match finding + greedy/lazy parse — no sequential scan anywhere.
 
 The reference finds matches with a sequential binary tree that mutates
 global state per position (BinTree.java:152-273) — unvectorizable.  The
@@ -10,15 +10,18 @@ TPU formulation replaces it wholesale:
      position, all positions at once
   3. match lengths for all (position, candidate) pairs with a vectorized
      common-prefix reduction
-  4. greedy parse = path 0 -> n through next[i] = i + advance(i); the
-     visited set is computed with pointer doubling (log2 n rounds of
-     gather + scatter-or) instead of a length-n sequential walk
+  4. greedy/lazy parse = path 0 -> n through next[i] = i + advance(i);
+     the visited set is computed with pointer doubling (log2 n rounds of
+     gather + scatter-or) instead of a length-n sequential walk.  Lazy
+     deferral (take the longer match at i+1 instead of the one at i) is
+     a POINTWISE neighbor compare, so it costs nothing serial: +2.3%
+     ratio on the synthetic corpus (MEASUREMENTS.md)
   5. token stream extracted by prefix-sum compaction
 
 Steps 1-5 are all O(n log n) data-parallel primitives that XLA maps onto
-the VPU; nothing here is lane-serial.  Ratio is below BT4+optimal (greedy,
-bounded candidates) — that's the classic parallel-LZ tradeoff; the match
-QUALITY knob is `num_candidates`.
+the VPU; nothing here is lane-serial.  Ratio is below BT4+optimal
+(bounded candidates) — that's the classic parallel-LZ tradeoff; the
+match QUALITY knobs are `num_candidates` and `lazy`.
 """
 
 from __future__ import annotations
@@ -41,6 +44,24 @@ def _take(best_len, best_dist):
     return (best_len >= 4) | \
            ((best_len == 3) & (best_dist < (1 << 16))) | \
            ((best_len == 2) & (best_dist < (1 << 9)))
+
+
+def _decide(best_len, best_dist, lazy: bool):
+    """(take-as-match, advance) per position — the parse decision.
+
+    `lazy` adds one-step-lookahead deferral, still POINTWISE (no serial
+    scan): a match at i is demoted to a literal when position i+1 holds a
+    strictly longer worthwhile match — the classic lazy-matching rule,
+    expressible as a neighbor compare because the lookahead never chains
+    more than the data itself does (a deferred i simply re-decides at
+    i+1 with the same rule).  Shared by greedy_path and _compact."""
+    take = _take(best_len, best_dist)
+    if lazy:
+        next_len = jnp.roll(best_len, -1).at[-1].set(0)
+        next_take = jnp.roll(take, -1).at[-1].set(False)
+        take = take & ~(next_take & (next_len > best_len))
+    adv = jnp.where(take, best_len, 1)
+    return take, adv
 
 
 @partial(jax.jit, static_argnames=("fb", "num_candidates"))
@@ -108,18 +129,19 @@ def find_best_matches(data, n, dict_size, fb: int, num_candidates: int = 2):
     return best_len, jnp.maximum(best_dist, 0)
 
 
-@partial(jax.jit, static_argnames=("max_n",))
-def greedy_path(best_len, best_dist, n, max_n: int, start=0):
-    """Mark the greedy parse path with pointer doubling.
+@partial(jax.jit, static_argnames=("max_n", "lazy"))
+def greedy_path(best_len, best_dist, n, max_n: int, start=0,
+                lazy: bool = False):
+    """Mark the greedy/lazy parse path with pointer doubling.
 
-    advance(i) = best_len[i] when the match is worth taking, else 1.
-    `start` is the first coded position (> 0 when the window is primed
-    with a preset dictionary — those positions are history, not output).
+    advance(i) = best_len[i] when the match is worth taking, else 1
+    (with one-step lazy deferral when `lazy`).  `start` is the first
+    coded position (> 0 when the window is primed with a preset
+    dictionary — those positions are history, not output).
     Returns on_path: (max_n,) bool marking parse start positions.
     """
     pos = jnp.arange(max_n, dtype=jnp.int32)
-    take = _take(best_len, best_dist)
-    adv = jnp.where(take, best_len, 1)
+    _, adv = _decide(best_len, best_dist, lazy)
     nxt = jnp.minimum(pos + adv, max_n)    # sentinel node max_n
 
     steps = max(1, (max_n).bit_length())
@@ -138,26 +160,30 @@ def greedy_path(best_len, best_dist, n, max_n: int, start=0):
     return on_path
 
 
-def tokenize(data, n, dict_size, fb: int, num_candidates: int = 2, start=0):
+def tokenize(data, n, dict_size, fb: int, num_candidates: int = 2, start=0,
+             lazy: bool = True):
     """Full parallel tokenization of one block.
 
     `start` > 0 primes the window: data[:start] is a preset dictionary —
-    searched as match history but never emitted as tokens.
+    searched as match history but never emitted as tokens.  `lazy`
+    (default) defers a match when the next position holds a longer one —
+    still fully parallel, measurably better ratio (MEASUREMENTS.md).
     Returns (t_pos, t_len, t_dist, t_valid): (max_n,) each — token i covers
     data[t_pos[i] : t_pos[i]+t_len[i]]; t_len==1 & t_dist<0 => literal.
     Tokens are compacted to the front; t_valid marks real tokens.
     """
     max_n = data.shape[0]
     best_len, best_dist = find_best_matches(data, n, dict_size, fb, num_candidates)
-    on_path = greedy_path(best_len, best_dist, n, max_n, start)
-    return _compact(best_len, best_dist, on_path, n)
+    on_path = greedy_path(best_len, best_dist, n, max_n, start, lazy)
+    return _compact(best_len, best_dist, on_path, n, lazy)
 
 
-@jax.jit
-def _compact(best_len, best_dist, on_path, n):
+@partial(jax.jit, static_argnames=("lazy",))
+def _compact(best_len, best_dist, on_path, n, lazy: bool = False):
     max_n = best_len.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
-    is_match = on_path & _take(best_len, best_dist)
+    take, _ = _decide(best_len, best_dist, lazy)
+    is_match = on_path & take
     t_len = jnp.where(is_match, best_len, 1)
     t_dist = jnp.where(is_match, best_dist, -1)
     idx = jnp.cumsum(on_path.astype(jnp.int32)) - 1

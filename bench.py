@@ -153,10 +153,10 @@ def main():
             )
             dj = jnp.asarray(arr)
             lens_j = jnp.full((lanes_n,), bs, dtype=jnp.int32)
-            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 2)
+            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 4)
             jax.block_until_ready(outs)
             t0 = time.perf_counter()
-            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 2)
+            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 4)
             jax.block_until_ready(outs)
             tok_rate = bs * lanes_n / (time.perf_counter() - t0) / 1e6
             log(f"device match-find+parse (resident): {tok_rate:7.0f} MB/s on-chip")

@@ -458,7 +458,7 @@ def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
-def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2,
+def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=4,
                  preset=None):
     """Pure jittable lane-parallel encode: the flagship device pipeline.
 
@@ -476,7 +476,7 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=2,
     return serialize(ctx, bits, totals, layout.size, max_out)
 
 
-def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 2,
+def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 4,
                  use_pallas: bool = False, preset: bytes = b""):
     """Encode independent blocks lane-parallel on device.
 

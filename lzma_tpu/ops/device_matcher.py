@@ -65,7 +65,7 @@ def _decide(best_len, best_dist, lazy: bool):
 
 
 @partial(jax.jit, static_argnames=("fb", "num_candidates"))
-def find_best_matches(data, n, dict_size, fb: int, num_candidates: int = 2):
+def find_best_matches(data, n, dict_size, fb: int, num_candidates: int = 4):
     """Best (length, distance) per position, fully parallel.
 
     data: (max_n,) uint8 padded; n: actual length (scalar).
@@ -160,7 +160,7 @@ def greedy_path(best_len, best_dist, n, max_n: int, start=0,
     return on_path
 
 
-def tokenize(data, n, dict_size, fb: int, num_candidates: int = 2, start=0,
+def tokenize(data, n, dict_size, fb: int, num_candidates: int = 4, start=0,
              lazy: bool = True):
     """Full parallel tokenization of one block.
 

@@ -42,7 +42,7 @@ def encode_blocks_hybrid(
     block_size: int = 1 << 18,
     num_threads: int = 0,
     fb: int | None = None,
-    num_candidates: int = 2,
+    num_candidates: int = 4,
     preset_len: int = 0,
     dictionary: bytes = b"",
 ) -> bytes:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 MIN_MATCH = 2
+MATCH_MAX = 273  # kMatchMaxLen (Base.java:85)
 
 
 def _take(best_len, best_dist):
@@ -125,6 +126,23 @@ def find_best_matches(data, n, dict_size, fb: int, num_candidates: int = 4):
     tied_dist = jnp.where(masked_len == best_len[:, None], dist, jnp.int32(1 << 30))
     best_dist = jnp.min(tied_dist, axis=1)
     best_len = jnp.where(best_len >= MIN_MATCH, best_len, 0)
+
+    # -- extend the chosen match past fb, up to the LZMA cap (273) --
+    # the reference does the same for its longest match
+    # (read_match_distances, Encoder.java:275-287); here it is a second
+    # K-free compare loop over (n,) vectors.  A position keeps extending
+    # exactly while blen == t (one failed byte freezes it forever).
+    if fb < MATCH_MAX:
+        src = pos - best_dist - 1
+
+        def ext(t, blen):
+            a = data[jnp.minimum(pos + t, max_n - 1)]
+            b = data[jnp.clip(src + t, 0, max_n - 1)]
+            grow = (blen == t) & (a == b) & (pos + t < n)
+            return blen + grow.astype(jnp.int32)
+
+        best_len = jax.lax.fori_loop(fb, MATCH_MAX, ext, best_len)
+
     best_len = jnp.minimum(best_len, jnp.maximum(n - pos, 0))
     return best_len, jnp.maximum(best_dist, 0)
 

@@ -31,7 +31,9 @@ Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
   -pb{N}: set number of pos bits - [0, 4], default: 2
   -mf{MF_ID}: set Match Finder: [bt2, bt4, hc4, fast4], default: bt4
   -eos:   write End Of Stream marker
-  -backend{B}: scalar | native | tpu (default: native if built, else scalar)
+  -backend{B}: scalar | native | tpu | hybrid (default: native if built,
+          else scalar; hybrid = device match search + native serialize,
+          encode with -bs{N}, decodes via native)
   -bs{N}: block size (bytes) -> block-parallel LZTB container
   -ps{N}: shared preset-dictionary bytes for block-parallel mode (LZTB v2)
   -td{N}: train an N-byte dictionary from the input and store it in the
@@ -67,7 +69,7 @@ class CommandLine:
         try:
             if s.startswith("backend"):
                 self.backend = s[7:]
-                return self.backend in ("scalar", "native", "tpu")
+                return self.backend in ("scalar", "native", "tpu", "hybrid")
             if s.startswith("bs"):
                 self.block_size = int(s[2:])
             elif s.startswith("d"):
@@ -254,6 +256,28 @@ def main(argv=None) -> int:
     # Block-parallel file paths stream with O(batch) memory
     # (parallel/filestream.py); .lzma single streams are in-memory.
     try:
+        if cmd.command == "e" and cmd.backend == "hybrid":
+            if not cmd.block_size:
+                print("error: -backendhybrid encodes the block container; "
+                      "pass -bs{N}")
+                return 1
+            from .ops.hybrid import encode_blocks_hybrid
+
+            params = cmd.params().validated_for_encode()
+            with open(cmd.in_file, "rb") as f:
+                data = f.read()
+            out = encode_blocks_hybrid(
+                data, params, block_size=cmd.block_size,
+                num_threads=cmd.threads, preset_len=cmd.preset_len,
+                dictionary=_trained_dict(),
+            )
+            with open(cmd.out_file, "wb") as f:
+                f.write(out)
+            if not cmd.quiet:
+                print(f"e: {len(data)} -> {len(out)} bytes [hybrid]")
+            return 0
+        if cmd.command == "d" and cmd.backend == "hybrid":
+            cmd.backend = None  # hybrid is an encode pipeline; decode native
         if cmd.command == "e" and cmd.block_size and cmd.backend in (None, "native"):
             from .parallel import filestream
 

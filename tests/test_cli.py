@@ -85,3 +85,24 @@ def test_cli_corrupt_input_clean_error(tmp_path, capsys):
     out = tmp_path / "out.bin"
     assert main(["d", str(bad), str(out)]) == 1
     assert "error:" in capsys.readouterr().out
+
+
+def test_cli_hybrid_backend(tmp_path):
+    jax = pytest.importorskip("jax")
+    from lzma_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("hybrid needs the native runtime")
+    from lzma_tpu.cli import main
+
+    data = (b"hybrid cli roundtrip payload " * 400)[:9000]
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "out.lztb"
+    back = tmp_path / "back.bin"
+    assert main(["e", "-backendhybrid", "-bs4096", "-d14",
+                 str(src), str(out)]) == 0
+    assert main(["d", "-backendhybrid", str(out), str(back)]) == 0
+    assert back.read_bytes() == data
+    # hybrid without -bs is an error
+    assert main(["e", "-backendhybrid", str(src), str(out)]) == 1

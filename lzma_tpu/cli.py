@@ -240,14 +240,18 @@ def main(argv=None) -> int:
         print("error: -td requires the block container (-bs{N})")
         return 1
 
-    def _trained_dict() -> bytes:
+    def _trained_dict(loaded: bytes | None = None) -> bytes:
+        """Train from `loaded` when the caller already read the input."""
         if not cmd.train_dict:
             return b""
         from .parallel.filestream import DEFAULT_BATCH_BYTES
         from .utils.dicttrain import select_dictionary, train_dictionary
 
-        with open(cmd.in_file, "rb") as f:
-            sample = f.read(DEFAULT_BATCH_BYTES)
+        if loaded is not None:
+            sample = loaded[:DEFAULT_BATCH_BYTES]
+        else:
+            with open(cmd.in_file, "rb") as f:
+                sample = f.read(DEFAULT_BATCH_BYTES)
         if cmd.train_dict == "auto":
             return select_dictionary(sample, cmd.params(),
                                      block_size=cmd.block_size)
@@ -269,7 +273,7 @@ def main(argv=None) -> int:
             out = encode_blocks_hybrid(
                 data, params, block_size=cmd.block_size,
                 num_threads=cmd.threads, preset_len=cmd.preset_len,
-                dictionary=_trained_dict(),
+                dictionary=_trained_dict(data),
             )
             with open(cmd.out_file, "wb") as f:
                 f.write(out)
@@ -371,7 +375,8 @@ def main(argv=None) -> int:
 
                     out = tpu_api.encode_blocks(
                         data, params, block_size=cmd.block_size,
-                        preset_len=cmd.preset_len, dictionary=_trained_dict(),
+                        preset_len=cmd.preset_len,
+                        dictionary=_trained_dict(data),
                     )
                 else:
                     from .parallel.blocks import encode_blocks
@@ -379,7 +384,8 @@ def main(argv=None) -> int:
                     out = encode_blocks(
                         data, params, block_size=cmd.block_size,
                         num_threads=max(cmd.threads, 1),
-                        preset_len=cmd.preset_len, dictionary=_trained_dict(),
+                        preset_len=cmd.preset_len,
+                        dictionary=_trained_dict(data),
                     )
             else:
                 out = enc(data, params, mode=mode)

@@ -56,6 +56,8 @@ def encode_blocks_hybrid(
     compressed stream and primes EVERY lane (block 0 included).
     """
     params = (params or LzmaParams()).validated_for_encode()
+    if params.write_eos:
+        raise ValueError("block container uses known sizes; EOS not supported")
     preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
     dictionary = blk.validated_dictionary(dictionary, preset_len)
     if len(data) <= block_size:

@@ -226,14 +226,14 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
 #: soft VMEM budget for one kernel invocation (bytes): the residents are
 #: the decoded window twice (outb scratch + out_ref), the compressed
 #: input and the prob arena, all (N, ·) int32.  32x16 KB windows compile
-#: and run on a real v5e (~7 MB by this accounting); 64x16 KB does not
-#: (MEASUREMENTS.md) — so batches are chunked into lane groups under
-#: this budget instead of failing at compile time.
-VMEM_BUDGET = 8 << 20
+#: and run on a real v5e (~8.3 MB by this accounting, comp included);
+#: 64x16 KB does not (MEASUREMENTS.md) — so batches are chunked into
+#: lane groups under this budget instead of failing at compile time.
+VMEM_BUDGET = 9 << 20
 
 
-def _lane_group(mo: int, arena: int, max_group=None) -> int:
-    per_lane = 4 * (3 * mo + arena)
+def _lane_group(mo: int, arena: int, max_in: int = 0, max_group=None) -> int:
+    per_lane = 4 * (3 * mo + arena + max_in)
     g = max(8, (VMEM_BUDGET // max(per_lane, 1)) // 8 * 8)
     if max_group:
         g = min(g, max_group)
@@ -256,7 +256,8 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
     layout_arena = ProbLayout(params.lc, params.lp, params.pb).size
     mo_all = int(max_out if max_out is not None else max(out_sizes)) + plen
     mo_all = 1 << (max(mo_all, 128) - 1).bit_length()  # pow2: stable jit shapes
-    group = _lane_group(mo_all, _round_up(layout_arena, 128), max_group)
+    in_all = 1 << (max(max(len(s) for s in streams), 16) - 1).bit_length()
+    group = _lane_group(mo_all, _round_up(layout_arena, 128), in_all, max_group)
     if n > group:
         results = []
         for lo in range(0, n, group):

@@ -25,10 +25,9 @@ from __future__ import annotations
 
 import numpy as np
 
-#: hard ceiling on dictionary length accepted by the container
-#: (window positions are int32 in every backend, BinTree.java:19-ish
-#: bound; 128 MB of preset is far past any useful dictionary anyway)
-MAX_DICT_LEN = 1 << 27
+# the container defines the bound (parallel/blocks.py is the wire-format
+# authority); re-exported here for trainer callers
+from ..parallel.blocks import MAX_DICT_LEN  # noqa: F401
 
 _FNV = np.uint64(0x100000001B3)
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -162,9 +161,14 @@ def select_dictionary(
         enc = lambda b, pre=b"": encode_stream(b, params, preset=pre)  # noqa: E731
 
     n_blocks = max(1, (len(buf) + block_size - 1) // block_size)
-    step = max(1, n_blocks // max(1, min(sample_blocks, n_blocks)))
-    sample = [buf[i * block_size : (i + 1) * block_size]
-              for i in range(0, n_blocks, step)][:sample_blocks]
+    k = max(1, min(sample_blocks, n_blocks))
+    # evenly spread indices INCLUDING the last block (a stepped slice
+    # front-biases the sample whenever n_blocks % k != 0)
+    if k == 1:
+        idxs = [0]
+    else:
+        idxs = sorted({round(i * (n_blocks - 1) / (k - 1)) for i in range(k)})
+    sample = [buf[i * block_size : (i + 1) * block_size] for i in idxs]
     scale = n_blocks / len(sample)
 
     trained = train_dictionary(buf, max_size, **train_kw)

@@ -3,9 +3,10 @@
 Same surface as the reference CLI (LzmaAlone.java:42-154): `e`/`d`/`b`
 commands, `-d{N} -fb{N} -a{N} -lc{N} -lp{N} -pb{N} -eos -mf{bt2,bt4}`
 switches, `--` to end switch parsing, same defaults (dict 2^23, fb 128,
-lc3 lp0 pb2, bt4, max mode).  Extensions: `-mfhc4`, `-backend{scalar,
-native,tpu}`, `-bs{N}` block size + `-t{N}` threads for the
-block-parallel LZTB container, `-q` quiet.
+lc3 lp0 pb2, bt4, max mode).  Extensions: `-mfhc4`/`-mffast4`,
+`-backend{scalar,native,tpu,hybrid}`, `-bs{N}` block size + `-t{N}`
+threads for the block-parallel LZTB container, `-ps{N}` shared preset
+(LZTB v2), `-td{N}`/`-tdauto` trained dictionary (LZTB v3), `-q` quiet.
 """
 
 from __future__ import annotations

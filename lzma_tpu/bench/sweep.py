@@ -86,6 +86,31 @@ def main(size_mb: int = 8, out=print):
         r, e, d = _run(data, p, bs)
         out(f"| 3 | 0 | 2 | {dict_size >> 10}K | {r:.3f} | {e:.1f} | {d:.1f} |")
 
+    # dictionary modes: plain vs v2 prefix preset vs v3 trained (stored)
+    # vs v3 auto-sized — the container-size trade recorded in
+    # MEASUREMENTS.md, regenerable here
+    from ..runtime import native
+    from ..utils.dicttrain import select_dictionary, train_dictionary
+
+    out("\n| container mode (bs=64K, dict=1M) | size | Δ vs plain |")
+    out("|---|---|---|")
+    p = LzmaParams(dict_size=1 << 20, fast_bytes=32)
+    bs = 1 << 16
+    base = len(native.encode_blocks(data, p, block_size=bs))
+    out(f"| v1 plain | {base} | — |")
+    for name, kw in (
+        ("v2 prefix preset (D=bs/4)", dict(preset_len=bs // 4)),
+        ("v3 trained (D=bs/4)",
+         dict(dictionary=train_dictionary(data, bs // 4))),
+        ("v3 auto-sized",
+         dict(dictionary=select_dictionary(data, p, block_size=bs))),
+    ):
+        if not kw.get("preset_len") and not kw.get("dictionary"):
+            continue  # auto-sizer chose no dictionary
+        blob = native.encode_blocks(data, p, block_size=bs, **kw)
+        assert crc32(native.decode_blocks(blob)) == crc32(data)
+        out(f"| {name} | {len(blob)} | {(len(blob)/base-1)*100:+.2f}% |")
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and not sys.argv[1].isdigit():

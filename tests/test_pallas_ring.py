@@ -1,0 +1,81 @@
+"""Ring-window Pallas decoder: bit-exact vs the scalar oracle.
+
+CPU runs exercise the kernel in interpret mode (Mosaic lowering is
+validated on hardware by tools/ring_chip.py / tools/chip_check.py).
+"""
+
+import numpy as np
+import pytest
+
+from lzma_tpu.codec.encoder import encode_stream
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.ops.pallas_ring import decode_batch_ring
+
+
+def _corpus(rng, n):
+    words = [rng.integers(0, 256, int(k), dtype=np.uint8).tobytes()
+             for k in rng.integers(4, 24, 24)]
+    b = bytearray()
+    while len(b) < n:
+        b += words[int(rng.integers(0, len(words)))]
+    return bytes(b[:n])
+
+
+@pytest.mark.parametrize("stage_input", [True, False])
+def test_ring_decode_small_dict(stage_input):
+    # dict << block: the configuration the ring window exists for
+    rng = np.random.default_rng(5)
+    params = LzmaParams(dict_size=1 << 11, fast_bytes=16)
+    payloads = [_corpus(rng, 5000 - 321 * i) for i in range(3)]
+    # an incompressible lane exercises the input-window stall path
+    payloads.append(rng.integers(0, 256, 2500, dtype=np.uint8).tobytes())
+    streams = [encode_stream(p, params, mode="greedy") for p in payloads]
+    outs = decode_batch_ring(streams, params, [len(p) for p in payloads],
+                             fallback=False, stage_input=stage_input)
+    assert outs == payloads
+
+
+def test_ring_decode_dict_covers_block():
+    # dict >= block: ring degenerates to the whole-block window
+    rng = np.random.default_rng(6)
+    params = LzmaParams(dict_size=1 << 16, fast_bytes=16)
+    payloads = [_corpus(rng, 1800), b"a" * 700]
+    streams = [encode_stream(p, params, mode="greedy") for p in payloads]
+    outs = decode_batch_ring(streams, params, [len(p) for p in payloads],
+                             fallback=False)
+    assert outs == payloads
+
+
+@pytest.mark.parametrize("lc,lp,pb", [(0, 0, 2), (1, 2, 1)])
+def test_ring_decode_param_combos(lc, lp, pb):
+    rng = np.random.default_rng(7 + lc * 9 + lp * 3 + pb)
+    params = LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=1 << 10, fast_bytes=16)
+    payload = _corpus(rng, 2600)
+    stream = encode_stream(payload, params, mode="greedy")
+    (out,) = decode_batch_ring([stream], params, [len(payload)],
+                               fallback=False)
+    assert out == payload
+
+
+def test_ring_decode_preset():
+    # LZTB v2/v3 priming: window pre-filled, contexts shifted
+    rng = np.random.default_rng(8)
+    params = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    preset = _corpus(rng, 3000)
+    payloads = [_corpus(rng, 2000), _corpus(rng, 1500)]
+    streams = [encode_stream(p, params, preset=preset, mode="greedy")
+               for p in payloads]
+    outs = decode_batch_ring(streams, params, [len(p) for p in payloads],
+                             fallback=False, preset=preset)
+    assert outs == payloads
+
+
+def test_ring_decode_corrupt_falls_back():
+    rng = np.random.default_rng(9)
+    params = LzmaParams(dict_size=1 << 11, fast_bytes=16)
+    payload = _corpus(rng, 1200)
+    stream = bytearray(encode_stream(payload, params, mode="greedy"))
+    stream[8] ^= 0xFF  # corrupt mid-stream
+    with pytest.raises(ValueError):
+        decode_batch_ring([bytes(stream)], params, [len(payload)],
+                          fallback=False)

@@ -52,7 +52,17 @@ def compress(data: bytes, params: LzmaParams | None = None,
 
     Routes through the native runtime when built (byte-identical to the
     scalar oracle — pinned by tests), scalar otherwise.
+
+    params="auto" picks lc/lp/pb by measured cost on a spread sample of
+    the input (utils/autotune.py); other fields keep their defaults or
+    keyword overrides.
     """
+    if params == "auto":
+        from .utils.autotune import select_params
+
+        params = select_params(
+            data, LzmaParams(**kw) if kw else None, block_size=block_size)
+        kw = {}
     params = params or (LzmaParams(**kw) if kw else None)
     native = _native_or_none()
     if container == "lztb":
@@ -125,15 +135,25 @@ def compress_file(src, dst, params: LzmaParams | None = None,
     container="alone": one `.lzma` (LZMA_Alone) single stream, O(dict)
     memory via the native sliding window — the reference's own container,
     decodable by stock liblzma and best compression ratio (no block
-    boundaries)."""
+    boundaries).
+    params="auto" picks lc/lp/pb by measured cost on the file's first
+    batch (utils/autotune.py)."""
     import builtins
 
     from .parallel import filestream
 
-    if params is not None and kw:
+    if params is not None and kw and params != "auto":
         raise TypeError(
             f"pass either params= or keyword overrides, not both: {sorted(kw)}"
         )
+    if params == "auto":
+        from .utils.autotune import select_params
+
+        with builtins.open(src, "rb") as f:
+            sample = f.read(filestream.DEFAULT_BATCH_BYTES)
+        params = select_params(sample, LzmaParams(**kw) if kw else None,
+                               block_size=block_size)
+        kw = {}
     params = params or (LzmaParams(**kw) if kw else None)
     if container == "alone":
         if preset_len or dictionary or train_dict:

@@ -6,7 +6,8 @@ switches, `--` to end switch parsing, same defaults (dict 2^23, fb 128,
 lc3 lp0 pb2, bt4, max mode).  Extensions: `-mfhc4`/`-mffast4`,
 `-backend{scalar,native,tpu,hybrid}`, `-bs{N}` block size + `-t{N}`
 threads for the block-parallel LZTB container, `-ps{N}` shared preset
-(LZTB v2), `-td{N}`/`-tdauto` trained dictionary (LZTB v3), `-q` quiet.
+(LZTB v2), `-td{N}`/`-tdauto` trained dictionary (LZTB v3), `-tune`
+measured lc/lp/pb selection, `-q` quiet.
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
   -td{N}: train an N-byte dictionary from the input and store it in the
           container, priming every block (LZTB v3); -tdauto auto-sizes
           the dictionary against its storage cost
+  -tune:  pick lc/lp/pb by measured cost on the input's first batch
   -t{N}:  worker threads for block-parallel mode
 """
 
@@ -61,6 +63,7 @@ class CommandLine:
         self.block_size = 0
         self.preset_len = 0
         self.train_dict = 0
+        self.tune = False
         self.threads = 0
         self.quiet = False
         self.in_file = None
@@ -97,6 +100,8 @@ class CommandLine:
                 if mf not in ("bt2", "bt4", "hc4", "fast4"):
                     return False
                 self.match_finder = mf
+            elif s == "tune":
+                self.tune = True
             elif s.startswith("td"):
                 if s[2:] == "auto":
                     self.train_dict = "auto"
@@ -240,6 +245,20 @@ def main(argv=None) -> int:
     if cmd.command == "e" and cmd.train_dict and not cmd.block_size:
         print("error: -td requires the block container (-bs{N})")
         return 1
+
+    if cmd.command == "e" and cmd.tune and cmd.in_file:
+        # measured lc/lp/pb selection on the input's first batch; every
+        # encode path below reads the tuned values via cmd.params()
+        from .parallel.filestream import DEFAULT_BATCH_BYTES
+        from .utils.autotune import select_params
+
+        with open(cmd.in_file, "rb") as f:
+            sample = f.read(DEFAULT_BATCH_BYTES)
+        tuned = select_params(sample, cmd.params(),
+                              block_size=cmd.block_size or (1 << 20))
+        cmd.lc, cmd.lp, cmd.pb = tuned.lc, tuned.lp, tuned.pb
+        if not cmd.quiet:
+            print(f"tuned: -lc{tuned.lc} -lp{tuned.lp} -pb{tuned.pb}")
 
     def _trained_dict(loaded: bytes | None = None) -> bytes:
         """Train from `loaded` when the caller already read the input."""

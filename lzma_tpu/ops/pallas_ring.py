@@ -89,9 +89,10 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     S = _round_up(layout.size, 128)
     pos_base = 0 if preset is None else preset.shape[0]
 
-    # ring window: pow2, >= dict+2 (distance dict-1 plus the write head),
+    # ring window: pow2 >= dict (distances are <= dict and the back-read
+    # happens before the write, so slot reuse at exactly W=dict is safe),
     # > F_STEP (emissions between flushes), capped at the padded output
-    W = 1 << (max(int(dict_size) + 2, F_STEP + 2, 1024) - 1).bit_length()
+    W = 1 << (max(int(dict_size), F_STEP + 2, 1024) - 1).bit_length()
     MO = _round_up(max_out, W) if W < max_out else W
     W = min(W, MO)
     assert MO % W == 0 and F_STEP < W
@@ -324,7 +325,7 @@ def decode_batch_ring(streams, params: LzmaParams, out_sizes, max_out=None,
     in_all = 1 << (in_all - 1).bit_length()
     if stage_input:
         in_all = _round_up(in_all, C_IN)
-    w = 1 << (max(int(params.dict_size) + 2, F_STEP + 2, 1024) - 1).bit_length()
+    w = 1 << (max(int(params.dict_size), F_STEP + 2, 1024) - 1).bit_length()
     w = min(w, mo_all)
     fin = C_IN if stage_input else in_all
     group = _lane_group(mo_all, _round_up(layout_arena, 128), w, fin, max_group)

@@ -51,6 +51,7 @@ def main():
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     dlog = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     lc = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    which = sys.argv[5] if len(sys.argv) > 5 else "all"
     print(f"backend={jax.default_backend()} lanes={lanes} bs={bs} "
           f"dict=2^{dlog} lc={lc}", flush=True)
     params = LzmaParams(dict_size=1 << dlog, lc=lc, lp=0, pb=2, fast_bytes=16)
@@ -59,14 +60,20 @@ def main():
     sizes = [len(b) for b in blocks]
     total = sum(sizes)
 
-    for name, fn in [
+    variants = [
         ("ring(stage)", lambda: decode_batch_ring(
-            streams, params, sizes, fallback=False, stage_input=True)),
+            streams, params, sizes, fallback=False, stage_input=True,
+            max_group=lanes)),
         ("ring(nostage)", lambda: decode_batch_ring(
-            streams, params, sizes, fallback=False, stage_input=False)),
+            streams, params, sizes, fallback=False, stage_input=False,
+            max_group=lanes)),
         ("v1", lambda: decode_batch_pallas(
-            streams, params, sizes, fallback=False)),
-    ]:
+            streams, params, sizes, fallback=False, max_group=lanes)),
+    ]
+    if which != "all":
+        variants = [v for v in variants
+                    if which in v[0].replace("(", "").replace(")", "")]
+    for name, fn in variants:
         t0 = time.perf_counter()
         try:
             out = fn()

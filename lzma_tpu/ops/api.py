@@ -93,8 +93,9 @@ def encode_blocks(
 def decode_blocks(blob, use_pallas: bool = False) -> bytes:
     """Lane-parallel block decode of an LZTB container.
 
-    use_pallas routes the decode FSM through the in-VMEM Pallas kernel
-    (ops/pallas_decoder.py) instead of the XLA while_loop backend.
+    use_pallas routes the decode FSM through the ring-window in-VMEM
+    Pallas kernel (ops/pallas_ring.py — O(dict) window per lane, the
+    fastest on-device decoder) instead of the XLA while_loop backend.
     """
     frame = blk.parse_container(blob)
     n = len(frame.comp_sizes)
@@ -111,7 +112,7 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
         for i in range(n)
     ]
     if use_pallas:
-        from .pallas_decoder import decode_batch_pallas as _dec
+        from .pallas_ring import decode_batch_ring as _dec
     else:
         _dec = decode_batch
     if frame.dict_len:

@@ -91,10 +91,11 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
 
     # ring window: pow2 >= dict (distances are <= dict and the back-read
     # happens before the write, so slot reuse at exactly W=dict is safe),
-    # > F_STEP (emissions between flushes), capped at the padded output
-    W = 1 << (max(int(dict_size), F_STEP + 2, 1024) - 1).bit_length()
-    MO = _round_up(max_out, W) if W < max_out else W
-    W = min(W, MO)
+    # > F_STEP (emissions between flushes), capped at the output's pow2
+    # (a dictionary wider than the block buys nothing)
+    W = 1 << (max(min(int(dict_size), max_out), F_STEP + 2, 1024)
+              - 1).bit_length()
+    MO = _round_up(max_out, W)
     assert MO % W == 0 and F_STEP < W
 
     stage_in = bool(stage_input)

@@ -145,6 +145,42 @@ def _decode_step_preset(comp, comp_lens, out_sizes, preset, dict_size, *,
     )(comp, comp_lens, out_sizes, preset)
 
 
+@partial(jax.jit, static_argnames=("dict_size", "lc", "lp", "pb", "max_out",
+                                   "interpret", "plen", "mesh_holder"))
+def _decode_step_pallas(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
+                        max_out, interpret, mesh_holder, preset=None, plen=0):
+    """Sharded decode where each device runs the ring-window Pallas kernel
+    (ops/pallas_ring.py) on its local shard — the per-chip production
+    decoder — with the same ordered gather and (for LZTB v2/v3) the same
+    replicated-operand dictionary broadcast as the XLA FSM steps."""
+    from ..ops.pallas_ring import decode_pallas_ring
+
+    mesh = mesh_holder.mesh
+
+    def local(comp_l, lens_l, sizes_l, *preset_r):
+        out, ok, _ = decode_pallas_ring(
+            comp_l.astype(jnp.int32), lens_l, sizes_l, dict_size, lc, lp, pb,
+            max_out, interpret=interpret, stage_input=False,
+            preset=(preset_r[0].astype(jnp.int32) if plen else None),
+        )
+        all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
+        all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
+        return all_out, all_ok
+
+    in_specs = [P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)]
+    operands = [comp, comp_lens, out_sizes]
+    if plen:
+        in_specs.append(P(None))   # replicated: the ICI dictionary broadcast
+        operands.append(preset)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,  # loop carries start replicated, become device-varying
+    )(*operands)
+
+
 class _MeshHolder:
     """Hashable wrapper so a Mesh can ride a static jit arg."""
 
@@ -235,12 +271,17 @@ def encode_blocks_mesh(
                                preset_len, dict_stream, len(dictionary))
 
 
-def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
+def decode_blocks_mesh(blob, mesh: Mesh | None = None,
+                       use_pallas: bool = False) -> bytes:
     """Data-parallel block decode over every device in the mesh.
 
     LZTB v2 (shared preset): block 0 decodes first (one lane), its
     prefix is broadcast to every device as a replicated array, then all
     remaining blocks decode data-parallel against it.
+
+    use_pallas runs the ring-window Pallas kernel per shard instead of
+    the XLA FSM (interpret mode off-TPU); shapes outside the kernel's
+    VMEM envelope fall back to the XLA step.
     """
     frame = blk.parse_container(blob)
     mesh = mesh or make_mesh()
@@ -285,7 +326,9 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
         if n == 1:
             return parts[0]
 
-    lanes = _pad_lanes(n - first, d)
+    # Mosaic tiles the lane axis in sublanes of 8: the Pallas step needs
+    # every per-device shard 8-aligned
+    lanes = _pad_lanes(n - first, d * 8 if use_pallas else d)
     max_in = max(max(frame.comp_sizes[first:]), 16)
     comp = np.zeros((lanes, max_in), dtype=np.uint8)
     lens = np.zeros(lanes, dtype=np.int32)
@@ -302,7 +345,24 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
         mesh_holder=_MeshHolder(mesh),
     )
     dict_size = np.int64(min(frame.params.dict_size, 2**31 - 1))
-    if preset is not None:
+    if use_pallas:
+        try:
+            out, ok = _decode_step_pallas(
+                jnp.asarray(comp),
+                jnp.asarray(lens),
+                jnp.asarray(sizes + (plen if preset is not None else 0)),
+                int(dict_size),
+                max_out=max(frame.block_size, 1) + plen,
+                interpret=jax.default_backend() != "tpu",
+                preset=(jnp.asarray(preset) if preset is not None else None),
+                plen=(plen if preset is not None else 0),
+                **common,
+            )
+            out = np.asarray(out)
+            ok = np.asarray(ok)
+        except Exception:
+            use_pallas = False  # VMEM/lowering envelope: XLA FSM fallback
+    if not use_pallas and preset is not None:
         out, ok = _decode_step_preset(
             jnp.asarray(comp),
             jnp.asarray(lens),
@@ -312,7 +372,7 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None) -> bytes:
             max_out=max(frame.block_size, 1) + plen,
             **common,
         )
-    else:
+    elif not use_pallas:
         out, ok = _decode_step(
             jnp.asarray(comp),
             jnp.asarray(lens),

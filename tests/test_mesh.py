@@ -57,3 +57,21 @@ def test_mesh_subset_device_counts():
         p = LzmaParams(dict_size=1 << 11, fast_bytes=16)
         blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh)
         assert decode_blocks_mesh(blob, mesh=mesh) == data
+
+
+def test_mesh_decode_pallas_ring(mesh):
+    """The ring-window Pallas kernel runs per shard under shard_map
+    (interpret mode on the CPU mesh), same container, same bytes."""
+    data = _data(9_000, seed=9)
+    p = LzmaParams(dict_size=1 << 11, fast_bytes=16)
+    blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh)
+    assert decode_blocks_mesh(blob, mesh=mesh, use_pallas=True) == data
+
+
+def test_mesh_decode_pallas_ring_dictionary(mesh):
+    """LZTB v3 stored dictionary broadcast + per-shard Pallas decode."""
+    data = _data(9_000, seed=10)
+    p = LzmaParams(dict_size=1 << 11, fast_bytes=16)
+    blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh,
+                              dictionary=data[:512])
+    assert decode_blocks_mesh(blob, mesh=mesh, use_pallas=True) == data

@@ -10,11 +10,18 @@ Memory plan (N lanes, arena S, max_bits B):
   probs   (N, S)  int32  VMEM scratch   — adaptive model, one-hot updates
   out     (N, max_out) int32 VMEM out   — compressed bytes (as i32)
   ring    (N, RING) int32 VMEM scratch  — staged bytes between out flushes
-  ctx/bit (N, B) int32 HBM inputs       — DMA'd in (N, CHUNK) tiles,
-                                          double-buffered
+  packed  (N, B) int32 HBM input        — (ctx, bit) pairs packed into one
+                                          word each, DMA'd in (N, CHUNK)
+                                          tiles, double-buffered (one
+                                          masked tile gather per step
+                                          instead of two)
 Per-lane coder registers (low/carry/range/cache/...) live as loop-carried
 vectors.  One (ctx, bit) is consumed per inner step, exactly mirroring the
-XLA serializer's semantics (bit-exact, asserted in tests).
+XLA serializer's semantics (bit-exact, asserted in tests).  The per-chunk
+inner loop exits as soon as no lane has work left in the chunk (coding,
+draining a carry run, or the 5-byte final flush); the fixed 1.5x step
+slack is only a cap for pathological drain runs, whose overflow reroutes
+to the XLA serializer via the `consumed` check.
 """
 
 from __future__ import annotations
@@ -60,11 +67,14 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         pad = ((0, 0), (0, B_pad - B))
         ctx = jnp.pad(ctx, pad, constant_values=-3)
         bits = jnp.pad(bits, pad)
+    # one packed word per (ctx, bit): ctx >= -3, so (ctx+4)*2+bit >= 2
+    packed = ((ctx + 4) << 1) | bits
     max_out_pad = _round_up(max_out, RING)
     num_chunks = B_pad // CHUNK
+    step_cap = CHUNK + CHUNK // 2 + 16
 
-    def kernel(totals_ref, ctx_hbm, bits_hbm, out_ref, lens_ref,
-               probs, ring, ctx_tile, bits_tile, sems):
+    def kernel(totals_ref, pk_hbm, out_ref, lens_ref,
+               probs, ring, pk_tile, sems):
         # lens_ref[:, 0] = emitted bytes; lens_ref[:, 1] = consumed bits or
         # -1 on staging-ring overflow — the wrapper falls back to the XLA
         # serializer unless lens_ref[:, 1] == totals for every lane.
@@ -74,20 +84,15 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         arena_cols = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
         ring_cols = jax.lax.broadcasted_iota(jnp.int32, (N, RING), 1)
         out_cols = jax.lax.broadcasted_iota(jnp.int32, (N, max_out_pad), 1)
+        tile_cols = jax.lax.broadcasted_iota(jnp.int32, (N, CHUNK), 1)
         tot = totals_ref[:, 0]
 
         def copy_chunk(slot, chunk_idx):
-            c = pltpu.make_async_copy(
-                ctx_hbm.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
-                ctx_tile.at[slot], sems.at[slot, 0])
-            b = pltpu.make_async_copy(
-                bits_hbm.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
-                bits_tile.at[slot], sems.at[slot, 1])
-            return c, b
+            return pltpu.make_async_copy(
+                pk_hbm.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
+                pk_tile.at[slot], sems.at[slot])
 
-        ca, cb = copy_chunk(0, 0)
-        ca.start()
-        cb.start()
+        copy_chunk(0, 0).start()
 
         def flush(out_vals, ring_vals, flush_base, out_pos):
             # ring is indexed by absolute position mod RING, so the staged
@@ -105,31 +110,29 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
 
             @pl.when(chunk_idx + 1 < num_chunks)
             def _():
-                c, b = copy_chunk((chunk_idx + 1) % 2, chunk_idx + 1)
-                c.start()
-                b.start()
+                copy_chunk((chunk_idx + 1) % 2, chunk_idx + 1).start()
 
-            ca, cb = copy_chunk(slot, chunk_idx)
-            ca.wait()
-            cb.wait()
+            copy_chunk(slot, chunk_idx).wait()
+            last_chunk = chunk_idx == num_chunks - 1
 
-            def bit_body(t, inner):
-                (low, carry_f, rng, cache, pending, drain, drain_byte,
+            def bit_body(inner):
+                (t, low, carry_f, rng, cache, pending, drain, drain_byte,
                  bit_pos, out_pos, flush_i, err) = inner
                 draining = drain > 0
                 in_chunk = (bit_pos >= chunk_idx * CHUNK) & (
                     bit_pos < (chunk_idx + 1) * CHUNK)
                 has_bits = (bit_pos < tot) & in_chunk
                 flushing = (~draining) & (bit_pos >= tot) & (flush_i < 5) & (
-                    chunk_idx == num_chunks - 1)
+                    last_chunk)
                 coding = (~draining) & has_bits
 
                 local = jnp.clip(bit_pos - chunk_idx * CHUNK, 0, CHUNK - 1)
-                # tpu.dynamic_gather spans one vreg only; use masked sums
-                tile_cols = jax.lax.broadcasted_iota(jnp.int32, (N, CHUNK), 1)
+                # tpu.dynamic_gather spans one vreg only; use a masked sum
+                # over the packed (ctx,bit) tile — one pass, not two
                 sel = tile_cols == local[:, None]
-                cx = jnp.sum(jnp.where(sel, ctx_tile[slot], 0), axis=1)
-                bt = jnp.sum(jnp.where(sel, bits_tile[slot], 0), axis=1)
+                pk = jnp.sum(jnp.where(sel, pk_tile[slot], 0), axis=1)
+                cx = (pk >> 1) - 4
+                bt = pk & 1
                 adaptive = coding & (cx >= 0)
                 direct = coding & (cx == -1)
 
@@ -179,14 +182,29 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                 carry2 = jnp.where(need_shift, 0, new_carry)
                 bit_pos = bit_pos + jnp.where(coding, 1, 0)
                 flush_i = flush_i + jnp.where(flushing, 1, 0)
-                return (low2, carry2, rng2, cache, pending, drain, drain_byte,
-                        bit_pos, out_pos, flush_i, err)
+                return (t + 1, low2, carry2, rng2, cache, pending, drain,
+                        drain_byte, bit_pos, out_pos, flush_i, err)
 
-            # CHUNK bit-steps plus slack for stalls/drains/finals
-            inner = (low, carry_f, rng, cache, pending, drain, drain_byte,
-                     bit_pos, out_pos, flush_i, err)
-            inner = jax.lax.fori_loop(0, CHUNK + CHUNK // 2 + 16, bit_body, inner)
-            (low, carry_f, rng, cache, pending, drain, drain_byte,
+            def bit_cond(inner):
+                (t, low, carry_f, rng, cache, pending, drain, drain_byte,
+                 bit_pos, out_pos, flush_i, err) = inner
+                # a lane has work while it drains a carry run, has bits
+                # left inside this chunk, or still owes final-flush bytes
+                work = (drain > 0) | (
+                    (bit_pos < tot)
+                    & (bit_pos >= chunk_idx * CHUNK)
+                    & (bit_pos < (chunk_idx + 1) * CHUNK))
+                if isinstance(last_chunk, bool):
+                    lc = jnp.bool_(last_chunk)
+                else:
+                    lc = last_chunk
+                work = work | (lc & (bit_pos >= tot) & (flush_i < 5))
+                return jnp.any(work) & (t < step_cap)
+
+            inner = (jnp.int32(0), low, carry_f, rng, cache, pending, drain,
+                     drain_byte, bit_pos, out_pos, flush_i, err)
+            inner = jax.lax.while_loop(bit_cond, bit_body, inner)
+            (_, low, carry_f, rng, cache, pending, drain, drain_byte,
              bit_pos, out_pos, flush_i, err) = inner
 
             # flush staged ring into out
@@ -216,8 +234,7 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # totals
-            pl.BlockSpec(memory_space=pl.ANY),          # ctx (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),          # bits (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # packed ctx|bit (HBM)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -226,13 +243,12 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         scratch_shapes=[
             pltpu.VMEM((N, S), jnp.int32),              # probs
             pltpu.VMEM((N, RING), jnp.int32),           # ring
-            pltpu.VMEM((2, N, CHUNK), jnp.int32),       # ctx tiles
-            pltpu.VMEM((2, N, CHUNK), jnp.int32),       # bits tiles
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, N, CHUNK), jnp.int32),       # packed tiles
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(totals.reshape(-1, 1), ctx, bits)
+    )(totals.reshape(-1, 1), packed)
     return (out[:n_real, :max_out].astype(jnp.uint8),
             lens[:n_real, 0], lens[:n_real, 1])
 
@@ -240,7 +256,7 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
 def serialize_with_fallback(ctx, bits, totals, arena_size: int, max_out: int):
     """Pallas fast path with a guaranteed-correct XLA fallback.
 
-    The kernel's staging envelope (per-chunk step slack, RING-byte flush
+    The kernel's staging envelope (per-chunk step cap, RING-byte flush
     windows) covers all realistic streams; `consumed` reports whether every
     lane finished inside it, and any shortfall reroutes the whole batch to
     the XLA serializer.

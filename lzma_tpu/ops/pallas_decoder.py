@@ -259,6 +259,8 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
     in_all = 1 << (max(max(len(s) for s in streams), 16) - 1).bit_length()
     group = _lane_group(mo_all, _round_up(layout_arena, 128), in_all, max_group)
     if n > group:
+        # balance the chunks (the trailing sliver pays full fixed cost)
+        group = max(8, _round_up(-(-n // -(-n // group)), 8))
         results = []
         for lo in range(0, n, group):
             results.extend(decode_batch_pallas(

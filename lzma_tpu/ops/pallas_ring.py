@@ -168,8 +168,8 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
             in_pos = st["in_pos"]
             return (in_pos >= (cur + 1) * C_IN) & (in_pos < lens)
 
-        def fsm_step(_, carry):
-            st, rng, code, prev, cur = carry
+        def fsm_step(carry):
+            t, st, rng, code, prev, cur = carry
             out_pos = st["out_pos"]
             go = ~stalled_of(st, cur)
 
@@ -215,7 +215,14 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
             wmask = (win_cols == (out_pos & (W - 1))[:, None]) & _mask2d(emit)
             win[:] = jnp.where(wmask, emit_byte[:, None], winv)
             prev2 = jnp.where(emit, emit_byte, prev)
-            return (st2, new_rng, new_code, prev2, cur)
+            return (t + 1, st2, new_rng, new_code, prev2, cur)
+
+        def fsm_cond(carry):
+            # exit the service interval early once every lane is done,
+            # errored, or stalled on the staged input window
+            t, st = carry[0], carry[1]
+            live = (st["phase"] != PH_DONE) & (st["phase"] != PH_ERROR)
+            return jnp.any(live & ~stalled_of(st, carry[5])) & (t < F_STEP)
 
         def flush(st, fb):
             # ring slots are absolute positions mod W: one masked select
@@ -232,8 +239,8 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
 
         def body(carry):
             st, rng, code, prev, cur, outer, fb = carry
-            st, rng, code, prev, cur = jax.lax.fori_loop(
-                0, F_STEP, fsm_step, (st, rng, code, prev, cur))
+            _, st, rng, code, prev, cur = jax.lax.while_loop(
+                fsm_cond, fsm_step, (jnp.int32(0), st, rng, code, prev, cur))
             fb = flush(st, fb)
             if stage_in:
                 active = (st["phase"] != PH_DONE) & (st["phase"] != PH_ERROR)
@@ -331,6 +338,9 @@ def decode_batch_ring(streams, params: LzmaParams, out_sizes, max_out=None,
     fin = C_IN if stage_input else in_all
     group = _lane_group(mo_all, _round_up(layout_arena, 128), w, fin, max_group)
     if n > group:
+        # balance the chunks (64 with a 56-lane cap should run 32+32,
+        # not 56+8 — the trailing sliver pays full fixed cost)
+        group = max(8, _round_up(-(-n // -(-n // group)), 8))
         results = []
         for lo in range(0, n, group):
             results.extend(decode_batch_ring(

@@ -90,6 +90,45 @@ def main():
     assert outs == payloads
     print("OK 64x16KB via lane groups")
 
+    # ring-window decoder: dict < block (the ring regime), both staging
+    # modes, and the v2-preset priming path
+    from lzma_tpu.ops.pallas_ring import decode_batch_ring
+
+    pr = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    payloads = [corpus(16000 + 13 * i, seed=50 + i) for i in range(16)]
+    streams = [native.encode_stream(x, pr) for x in payloads]
+    sizes = [len(x) for x in payloads]
+    for stage in (False, True):
+        outs = decode_batch_ring(streams, pr, sizes, fallback=False,
+                                 stage_input=stage)
+        assert outs == payloads, f"ring stage={stage}"
+        print(f"OK ring decode 16x16KB dict=4KB stage={stage}")
+    pre = corpus(2048, seed=99)
+    streams = [native.encode_stream(x, pr, preset=pre) for x in payloads[:8]]
+    outs = decode_batch_ring(streams, pr, sizes[:8], fallback=False,
+                             preset=pre)
+    assert outs == payloads[:8]
+    print("OK ring decode primed window (v2 preset)")
+
+    # per-shard Pallas mesh decode (single-device TPU mesh), fallback off
+    from lzma_tpu.parallel import mesh as M
+
+    msh = M.make_mesh(jax.devices()[:1])
+    data = corpus(128 << 10, seed=7)
+    blob = M.encode_blocks_mesh(data, pr, block_size=1 << 14, mesh=msh,
+                                dictionary=data[:1024])
+    step_xla = M._decode_step, M._decode_step_preset
+
+    def _boom(*a, **k):
+        raise AssertionError("XLA fallback used")
+
+    M._decode_step = M._decode_step_preset = _boom
+    try:
+        assert M.decode_blocks_mesh(blob, mesh=msh, use_pallas=True) == data
+    finally:
+        M._decode_step, M._decode_step_preset = step_xla
+    print("OK mesh pallas decode (v3 dictionary broadcast)")
+
     # rate spot-checks (recorded envelopes in MEASUREMENTS.md)
     from lzma_tpu.ops.hybrid import _tokenize_lanes
 

@@ -56,30 +56,35 @@ def main():
     arena = ProbLayout(params.lc, params.lp, params.pb).size
     total_in = lanes * bs
 
-    mods = {"cur": cur}
+    variants = {"cur": lambda: cur.serialize_pallas(
+        ctx, bits, totals, arena, int(max_out))}
     if os.path.exists("/tmp/pallas_serializer_old.py"):
         spec = importlib.util.spec_from_file_location(
             "ser_old", "/tmp/pallas_serializer_old.py")
         old = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(old)
-        mods["old"] = old
+        variants["old"] = lambda: old.serialize_pallas(
+            ctx, bits, totals, arena, int(max_out))
 
     ref = None
     for name in ("old", "cur"):
-        if name not in mods:
+        if name not in variants:
             continue
-        m = mods[name]
+        fn = variants[name]
         t0 = time.perf_counter()
-        out, olens, consumed = m.serialize_pallas(
-            ctx, bits, totals, arena, int(max_out))
-        jax.block_until_ready(out)
+        try:
+            out, olens, consumed = fn()
+            jax.block_until_ready(out)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            continue
         compile_s = time.perf_counter() - t0
         assert bool(jnp.all(consumed == totals)), f"{name}: incomplete lanes"
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out, olens, consumed = m.serialize_pallas(
-                ctx, bits, totals, arena, int(max_out))
+            out, olens, consumed = fn()
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         streams = [np.asarray(out)[i, : int(olens[i])].tobytes()

@@ -252,8 +252,12 @@ def main(argv=None) -> int:
         from .parallel.filestream import DEFAULT_BATCH_BYTES
         from .utils.autotune import select_params
 
-        with open(cmd.in_file, "rb") as f:
-            sample = f.read(DEFAULT_BATCH_BYTES)
+        try:
+            with open(cmd.in_file, "rb") as f:
+                sample = f.read(DEFAULT_BATCH_BYTES)
+        except OSError as e:
+            print(f"error: {e}")
+            return 1
         tuned = select_params(sample, cmd.params(),
                               block_size=cmd.block_size or (1 << 20))
         cmd.lc, cmd.lp, cmd.pb = tuned.lc, tuned.lp, tuned.pb

@@ -240,55 +240,51 @@ def _lane_group(mo: int, arena: int, max_in: int = 0, max_group=None) -> int:
     return g
 
 
-def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
-                        fallback: bool = True, preset: bytes = b"",
-                        max_group=None):
-    """Decode raw LZMA streams via the Pallas kernel (same contract as
-    device_decoder.decode_batch, including the shared `preset`
-    dictionary).  Batches are chunked into lane groups sized to the VMEM
-    budget; lanes the kernel cannot finish — or a whole group whose
-    shape fails to compile — reroute to the XLA FSM when fallback=True,
-    so correctness never depends on the kernel envelope."""
+def batched_decode(streams, params: LzmaParams, out_sizes, *, max_out,
+                   fallback, preset, group_of, run_kernel, in_pad=1,
+                   recurse=None):
+    """Shared batch driver for the Pallas decode kernels.
+
+    Handles lane-group chunking (balanced — a trailing sliver pays full
+    fixed cost), sublane padding, array packing, the
+    compile-failure/incomplete-lane fallback to the XLA FSM, and result
+    slicing.  `group_of(mo_all, in_all) -> int` supplies the kernel's
+    VMEM-budget group size; `run_kernel(comp, lens, sizes, mo, preset)`
+    runs one group; `recurse` re-enters the caller for sub-groups (so
+    per-group shapes stay as tight as a direct call would make them).
+    """
     n = len(streams)
     if n == 0:
         return []
     plen = len(preset)
-    layout_arena = ProbLayout(params.lc, params.lp, params.pb).size
     mo_all = int(max_out if max_out is not None else max(out_sizes)) + plen
     mo_all = 1 << (max(mo_all, 128) - 1).bit_length()  # pow2: stable jit shapes
     in_all = 1 << (max(max(len(s) for s in streams), 16) - 1).bit_length()
-    group = _lane_group(mo_all, _round_up(layout_arena, 128), in_all, max_group)
+    in_all = _round_up(in_all, in_pad)
+    group = group_of(mo_all, in_all)
     if n > group:
-        # balance the chunks (the trailing sliver pays full fixed cost)
+        # balance the chunks (64 lanes with a 56-lane cap should run
+        # 32+32, not 56+8)
         group = max(8, _round_up(-(-n // -(-n // group)), 8))
         results = []
         for lo in range(0, n, group):
-            results.extend(decode_batch_pallas(
-                streams[lo : lo + group], params, out_sizes[lo : lo + group],
-                max_out=max_out, fallback=fallback, preset=preset,
-                max_group=max_group,
-            ))
+            results.extend(recurse(
+                streams[lo : lo + group], out_sizes[lo : lo + group]))
         return results
 
     n_pad = _round_up(n, 8)  # sublane-align the lane axis for Mosaic
-    max_in = max(max(len(s) for s in streams), 16)
-    max_in = 1 << (max_in - 1).bit_length()
-    comp = np.zeros((n_pad, max_in), dtype=np.int32)
+    comp = np.zeros((n_pad, in_all), dtype=np.int32)
     lens = np.zeros(n_pad, dtype=np.int32)
     for i, s in enumerate(streams):
         comp[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
         lens[i] = len(s)
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[:n] = np.asarray(out_sizes, dtype=np.int32) + plen
-    mo = mo_all
-    interpret = jax.default_backend() != "tpu"
+    preset_arr = (jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
+                  if plen else None)
     try:
-        out, ok, _ = decode_pallas(
-            jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(sizes),
-            min(int(params.dict_size), 2**31 - 1),
-            params.lc, params.lp, params.pb, mo, interpret=interpret,
-            preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
-                    if plen else None))
+        out, ok, _ = run_kernel(jnp.asarray(comp), jnp.asarray(lens),
+                                jnp.asarray(sizes), mo_all, preset_arr)
         out = np.asarray(out)
         ok = np.asarray(ok)
     except Exception:
@@ -314,3 +310,31 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
         results.append(redo[i] if i in redo
                        else out[i, plen : plen + out_sizes[i]].tobytes())
     return results
+
+
+def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
+                        fallback: bool = True, preset: bytes = b"",
+                        max_group=None):
+    """Decode raw LZMA streams via the Pallas kernel (same contract as
+    device_decoder.decode_batch, including the shared `preset`
+    dictionary).  Batches are chunked into lane groups sized to the VMEM
+    budget; lanes the kernel cannot finish — or a whole group whose
+    shape fails to compile — reroute to the XLA FSM when fallback=True,
+    so correctness never depends on the kernel envelope."""
+    arena = _round_up(ProbLayout(params.lc, params.lp, params.pb).size, 128)
+    interpret = jax.default_backend() != "tpu"
+
+    def run_kernel(comp, lens, sizes, mo, preset_arr):
+        return decode_pallas(
+            comp, lens, sizes, min(int(params.dict_size), 2**31 - 1),
+            params.lc, params.lp, params.pb, mo, interpret=interpret,
+            preset=preset_arr)
+
+    return batched_decode(
+        streams, params, out_sizes, max_out=max_out, fallback=fallback,
+        preset=preset,
+        group_of=lambda mo, mi: _lane_group(mo, arena, mi, max_group),
+        run_kernel=run_kernel,
+        recurse=lambda s, o: decode_batch_pallas(
+            s, params, o, max_out=max_out, fallback=fallback, preset=preset,
+            max_group=max_group))

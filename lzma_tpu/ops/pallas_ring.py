@@ -113,8 +113,14 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     if not max_iters:
         # decoded-bits bound, same accounting as pallas_decoder
         max_iters = 28 * max_out + 8 * max_in + 256
-    # one extra outer slot per input-window advance (stall boundaries)
-    n_outer = -(-max_iters // F_STEP) + num_chunks + 1
+    # Outer-loop backstop.  Without staging all live lanes progress in
+    # lock-step, so max_iters (a PER-LANE bound) caps the real work.
+    # With the shared input window, stalls can serialize lanes in the
+    # worst case (one lane grinding while the rest wait), so the sound
+    # bound is the SUM of per-lane budgets; real streams exit via
+    # all-done (or per-lane overrun/size checks) long before either.
+    per_lane = -(-max_iters // F_STEP)
+    n_outer = (N * per_lane if stage_in else per_lane) + num_chunks + 1
     dict_check = max(int(dict_size), 1)
 
     def kernel(lens_ref, sizes_ref, *rest):
@@ -302,8 +308,11 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     return (out[:, :max_out].astype(jnp.uint8), okv[:, 0] == 1, okv[:, 1])
 
 
-#: VMEM accounting for one invocation: out + probs + ring + staging, all
-#: (N, ·) int32 (the compressed input stays in HBM when staging is on)
+#: VMEM accounting for one invocation: out + probs + ring window + input
+#: staging, (N, ·) int32 (the compressed input stays in HBM when staging
+#: is on; the flush's masked tile is fused by Mosaic — 64x16 KB with a
+#: 4 KB ring compiles AND runs on the real v5e under this accounting,
+#: MEASUREMENTS.md)
 VMEM_BUDGET = 9 << 20
 
 
@@ -322,71 +331,26 @@ def decode_batch_ring(streams, params: LzmaParams, out_sizes, max_out=None,
     pallas_decoder.decode_batch_pallas).  Lanes the kernel cannot finish —
     or a whole group whose shape fails to compile — reroute to the XLA FSM
     when fallback=True."""
-    n = len(streams)
-    if n == 0:
-        return []
-    plen = len(preset)
-    layout_arena = ProbLayout(params.lc, params.lp, params.pb).size
-    mo_all = int(max_out if max_out is not None else max(out_sizes)) + plen
-    mo_all = 1 << (max(mo_all, 128) - 1).bit_length()
-    in_all = max(max(len(s) for s in streams), 16)
-    in_all = 1 << (in_all - 1).bit_length()
-    if stage_input:
-        in_all = _round_up(in_all, C_IN)
-    w = 1 << (max(int(params.dict_size), F_STEP + 2, 1024) - 1).bit_length()
-    w = min(w, mo_all)
-    fin = C_IN if stage_input else in_all
-    group = _lane_group(mo_all, _round_up(layout_arena, 128), w, fin, max_group)
-    if n > group:
-        # balance the chunks (64 with a 56-lane cap should run 32+32,
-        # not 56+8 — the trailing sliver pays full fixed cost)
-        group = max(8, _round_up(-(-n // -(-n // group)), 8))
-        results = []
-        for lo in range(0, n, group):
-            results.extend(decode_batch_ring(
-                streams[lo : lo + group], params, out_sizes[lo : lo + group],
-                max_out=max_out, fallback=fallback, preset=preset,
-                max_group=max_group, stage_input=stage_input,
-            ))
-        return results
+    from .pallas_decoder import batched_decode
 
-    n_pad = _round_up(n, 8)  # sublane-align the lane axis for Mosaic
-    comp = np.zeros((n_pad, in_all), dtype=np.int32)
-    lens = np.zeros(n_pad, dtype=np.int32)
-    for i, s in enumerate(streams):
-        comp[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        lens[i] = len(s)
-    sizes = np.zeros(n_pad, dtype=np.int32)
-    sizes[:n] = np.asarray(out_sizes, dtype=np.int32) + plen
+    arena = _round_up(ProbLayout(params.lc, params.lp, params.pb).size, 128)
+    w_raw = 1 << (max(int(params.dict_size), F_STEP + 2, 1024) - 1).bit_length()
     interpret = jax.default_backend() != "tpu"
-    try:
-        out, ok, _ = decode_pallas_ring(
-            jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(sizes),
-            min(int(params.dict_size), 2**31 - 1),
-            params.lc, params.lp, params.pb, mo_all, interpret=interpret,
-            preset=(jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
-                    if plen else None),
-            stage_input=stage_input)
-        out = np.asarray(out)
-        ok = np.asarray(ok)
-    except Exception:
-        if not fallback:
-            raise
-        out = None
-        ok = np.zeros(n_pad, dtype=bool)
-    results = []
-    retry = [i for i in range(n) if not ok[i]]
-    if retry:
-        if not fallback:
-            raise ValueError(f"ring decode failed for lanes {retry}")
-        from .device_decoder import decode_batch
 
-        redone = decode_batch([streams[i] for i in retry], params,
-                              [out_sizes[i] for i in retry], preset=preset)
-        redo = dict(zip(retry, redone))
-    else:
-        redo = {}
-    for i in range(n):
-        results.append(redo[i] if i in redo
-                       else out[i, plen : plen + out_sizes[i]].tobytes())
-    return results
+    def run_kernel(comp, lens, sizes, mo, preset_arr):
+        return decode_pallas_ring(
+            comp, lens, sizes, min(int(params.dict_size), 2**31 - 1),
+            params.lc, params.lp, params.pb, mo, interpret=interpret,
+            preset=preset_arr, stage_input=stage_input)
+
+    def group_of(mo, mi):
+        return _lane_group(mo, arena, min(w_raw, mo),
+                           C_IN if stage_input else mi, max_group)
+
+    return batched_decode(
+        streams, params, out_sizes, max_out=max_out, fallback=fallback,
+        preset=preset, group_of=group_of, run_kernel=run_kernel,
+        in_pad=C_IN if stage_input else 1,
+        recurse=lambda s, o: decode_batch_ring(
+            s, params, o, max_out=max_out, fallback=fallback, preset=preset,
+            max_group=max_group, stage_input=stage_input))

@@ -48,6 +48,7 @@ def select_params(
     params = (params or LzmaParams()).validated_for_encode()
     if not buf:
         return params
+    block_size = max(int(block_size), 1)  # 0 is valid for "alone" callers
 
     try:
         from ..runtime import native

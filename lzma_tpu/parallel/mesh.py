@@ -145,6 +145,49 @@ def _decode_step_preset(comp, comp_lens, out_sizes, preset, dict_size, *,
     )(comp, comp_lens, out_sizes, preset)
 
 
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "interpret",
+                                   "plen", "mesh_holder"))
+def _encode_step_pallas(data, lens, dict_size, *, lc, lp, pb, fb, interpret,
+                        mesh_holder, preset=None, plen=0):
+    """Sharded encode where each device runs the full Pallas pipeline on
+    its local shard — tokenize/classify/lower (XLA vector ops) feeding
+    the in-VMEM Pallas serializer — with the same ordered gather and
+    replicated-operand dictionary broadcast as the XLA step.  Returns
+    (comp, comp_lens, ok); lanes the serializer could not finish inside
+    its staging envelope re-encode host-side."""
+    from ..core.layout import ProbLayout
+    from ..ops.device_encoder import _lower_lanes
+    from ..ops.pallas_serializer import serialize_pallas
+
+    mesh = mesh_holder.mesh
+    arena = ProbLayout(lc, lp, pb).size
+
+    def local(data_l, lens_l, *preset_r):
+        ctx, bits, totals, max_out = _lower_lanes(
+            data_l, lens_l, dict_size, lc, lp, pb, fb, 4,
+            preset_r[0] if plen else None)
+        out, olens, consumed = serialize_pallas(
+            ctx, bits, totals, arena, max_out, interpret=interpret)
+        ok = consumed == totals
+        all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
+        all_lens = jax.lax.all_gather(olens, BLOCK_AXIS, tiled=True)
+        all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
+        return all_out, all_lens, all_ok
+
+    in_specs = [P(BLOCK_AXIS, None), P(BLOCK_AXIS)]
+    operands = [data, lens]
+    if plen:
+        in_specs.append(P(None))   # replicated: the ICI dictionary broadcast
+        operands.append(preset)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(None), P(None)),
+        check_vma=False,  # loop carries start replicated, become device-varying
+    )(*operands)
+
+
 @partial(jax.jit, static_argnames=("dict_size", "lc", "lp", "pb", "max_out",
                                    "interpret", "plen", "mesh_holder"))
 def _decode_step_pallas(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
@@ -202,9 +245,14 @@ def encode_blocks_mesh(
     fb: int | None = None,
     preset_len: int = 0,
     dictionary: bytes = b"",
+    use_pallas: bool = False,
 ) -> bytes:
     """Data-parallel block encode over every device in the mesh.
 
+    use_pallas routes each shard's range coding through the in-VMEM
+    Pallas serializer (interpret mode off-TPU); envelope shortfalls
+    re-encode host-side and shape/lowering failures fall back to the
+    XLA step.
     `preset_len > 0` writes LZTB v2: block 0 encodes plain on one lane,
     then its prefix is broadcast to every device (replicated shard_map
     operand) and all remaining blocks encode against it.  `dictionary`
@@ -254,19 +302,44 @@ def encode_blocks_mesh(
         arr[i - first, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i - first] = len(b)
     dict_size = jnp.int32(min(params.dict_size, max_n + len(pre_bytes)))
-    if pre_bytes:
-        preset = np.frombuffer(pre_bytes, dtype=np.uint8)
-        comp, comp_lens = _encode_step_preset(
-            jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(preset),
-            dict_size, **common,
-        )
-    else:
-        comp, comp_lens = _encode_step(
-            jnp.asarray(arr), jnp.asarray(lens), dict_size, **common,
-        )
+    preset = (np.frombuffer(pre_bytes, dtype=np.uint8) if pre_bytes else None)
+    retry = []
+    if use_pallas:
+        try:
+            comp, comp_lens, ok = _encode_step_pallas(
+                jnp.asarray(arr), jnp.asarray(lens), dict_size,
+                fb=fb, interpret=jax.default_backend() != "tpu",
+                preset=(jnp.asarray(preset) if pre_bytes else None),
+                plen=len(pre_bytes),
+                lc=params.lc, lp=params.lp, pb=params.pb,
+                mesh_holder=common["mesh_holder"],
+            )
+            ok = np.asarray(ok)
+            # serializer staging-envelope shortfalls re-encode host-side
+            retry = [i for i in range(m) if not ok[i]]
+        except Exception:
+            use_pallas = False  # VMEM/lowering envelope: XLA step fallback
+    if not use_pallas:
+        if pre_bytes:
+            comp, comp_lens = _encode_step_preset(
+                jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(preset),
+                dict_size, **common,
+            )
+        else:
+            comp, comp_lens = _encode_step(
+                jnp.asarray(arr), jnp.asarray(lens), dict_size, **common,
+            )
     comp = np.asarray(comp)
     comp_lens = np.asarray(comp_lens)
-    streams.extend(comp[i, : comp_lens[i]].tobytes() for i in range(m))
+    redo = {}
+    if retry:
+        from ..ops.device_encoder import encode_batch
+
+        redone = encode_batch([blocks[first + i] for i in retry], params,
+                              fb=fb, preset=pre_bytes)
+        redo = dict(zip(retry, redone))
+    streams.extend(redo[i] if i in redo
+                   else comp[i, : comp_lens[i]].tobytes() for i in range(m))
     return blk.build_container(params, block_size, len(data), streams,
                                preset_len, dict_stream, len(dictionary))
 

@@ -75,3 +75,24 @@ def test_mesh_decode_pallas_ring_dictionary(mesh):
     blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh,
                               dictionary=data[:512])
     assert decode_blocks_mesh(blob, mesh=mesh, use_pallas=True) == data
+
+
+def test_mesh_encode_pallas_serializer(mesh):
+    """Each shard's range coding runs the in-VMEM Pallas serializer
+    (interpret mode on the CPU mesh); container identical contract."""
+    data = _data(9_000, seed=11)
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh,
+                              use_pallas=True)
+    assert blk.decode_blocks(blob) == data
+    # bit-identical with the XLA serializer step (same tokens, same coder)
+    blob_xla = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh)
+    assert blob == blob_xla
+
+
+def test_mesh_encode_pallas_dictionary(mesh):
+    data = _data(9_000, seed=12)
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh,
+                              dictionary=data[:512], use_pallas=True)
+    assert decode_blocks_mesh(blob, mesh=mesh) == data

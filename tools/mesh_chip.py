@@ -56,6 +56,18 @@ def main():
     print("mesh pallas decode: ok (v3 stored dictionary broadcast)",
           flush=True)
 
+    # encode side: per-shard Pallas serializer, XLA fallback disabled
+    M._encode_step = boom
+    M._encode_step_preset = boom
+    blob_e = M.encode_blocks_mesh(data, p, block_size=1 << 14, mesh=msh,
+                                  use_pallas=True)
+    assert M.decode_blocks_mesh(blob_e, mesh=msh, use_pallas=True) == data
+    print("mesh pallas encode: ok (plain)", flush=True)
+    blob_e3 = M.encode_blocks_mesh(data, p, block_size=1 << 14, mesh=msh,
+                                   dictionary=data[:1024], use_pallas=True)
+    assert M.decode_blocks_mesh(blob_e3, mesh=msh, use_pallas=True) == data
+    print("mesh pallas encode: ok (v3 dictionary broadcast)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -166,10 +166,14 @@ def main():
             p = LzmaParams(dict_size=1 << 14, fast_bytes=32)
             dev_size = 1 << 19
             dev_data = data[:dev_size]
-            # both directions via the in-VMEM Pallas kernels (decode 5.8x,
-            # encode 2.1x their XLA while_loop counterparts on-chip, and
-            # Mosaic compiles in seconds where the XLA FSMs need minutes
-            # through this rig's remote-compile relay)
+            # both directions via the in-VMEM Pallas kernels (decode ~22x,
+            # encode ~55x their XLA while_loop counterparts on-chip after
+            # the ring/staging work — MEASUREMENTS.md; Mosaic compiles in
+            # seconds where the XLA FSMs need minutes through this rig's
+            # remote-compile relay).  This e2e number includes the
+            # host<->device transfers, which dominate behind this rig's
+            # tunnel; the resident-kernel round trip below is the per-chip
+            # capability the pod design multiplies.
             blob = dev.encode_blocks(dev_data, p, block_size=1 << 14,
                                      use_pallas=True)  # warm/compile
             out = dev.decode_blocks(blob, use_pallas=True)
@@ -185,6 +189,62 @@ def main():
                 f"ratio {dev_size/len(blob):.2f}"
             )
             results[f"device_{backend}"] = rt
+
+            # data-resident Pallas kernel rates (no host transfers), each
+            # program timed BACK-TO-BACK — this rig's relay re-uploads a
+            # large program after any other ran (~2.7 s swap,
+            # MEASUREMENTS.md), which would otherwise floor every
+            # alternating measurement; production batches run each
+            # program consecutively across blocks anyway
+            from lzma_tpu.core.layout import ProbLayout
+            from lzma_tpu.ops.device_encoder import _lower_lanes_jit
+            from lzma_tpu.ops.pallas_ring import decode_pallas_ring
+            from lzma_tpu.ops.pallas_serializer import serialize_pallas
+
+            lanes_r, bs_r, dict_r = 32, 1 << 14, 1 << 12
+            arr_r = np.frombuffer(data[: lanes_r * bs_r], np.uint8).reshape(
+                lanes_r, bs_r)
+            dj_r = jnp.asarray(arr_r)
+            lens_r = jnp.full((lanes_r,), bs_r, jnp.int32)
+            arena_r = ProbLayout(3, 0, 2).size
+
+            def low_res():
+                out = _lower_lanes_jit(dj_r, lens_r, jnp.int32(dict_r),
+                                       lc=3, lp=0, pb=2, fb=32,
+                                       num_candidates=4)
+                jax.block_until_ready(out[0])
+                return out
+
+            ctx_r, bits_r, tot_r_, mo_r = low_res()
+            mo_i = int(mo_r)
+
+            def ser_res():
+                out = serialize_pallas(ctx_r, bits_r, tot_r_, arena_r, mo_i)
+                jax.block_until_ready(out[0])
+                return out
+
+            cstreams, clens, cons_r = ser_res()
+            assert bool(jnp.all(cons_r == tot_r_))
+            comp_r = cstreams.astype(jnp.int32)
+
+            def dec_res():
+                o, ok, _ = decode_pallas_ring(
+                    comp_r, clens, jnp.full((lanes_r,), bs_r, jnp.int32),
+                    dict_r, 3, 0, 2, bs_r, stage_input=False)
+                jax.block_until_ready(o)
+                return o, ok
+
+            o, ok = dec_res()
+            assert bool(jnp.all(ok)) and np.array_equal(np.asarray(o), arr_r)
+            tot_r = lanes_r * bs_r
+            _, t_ser = timed(ser_res, repeat=3)
+            _, t_dec_r = timed(dec_res, repeat=3)
+            log(
+                f"device resident kernels (32x16KB, dict 4KB, on-chip): "
+                f"rc-encode {tot_r/t_ser/1e6:.2f} MB/s  "
+                f"ring-decode {tot_r/t_dec_r/1e6:.2f} MB/s "
+                f"(search+lower is the match-find rate above)"
+            )
         except _Budget:
             log(f"device bench skipped: exceeded {budget}s budget (compile-bound)")
         except Exception as e:

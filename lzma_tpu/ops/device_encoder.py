@@ -457,6 +457,40 @@ def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
     return ctx, bits, totals, max_n + max_n // 4 + 128
 
 
+#: _lower_lanes as ONE executable: eagerly it costs hundreds of dispatch
+#: round-trips (seconds through a remote tunnel, ~10ms on a local host)
+_lower_lanes_jit = partial(
+    jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))(
+        lambda data, lens, dict_size, *, lc, lp, pb, fb, num_candidates,
+        preset=None: _lower_lanes(data, lens, dict_size, lc, lp, pb, fb,
+                                  num_candidates, preset))
+
+
+def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
+                        num_candidates=4, preset=None, interpret=False):
+    """encode_lanes with the range coder on the in-VMEM Pallas serializer.
+
+    Deliberately TWO dispatches (one jitted lowering executable, then the
+    standalone serializer kernel), not one fused jit or an eager phase
+    chain: the eager form costs hundreds of per-op dispatches, and a
+    single fused executable is large enough to fall out of program
+    residency on constrained runtimes and get re-uploaded per call
+    (~2.7 s on this rig's relay — MEASUREMENTS.md); two stable programs
+    run back-to-back across batches.  Returns (comp, comp_lens,
+    consumed, totals): lanes with consumed != totals overran the
+    serializer's staging envelope and must re-encode on a fallback
+    path."""
+    from .pallas_serializer import serialize_pallas
+
+    ctx, bits, totals, max_out = _lower_lanes_jit(
+        data, lens, dict_size, lc=lc, lp=lp, pb=pb, fb=fb,
+        num_candidates=num_candidates, preset=preset)
+    layout = ProbLayout(lc, lp, pb)
+    out, out_lens, consumed = serialize_pallas(
+        ctx, bits, totals, layout.size, int(max_out), interpret=interpret)
+    return out, out_lens, consumed, totals
+
+
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
 def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=4,
                  preset=None):
@@ -502,17 +536,27 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 4,
     dict_j = jnp.int32(min(params.dict_size, max_n + len(preset)))
     if use_pallas:
         # phases A-C are literally the same pipeline (_lower_lanes);
-        # only phase D (position-agnostic) swaps in the Pallas kernel
-        from .pallas_serializer import serialize_with_fallback
-
-        ctx, bits, totals, max_out = _lower_lanes(
-            jnp.asarray(data), jnp.asarray(lens), dict_j,
-            params.lc, params.lp, params.pb, fb, num_candidates, preset_j,
-        )
-        layout = ProbLayout(params.lc, params.lp, params.pb)
-        out, out_lens = serialize_with_fallback(
-            ctx, bits, totals, layout.size, max_out
-        )
+        # only phase D (position-agnostic) swaps in the Pallas kernel.
+        # Fused into one jit: eager phase dispatch costs seconds through
+        # a remote tunnel and ~10ms even on a local host.
+        try:
+            out, out_lens, consumed, totals = encode_lanes_pallas(
+                jnp.asarray(data), jnp.asarray(lens), dict_j,
+                lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
+                num_candidates=num_candidates, preset=preset_j,
+                interpret=jax.default_backend() != "tpu",
+            )
+            incomplete = not bool(jnp.all(consumed == totals))
+        except Exception:
+            incomplete = True  # Mosaic lowering/VMEM envelope
+        if incomplete:
+            # staging-envelope overrun: the XLA serializer path is
+            # bit-identical for the same tokens
+            out, out_lens = encode_lanes(
+                jnp.asarray(data), jnp.asarray(lens), dict_j,
+                lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
+                num_candidates=num_candidates, preset=preset_j,
+            )
     else:
         out, out_lens = encode_lanes(
             jnp.asarray(data),

@@ -154,7 +154,14 @@ def _encode_step_pallas(data, lens, dict_size, *, lc, lp, pb, fb, interpret,
     the in-VMEM Pallas serializer — with the same ordered gather and
     replicated-operand dictionary broadcast as the XLA step.  Returns
     (comp, comp_lens, ok); lanes the serializer could not finish inside
-    its staging envelope re-encode host-side."""
+    its staging envelope re-encode host-side.
+
+    Known caveat (MEASUREMENTS.md): the collectives force a single large
+    executable here; on runtimes with constrained program residency
+    (like this rig's relay) such a program re-uploads per call — the
+    two-dispatch ops.device_encoder.encode_lanes_pallas is the
+    single-host form that keeps each program resident across batches.
+    """
     from ..core.layout import ProbLayout
     from ..ops.device_encoder import _lower_lanes
     from ..ops.pallas_serializer import serialize_pallas

@@ -77,6 +77,32 @@ def main():
     )
     results["liblzma"] = lib_rt
 
+    # multithreaded system xz (LZMA2, all cores, forced 1 MiB blocks):
+    # the fair MT baseline, stderr-only (the JSON vs_baseline stays the
+    # canonical single-thread liblzma p6 for cross-round continuity)
+    try:
+        import shutil
+        import subprocess
+
+        if shutil.which("xz"):
+            cmd = ["xz", "-6", "-T0", "--block-size=1048576", "-c"]
+            r, t_enc_xz = timed(
+                lambda: subprocess.run(cmd, input=data, capture_output=True,
+                                       check=True).stdout, repeat=2)
+            out_xz, t_dec_xz = timed(
+                lambda: subprocess.run(["xz", "-d", "-T0", "-c"], input=r,
+                                       capture_output=True, check=True).stdout,
+                repeat=2)
+            assert crc32(out_xz) == digest
+            log(
+                f"xz -6 -T0 (MT) : enc {corpus_size/t_enc_xz/1e6:6.1f} MB/s  "
+                f"dec {corpus_size/t_dec_xz/1e6:6.1f} MB/s  rt "
+                f"{corpus_size/(t_enc_xz+t_dec_xz)/1e6:6.1f} MB/s  "
+                f"ratio {corpus_size/len(r):.2f}"
+            )
+    except Exception as e:
+        log(f"xz baseline skipped: {e!r}")
+
     # ---------------- native backend ----------------
     try:
         from lzma_tpu.runtime import native

@@ -326,11 +326,14 @@ def _lane_group(mo, arena, w, fin, max_group=None):
 
 def decode_batch_ring(streams, params: LzmaParams, out_sizes, max_out=None,
                       fallback: bool = True, preset: bytes = b"",
-                      max_group=None, stage_input: bool = True):
+                      max_group=None, stage_input: bool = False):
     """Decode raw LZMA streams via the ring kernel (same contract as
     pallas_decoder.decode_batch_pallas).  Lanes the kernel cannot finish —
     or a whole group whose shape fails to compile — reroute to the XLA FSM
-    when fallback=True."""
+    when fallback=True.  stage_input keeps the compressed streams in HBM
+    behind a shared staged window (chip-measured neutral-to-slightly-
+    slower than the VMEM-resident gather up to 64 KB blocks, so off by
+    default; it remains the VMEM relief valve for very long streams)."""
     from .pallas_decoder import batched_decode
 
     arena = _round_up(ProbLayout(params.lc, params.lp, params.pb).size, 128)

@@ -234,6 +234,8 @@ def main():
             lens_r = jnp.full((lanes_r,), bs_r, jnp.int32)
             arena_r = ProbLayout(3, 0, 2).size
 
+            interp = backend != "tpu"
+
             def low_res():
                 out = _lower_lanes_jit(dj_r, lens_r, jnp.int32(dict_r),
                                        lc=3, lp=0, pb=2, fb=32,
@@ -245,7 +247,8 @@ def main():
             mo_i = int(mo_r)
 
             def ser_res():
-                out = serialize_pallas(ctx_r, bits_r, tot_r_, arena_r, mo_i)
+                out = serialize_pallas(ctx_r, bits_r, tot_r_, arena_r, mo_i,
+                                       interpret=interp)
                 jax.block_until_ready(out[0])
                 return out
 
@@ -256,7 +259,8 @@ def main():
             def dec_res():
                 o, ok, _ = decode_pallas_ring(
                     comp_r, clens, jnp.full((lanes_r,), bs_r, jnp.int32),
-                    dict_r, 3, 0, 2, bs_r, stage_input=False)
+                    dict_r, 3, 0, 2, bs_r, stage_input=False,
+                    interpret=interp)
                 jax.block_until_ready(o)
                 return o, ok
 

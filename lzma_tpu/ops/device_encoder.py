@@ -58,6 +58,12 @@ K_LIT = 0
 K_MATCH = 1
 K_REP = 2
 
+#: sort-neighbor candidate tiers per position — the measured ratio/speed
+#: knee (MEASUREMENTS.md K sweep).  Every device encode entry point
+#: (encode_lanes, encode_batch, hybrid, mesh) shares THIS default so the
+#: XLA / Pallas / host-retry paths always tokenize identically.
+DEFAULT_NUM_CANDIDATES = 4
+
 MAXB = 50          # bits-with-context per token, upper bound
 CTX_DIRECT = -1    # sentinel ctx: equiprobable direct bit
 
@@ -467,7 +473,8 @@ _lower_lanes_jit = partial(
 
 
 def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
-                        num_candidates=4, preset=None, interpret=False):
+                        num_candidates=DEFAULT_NUM_CANDIDATES, preset=None,
+                        interpret=False):
     """encode_lanes with the range coder on the in-VMEM Pallas serializer.
 
     Deliberately TWO dispatches (one jitted lowering executable, then the
@@ -492,8 +499,8 @@ def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
-def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=4,
-                 preset=None):
+def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
+                 num_candidates=DEFAULT_NUM_CANDIDATES, preset=None):
     """Pure jittable lane-parallel encode: the flagship device pipeline.
 
     data: (N, max_n) u8, lens: (N,) i32.  `preset` ((P,) u8 or None)
@@ -510,7 +517,8 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb, num_candidates=4,
     return serialize(ctx, bits, totals, layout.size, max_out)
 
 
-def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 4,
+def encode_batch(blocks, params: LzmaParams, fb=None,
+                 num_candidates: int = DEFAULT_NUM_CANDIDATES,
                  use_pallas: bool = False, preset: bytes = b""):
     """Encode independent blocks lane-parallel on device.
 
@@ -535,28 +543,32 @@ def encode_batch(blocks, params: LzmaParams, fb=None, num_candidates: int = 4,
                 if preset else None)
     dict_j = jnp.int32(min(params.dict_size, max_n + len(preset)))
     if use_pallas:
-        # phases A-C are literally the same pipeline (_lower_lanes);
-        # only phase D (position-agnostic) swaps in the Pallas kernel.
-        # Fused into one jit: eager phase dispatch costs seconds through
-        # a remote tunnel and ~10ms even on a local host.
+        # phases A-C are literally the same pipeline (_lower_lanes_jit,
+        # one executable); only phase D (position-agnostic) swaps in the
+        # Pallas kernel — the two-dispatch structure that keeps each
+        # program resident across batches (MEASUREMENTS.md).
+        from .pallas_serializer import serialize_pallas
+
+        ctx, bits, totals, max_out = _lower_lanes_jit(
+            jnp.asarray(data), jnp.asarray(lens), dict_j,
+            lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
+            num_candidates=num_candidates, preset=preset_j,
+        )
+        layout = ProbLayout(params.lc, params.lp, params.pb)
         try:
-            out, out_lens, consumed, totals = encode_lanes_pallas(
-                jnp.asarray(data), jnp.asarray(lens), dict_j,
-                lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
-                num_candidates=num_candidates, preset=preset_j,
+            out, out_lens, consumed = serialize_pallas(
+                ctx, bits, totals, layout.size, int(max_out),
                 interpret=jax.default_backend() != "tpu",
             )
             incomplete = not bool(jnp.all(consumed == totals))
         except Exception:
             incomplete = True  # Mosaic lowering/VMEM envelope
         if incomplete:
-            # staging-envelope overrun: the XLA serializer path is
-            # bit-identical for the same tokens
-            out, out_lens = encode_lanes(
-                jnp.asarray(data), jnp.asarray(lens), dict_j,
-                lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
-                num_candidates=num_candidates, preset=preset_j,
-            )
+            # staging-envelope overrun: re-serialize the tokens already
+            # in hand with the XLA coder (bit-identical for the same
+            # tokens) — phases A-C, the dominant cost, are NOT re-run
+            out, out_lens = serialize(ctx, bits, totals, layout.size,
+                                      int(max_out))
     else:
         out, out_lens = encode_lanes(
             jnp.asarray(data),

@@ -333,7 +333,9 @@ def decode_batch_ring(streams, params: LzmaParams, out_sizes, max_out=None,
     when fallback=True.  stage_input keeps the compressed streams in HBM
     behind a shared staged window (chip-measured neutral-to-slightly-
     slower than the VMEM-resident gather up to 64 KB blocks, so off by
-    default; it remains the VMEM relief valve for very long streams)."""
+    default).  The valve opens automatically: a group whose unstaged
+    shape fails to compile (compressed input too large for VMEM) retries
+    once with stage_input=True before falling back to the XLA FSM."""
     from .pallas_decoder import batched_decode
 
     arena = _round_up(ProbLayout(params.lc, params.lp, params.pb).size, 128)
@@ -341,10 +343,24 @@ def decode_batch_ring(streams, params: LzmaParams, out_sizes, max_out=None,
     interpret = jax.default_backend() != "tpu"
 
     def run_kernel(comp, lens, sizes, mo, preset_arr):
-        return decode_pallas_ring(
-            comp, lens, sizes, min(int(params.dict_size), 2**31 - 1),
-            params.lc, params.lp, params.pb, mo, interpret=interpret,
-            preset=preset_arr, stage_input=stage_input)
+        try:
+            return decode_pallas_ring(
+                comp, lens, sizes, min(int(params.dict_size), 2**31 - 1),
+                params.lc, params.lp, params.pb, mo, interpret=interpret,
+                preset=preset_arr, stage_input=stage_input)
+        except Exception:
+            if stage_input:
+                raise
+            # VMEM relief valve: a shape that fails to compile with the
+            # compressed input resident (long streams) gets ONE retry with
+            # the input staged from HBM before degrading to the XLA FSM
+            pad = -comp.shape[1] % C_IN
+            if pad:
+                comp = jnp.pad(comp, ((0, 0), (0, pad)))
+            return decode_pallas_ring(
+                comp, lens, sizes, min(int(params.dict_size), 2**31 - 1),
+                params.lc, params.lp, params.pb, mo, interpret=interpret,
+                preset=preset_arr, stage_input=True)
 
     def group_of(mo, mi):
         return _lane_group(mo, arena, min(w_raw, mo),

@@ -17,6 +17,7 @@ Replaces: nothing in the reference — it is single-threaded end to end
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import jax
@@ -26,8 +27,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..format.properties import LzmaParams
 from ..parallel import blocks as blk
-from ..ops.device_encoder import encode_lanes
+from ..ops.device_encoder import DEFAULT_NUM_CANDIDATES, encode_lanes
 from ..ops.device_decoder import _decode_fsm
+
+logger = logging.getLogger("lzma_tpu.mesh")
 
 BLOCK_AXIS = "blocks"
 
@@ -171,8 +174,8 @@ def _encode_step_pallas(data, lens, dict_size, *, lc, lp, pb, fb, interpret,
 
     def local(data_l, lens_l, *preset_r):
         ctx, bits, totals, max_out = _lower_lanes(
-            data_l, lens_l, dict_size, lc, lp, pb, fb, 4,
-            preset_r[0] if plen else None)
+            data_l, lens_l, dict_size, lc, lp, pb, fb,
+            DEFAULT_NUM_CANDIDATES, preset_r[0] if plen else None)
         out, olens, consumed = serialize_pallas(
             ctx, bits, totals, arena, max_out, interpret=interpret)
         ok = consumed == totals
@@ -325,7 +328,12 @@ def encode_blocks_mesh(
             # serializer staging-envelope shortfalls re-encode host-side
             retry = [i for i in range(m) if not ok[i]]
         except Exception:
-            use_pallas = False  # VMEM/lowering envelope: XLA step fallback
+            # VMEM/lowering envelope: XLA step fallback.  Logged, not
+            # silent — otherwise a dead Pallas path looks healthy
+            # (tools/mesh_chip.py is the hardware-level canary).
+            logger.warning("mesh Pallas encode step failed; "
+                           "falling back to the XLA step", exc_info=True)
+            use_pallas = False
     if not use_pallas:
         if pre_bytes:
             comp, comp_lens = _encode_step_preset(
@@ -441,7 +449,9 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None,
             out = np.asarray(out)
             ok = np.asarray(ok)
         except Exception:
-            use_pallas = False  # VMEM/lowering envelope: XLA FSM fallback
+            logger.warning("mesh Pallas decode step failed; "
+                           "falling back to the XLA FSM", exc_info=True)
+            use_pallas = False  # VMEM/lowering envelope
     if not use_pallas and preset is not None:
         out, ok = _decode_step_preset(
             jnp.asarray(comp),

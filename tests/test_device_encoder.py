@@ -88,3 +88,30 @@ def test_device_encode_pallas_serializer_path():
     a = encode_batch(datas, p)
     b = encode_batch(datas, p, use_pallas=True)
     assert a == b
+
+
+def test_device_encode_pallas_fallback_reuses_tokens(monkeypatch):
+    """When the Pallas serializer fails (Mosaic/VMEM envelope), the
+    fallback must re-serialize the tokens already in hand — phases A-C
+    (tokenize/classify/lower, the dominant cost) run exactly ONCE — and
+    still produce the XLA path's exact bytes."""
+    import lzma_tpu.ops.device_encoder as de
+    import lzma_tpu.ops.pallas_serializer as ps
+
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=32)
+    datas = [_corpus(i + 7, 1200) for i in range(2)]
+    expected = encode_batch(datas, p)
+
+    lower_calls = []
+    real_lower = de._lower_lanes_jit
+    monkeypatch.setattr(
+        de, "_lower_lanes_jit",
+        lambda *a, **k: lower_calls.append(1) or real_lower(*a, **k))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic lowering failure")
+
+    monkeypatch.setattr(ps, "serialize_pallas", boom)
+    got = encode_batch(datas, p, use_pallas=True)
+    assert got == expected
+    assert lower_calls == [1]

@@ -59,40 +59,67 @@ def test_mesh_subset_device_counts():
         assert decode_blocks_mesh(blob, mesh=mesh) == data
 
 
-def test_mesh_decode_pallas_ring(mesh):
+@pytest.fixture
+def no_xla_fallback(monkeypatch):
+    """Arm the mesh XLA fallback steps to raise, so a use_pallas=True call
+    that silently degrades (the `except Exception` envelope guard in
+    encode/decode_blocks_mesh) FAILS the test instead of passing with
+    XLA-produced bytes — the Pallas tests must exercise the Pallas path.
+    Yields an arm() callable so tests can compute XLA-step references
+    first."""
+    from lzma_tpu.parallel import mesh as mesh_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("Pallas mesh step silently fell back to XLA")
+
+    def arm():
+        for name in ("_encode_step", "_encode_step_preset",
+                     "_decode_step", "_decode_step_preset"):
+            monkeypatch.setattr(mesh_mod, name, _boom)
+
+    return arm
+
+
+def test_mesh_decode_pallas_ring(mesh, no_xla_fallback):
     """The ring-window Pallas kernel runs per shard under shard_map
     (interpret mode on the CPU mesh), same container, same bytes."""
     data = _data(9_000, seed=9)
     p = LzmaParams(dict_size=1 << 11, fast_bytes=16)
     blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh)
+    no_xla_fallback()
     assert decode_blocks_mesh(blob, mesh=mesh, use_pallas=True) == data
 
 
-def test_mesh_decode_pallas_ring_dictionary(mesh):
+def test_mesh_decode_pallas_ring_dictionary(mesh, no_xla_fallback):
     """LZTB v3 stored dictionary broadcast + per-shard Pallas decode."""
     data = _data(9_000, seed=10)
     p = LzmaParams(dict_size=1 << 11, fast_bytes=16)
     blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh,
                               dictionary=data[:512])
+    no_xla_fallback()
     assert decode_blocks_mesh(blob, mesh=mesh, use_pallas=True) == data
 
 
-def test_mesh_encode_pallas_serializer(mesh):
+def test_mesh_encode_pallas_serializer(mesh, no_xla_fallback):
     """Each shard's range coding runs the in-VMEM Pallas serializer
     (interpret mode on the CPU mesh); container identical contract."""
     data = _data(9_000, seed=11)
     p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    # reference bytes from the mesh XLA step (same device tokenizer),
+    # computed BEFORE the fallback steps are armed
+    blob_xla = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh)
+    no_xla_fallback()
     blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh,
                               use_pallas=True)
     assert blk.decode_blocks(blob) == data
     # bit-identical with the XLA serializer step (same tokens, same coder)
-    blob_xla = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh)
     assert blob == blob_xla
 
 
-def test_mesh_encode_pallas_dictionary(mesh):
+def test_mesh_encode_pallas_dictionary(mesh, no_xla_fallback):
     data = _data(9_000, seed=12)
     p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    no_xla_fallback()
     blob = encode_blocks_mesh(data, p, block_size=1 << 11, mesh=mesh,
                               dictionary=data[:512], use_pallas=True)
-    assert decode_blocks_mesh(blob, mesh=mesh) == data
+    assert blk.decode_blocks(blob) == data

@@ -70,6 +70,35 @@ def test_ring_decode_preset():
     assert outs == payloads
 
 
+def test_ring_unstaged_failure_retries_staged(monkeypatch):
+    """A group whose unstaged shape fails to compile (VMEM exhaustion on
+    hardware) must retry with the input staged from HBM — NOT degrade
+    straight to the XLA FSM."""
+    import lzma_tpu.ops.pallas_ring as ring
+
+    rng = np.random.default_rng(11)
+    params = LzmaParams(dict_size=1 << 11, fast_bytes=16)
+    payloads = [_corpus(rng, 4000), _corpus(rng, 2100)]
+    streams = [encode_stream(p, params, mode="greedy") for p in payloads]
+
+    real = ring.decode_pallas_ring
+    calls = []
+
+    def fake(*args, **kw):
+        calls.append(kw.get("stage_input"))
+        if not kw.get("stage_input"):
+            raise RuntimeError("simulated Mosaic VMEM exhaustion")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(ring, "decode_pallas_ring", fake)
+    # fallback=False: if the retry did NOT happen, the raise would escape
+    outs = ring.decode_batch_ring(streams, params,
+                                  [len(p) for p in payloads],
+                                  fallback=False, stage_input=False)
+    assert outs == payloads
+    assert calls == [False, True]
+
+
 def test_ring_decode_corrupt_falls_back():
     rng = np.random.default_rng(9)
     params = LzmaParams(dict_size=1 << 11, fast_bytes=16)

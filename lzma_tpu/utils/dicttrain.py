@@ -49,7 +49,7 @@ def train_dictionary(
     *,
     k: int = 32,
     d: int = 6,
-    table_bits: int = 17,
+    table_bits: int = 19,
 ) -> bytes:
     """Build a preset dictionary of (at most) `dict_size` bytes.
 
@@ -65,6 +65,9 @@ def train_dictionary(
     larger segments on every tested corpus — many short high-frequency
     shards cover more distinct match seeds than few long segments, and
     LZMA's rep-distance machinery stitches adjacent shard hits cheaply.
+    table_bits=19 is the measured aliasing knee (17 loses ~0.1pp on MB
+    corpora; >=20 is neutral); selection-order and exact-count
+    refinements measured neutral-or-worse (tools/dict_proto.py).
     """
     if isinstance(data, (bytes, bytearray, memoryview)):
         buf = bytes(data)
@@ -113,7 +116,12 @@ def train_dictionary(
         freq[idx[p : p + w]] = 0
 
     if not chosen:
-        return buf[:dict_size]
+        # nothing clears the score floor: the corpus has no cross-block
+        # redundancy a stored dictionary could capture.  Returning b""
+        # (no dictionary -> v1 container) is the honest answer; the old
+        # buf[:dict_size] prefix fallback made select_dictionary's block
+        # sample "win" on block 0 matching its own prefix.
+        return b""
     # best segments last = closest to the coded data = cheapest distances
     chosen.sort(key=lambda t: t[0])
     cat = b"".join(seg for _, seg in chosen)

@@ -10,7 +10,7 @@ the LZMA analogue of data parallelism called for by SURVEY.md §5.7/§5.8.
 Container layout (all little-endian):
 
     magic  b"LZTB"                      4
-    version u8 = 1 | 2                  1
+    version u8 = 1 | 2 | 3              1
     props   5 bytes (lc/lp/pb + dict)   5   -- shared by every block
     block_size u32                      4   -- uncompressed bytes per block
     total_size u64                      8   -- original length
@@ -109,8 +109,6 @@ def validated_dictionary(dictionary, preset_len: int = 0) -> bytes:
 
 def decode_stored_dict(blob, frame: "BlockFrame") -> bytes:
     """Decode a v3 container's stored dictionary stream (scalar path)."""
-    from ..codec.decoder import decode_stream
-
     return decode_stream(
         blob, frame.params, out_size=frame.dict_len,
         start=frame.payload_offset,

@@ -25,7 +25,13 @@ import tempfile
 from ..core.rangecoder import CorruptStreamError
 from ..format.properties import LzmaParams
 from . import blocks as blk
-from .filestream import DEFAULT_BATCH_BYTES, _backend
+from .filestream import (
+    DEFAULT_BATCH_BYTES,
+    _backend,
+    _decode_batch,
+    _encode_batch,
+    check_total_size_plausible,
+)
 
 
 class LZTBWriter(io.RawIOBase):
@@ -38,6 +44,9 @@ class LZTBWriter(io.RawIOBase):
                  num_threads: int = 0, mode: str | None = None,
                  preset_len: int = 0, dictionary: bytes = b"",
                  batch_bytes: int = DEFAULT_BATCH_BYTES):
+        # until construction completes, close() must be a no-op (the
+        # io finalizer calls it even when __init__ raises)
+        self._closed = True
         self._params = (params or LzmaParams()).validated_for_encode()
         if self._params.write_eos:
             raise ValueError("block container uses known sizes; EOS not supported")
@@ -56,7 +65,12 @@ class LZTBWriter(io.RawIOBase):
         self._enc, _ = _backend(num_threads)
         self._own_target = isinstance(target, (str, os.PathLike))
         self._out = open(target, "wb") if self._own_target else target
-        self._spill = tempfile.TemporaryFile()
+        try:
+            self._spill = tempfile.TemporaryFile()
+        except Exception:
+            if self._own_target:
+                self._out.close()
+            raise
         self._buf = bytearray()
         self._sizes: list[int] = []
         self._total = 0
@@ -69,31 +83,29 @@ class LZTBWriter(io.RawIOBase):
     def write(self, data) -> int:
         if self._closed:
             raise ValueError("I/O operation on closed file")
-        data = bytes(data)
-        self._buf.extend(data)
-        self._total += len(data)
+        with memoryview(data) as mv:
+            n = mv.nbytes
+            self._buf.extend(mv)
+        self._total += n
         while len(self._buf) >= self._batch_bytes:
-            chunk = bytes(self._buf[: self._batch_bytes])
+            # one copy per flushed batch (a bytearray slice + bytes() pair
+            # would copy twice)
+            with memoryview(self._buf) as mv:
+                chunk = bytes(mv[: self._batch_bytes])
             del self._buf[: self._batch_bytes]
             self._flush_batch(chunk)
-        return len(data)
+        return n
 
     def _flush_batch(self, chunk: bytes) -> None:
         if self._dictionary:
             payload, sizes = self._enc(chunk, self._params, self._block_size,
                                        self._mode, self._dictionary)
-        elif self._preset_req and not self._sizes:
-            # first batch: block 0 (the preset source) encodes plain
-            self._preset = chunk[: min(self._preset_req,
-                                       self._block_size, len(chunk))]
-            p0, s0 = self._enc(chunk[: self._block_size], self._params,
-                               self._block_size, self._mode)
-            p1, s1 = self._enc(chunk[self._block_size :], self._params,
-                               self._block_size, self._mode, self._preset)
-            payload, sizes = p0 + p1, s0 + s1
         else:
-            payload, sizes = self._enc(chunk, self._params, self._block_size,
-                                       self._mode, self._preset)
+            # shared with encode_file: the v2 first-batch split lives in
+            # ONE place (filestream._encode_batch)
+            payload, sizes, self._preset = _encode_batch(
+                self._enc, chunk, self._params, self._block_size, self._mode,
+                self._preset_req, self._preset, first=not self._sizes)
         self._spill.write(payload)
         self._sizes.extend(sizes)
 
@@ -138,27 +150,37 @@ class LZTBReader(io.RawIOBase):
 
     def __init__(self, source, num_threads: int = 0,
                  batch_bytes: int = DEFAULT_BATCH_BYTES):
+        self._closed = True  # no-op close() until fully constructed
         if num_threads <= 0:
             num_threads = os.cpu_count() or 1
         _, self._dec = _backend(num_threads)
         self._own_source = isinstance(source, (str, os.PathLike))
         self._in = open(source, "rb") if self._own_source else source
-        (self._params, self._block_size, self._total, self._n,
-         self._preset_len, dict_len, dict_comp, _) = blk.read_header(self._in)
-        table = self._in.read(4 * self._n)
-        if len(table) < 4 * self._n:
-            raise CorruptStreamError("container size table truncated")
-        self._comp_sizes = struct.unpack(f"<{self._n}I", table)
-        self._batch_blocks = max(1, batch_bytes // self._block_size)
-        self._next_block = 0
-        self._done = 0
-        self._preset = b""
-        if dict_len:  # LZTB v3: the stored dictionary primes every block
-            ds = self._in.read(dict_comp)
-            if len(ds) < dict_comp:
-                raise CorruptStreamError("container dict stream truncated")
-            self._preset = self._dec(ds, self._params, dict_len, dict_len,
-                                     [dict_comp])
+        try:
+            (self._params, self._block_size, self._total, self._n,
+             self._preset_len, dict_len, dict_comp, _) = blk.read_header(
+                self._in)
+            # anti-DoS (same guard as decode_file): total_size drives the
+            # decoders' upfront output allocation
+            check_total_size_plausible(self._total, self._in)
+            table = self._in.read(4 * self._n)
+            if len(table) < 4 * self._n:
+                raise CorruptStreamError("container size table truncated")
+            self._comp_sizes = struct.unpack(f"<{self._n}I", table)
+            self._batch_blocks = max(1, batch_bytes // self._block_size)
+            self._next_block = 0
+            self._done = 0
+            self._preset = b""
+            if dict_len:  # LZTB v3: the stored dictionary primes every block
+                ds = self._in.read(dict_comp)
+                if len(ds) < dict_comp:
+                    raise CorruptStreamError("container dict stream truncated")
+                self._preset = self._dec(ds, self._params, dict_len, dict_len,
+                                         [dict_comp])
+        except BaseException:
+            if self._own_source:
+                self._in.close()
+            raise
         self._buf = memoryview(b"")
         self._closed = False
 
@@ -176,20 +198,11 @@ class LZTBReader(io.RawIOBase):
         if len(payload) < need:
             raise CorruptStreamError("container payload truncated")
         batch_total = min(self._block_size * len(batch), self._total - self._done)
-        if self._preset_len and start == 0:
-            b0_total = min(self._block_size, batch_total)
-            out0 = self._dec(payload[: batch[0]], self._params,
-                             self._block_size, b0_total, batch[:1])
-            self._preset = out0[: self._preset_len]
-            rest = self._dec(payload[batch[0] :], self._params,
-                             self._block_size, batch_total - b0_total,
-                             batch[1:], self._preset)
-            out = out0 + rest
-        else:
-            out = self._dec(payload, self._params, self._block_size,
-                            batch_total, batch, self._preset)
-        if len(out) != batch_total:
-            raise CorruptStreamError("decoded size mismatch")
+        # shared with decode_file: the v2 first-batch split lives in ONE
+        # place (filestream._decode_batch), size-mismatch check included
+        out, self._preset = _decode_batch(
+            self._dec, payload, self._params, self._block_size, batch_total,
+            batch, self._preset_len, self._preset, first=start == 0)
         self._next_block = start + len(batch)
         self._done += batch_total
         self._buf = memoryview(out)
@@ -277,9 +290,15 @@ class AloneWriter(io.RawIOBase, _CodecThread):
                  optimal: bool = True, mode: str | None = None):
         io.RawIOBase.__init__(self)
         _CodecThread.__init__(self)
-        from ..runtime import native  # raises NativeUnavailable if unbuilt
+        from ..runtime import native
 
-        native.available()
+        # fail fast BEFORE touching the target: available() returns a
+        # bool; a bare call would silently proceed and the unbuilt
+        # runtime would only surface after the destination was truncated
+        if not native.available():
+            raise native.NativeUnavailable(
+                "AloneWriter needs the native runtime (python -m "
+                "lzma_tpu.runtime.build)")
         import dataclasses
 
         p = params or LzmaParams()
@@ -372,7 +391,10 @@ class AloneReader(io.RawIOBase, _CodecThread):
         from ..format.properties import decode_props
         from ..runtime import native
 
-        native.available()
+        if not native.available():
+            raise native.NativeUnavailable(
+                "AloneReader needs the native runtime (python -m "
+                "lzma_tpu.runtime.build)")
         self._cancel = False
         self._file = open(source, "rb") if not hasattr(source, "read") else source
         self._owns = not hasattr(source, "read") or self._file is not source
@@ -389,17 +411,37 @@ class AloneReader(io.RawIOBase, _CodecThread):
             raise CorruptStreamError(str(e)) from e
         size = int.from_bytes(head[5:13], "little")
         self._out_size = -1 if size == 0xFFFFFFFFFFFFFFFF else size
+        # same guard as decode_file_alone: a forged size >= 2^63 would
+        # otherwise surface as a ctypes ArgumentError (c_int64 overflow)
+        # from the worker instead of a CorruptStreamError here
+        if self._out_size > (1 << 62):
+            if self._owns:
+                self._file.close()
+            raise CorruptStreamError("implausible .lzma size field")
         self._buf = b""
         self._done = False
         self._thread.start()
 
     def _run(self):
+        import queue
+
         from ..runtime import native
 
+        def put(item) -> bool:
+            # cancel-aware bounded put: after close() stops draining, the
+            # worker must not block forever on the full queue
+            while True:
+                if self._cancel:
+                    return False
+                try:
+                    self._q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+
         def write(b: bytes) -> None:
-            if self._cancel:
+            if not put(bytes(b)):
                 raise AloneReader._Cancelled()
-            self._q.put(bytes(b))
 
         try:
             native.decode_stream_io(
@@ -411,7 +453,9 @@ class AloneReader(io.RawIOBase, _CodecThread):
         except BaseException as e:  # noqa: BLE001
             self._error.append(e)
         finally:
-            self._q.put(self._EOF)
+            # on the cancel path the sentinel is optional (close() treats
+            # empty-queue + dead thread as EOF); put() never blocks on it
+            put(self._EOF)
 
     def readable(self):
         return True
@@ -446,14 +490,39 @@ class AloneReader(io.RawIOBase, _CodecThread):
         if self.closed:
             return
         # cancel the codec (its next write callback raises), then drain so
-        # a blocked put wakes up and the worker retires promptly
+        # a blocked put wakes up and the worker retires promptly.  The
+        # worker can instead be stalled inside a blocking
+        # self._file.read() (pipe/socket with a silent peer); that read
+        # cannot be interrupted safely from this thread — closing a
+        # buffered file object cross-thread deadlocks on its internal
+        # lock, and closing the raw fd does not wake a blocked pipe read
+        # on Linux — so after a bounded wait the daemon worker is
+        # abandoned; it retires when the source finally yields bytes/EOF.
+        import queue
+
         self._cancel = True
+        stalled = False
         try:
             while not self._done:
-                if self._q.get() is self._EOF:
+                try:
+                    item = self._q.get(timeout=0.2)
+                except queue.Empty:
+                    if self._thread.is_alive():
+                        stalled = True  # worker blocked in _file.read()
+                    self._done = True  # stop serving read() either way
+                    break
+                if item is self._EOF:
                     self._done = True
         finally:
-            self._thread.join()
+            self._thread.join(timeout=0.5 if stalled else 5)
             if self._owns:
-                self._file.close()
+                if self._thread.is_alive():
+                    # abandoned worker may be inside _file.read(); closing
+                    # the buffered object here would deadlock on its lock.
+                    # Owned sources are opened from paths (regular files,
+                    # which cannot stall) so this branch is a pipe-like
+                    # path edge case: leave the fd to process exit.
+                    pass
+                else:
+                    self._file.close()
             io.RawIOBase.close(self)

@@ -95,6 +95,62 @@ def _backend(num_threads: int):
     return enc, dec
 
 
+def _encode_batch(enc, chunk, params, block_size, mode, preset_req, preset,
+                  first):
+    """Encode one uncompressed batch, handling the LZTB v2 first-batch
+    split (block 0 — the preset source — encodes plain, the rest against
+    the preset).  The ONE implementation shared by encode_file and
+    LZTBWriter (fileobj.py) so the logic cannot drift.  Returns
+    (payload, sizes, preset)."""
+    if preset_req and first:
+        preset = chunk[: min(preset_req, block_size, len(chunk))]
+        p0, s0 = enc(chunk[:block_size], params, block_size, mode)
+        p1, s1 = enc(chunk[block_size:], params, block_size, mode, preset)
+        return p0 + p1, s0 + s1, preset
+    payload, sizes = enc(chunk, params, block_size, mode, preset)
+    return payload, sizes, preset
+
+
+def _decode_batch(dec, payload, params, block_size, batch_total, batch,
+                  preset_len, preset, first):
+    """Decode one batch of blocks, handling the LZTB v2 first-batch split
+    (block 0 decodes plain and donates the preset).  Shared by
+    decode_file and LZTBReader (fileobj.py).  Returns (out, preset)."""
+    if preset_len and first:
+        b0_total = min(block_size, batch_total)
+        out0 = dec(payload[: batch[0]], params, block_size, b0_total,
+                   batch[:1])
+        preset = out0[:preset_len]
+        rest = dec(payload[batch[0] :], params, block_size,
+                   batch_total - b0_total, batch[1:], preset)
+        out = out0 + rest
+    else:
+        out = dec(payload, params, block_size, batch_total, batch, preset)
+    if len(out) != batch_total:
+        raise CorruptStreamError("decoded size mismatch")
+    return out, preset
+
+
+def check_total_size_plausible(total_size: int, fileobj) -> None:
+    """Anti-DoS guard shared by every streaming reader: a forged
+    total_size drives upfront output allocations, so it must be possible
+    for the actual payload size.  Skipped when the source size cannot be
+    determined (unseekable pipe without fileno)."""
+    try:
+        src_size = os.fstat(fileobj.fileno()).st_size
+    except (AttributeError, OSError):
+        try:
+            pos = fileobj.tell()
+            src_size = fileobj.seek(0, os.SEEK_END)
+            fileobj.seek(pos)
+        except (AttributeError, OSError, ValueError):
+            return
+    if total_size > src_size * blk.MAX_EXPANSION + (1 << 16):
+        raise CorruptStreamError(
+            "claimed total_size is impossible for this payload"
+        )
+
+
 def encode_file(
     src,
     dst,
@@ -153,48 +209,57 @@ def encode_file(
         written += len(dict_stream)
         consumed = 0
         # read-ahead thread: overlap input IO with encoding (one batch of
-        # look-ahead — bounded so memory stays O(batch))
+        # look-ahead — bounded so memory stays O(batch)).  Every reader
+        # put is bounded and stop-aware: if the consumer dies, stop is
+        # set and the thread retires instead of blocking forever on the
+        # full queue with a batch buffer pinned.
         import queue
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=1)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def _reader():
             try:
-                while True:
+                while not stop.is_set():
                     c = fi.read(batch_bytes)
-                    q.put(c)
-                    if not c:
+                    if not _put(c) or not c:
                         return
             except Exception as e:  # surfaced by the consumer
-                q.put(e)
+                _put(e)
 
         rt = threading.Thread(target=_reader, daemon=True)
         rt.start()
-        while True:
-            chunk = q.get()
-            if isinstance(chunk, Exception):
-                raise chunk
-            if not chunk:
-                break
-            consumed += len(chunk)
-            if consumed > total_size:
-                raise ValueError(f"{src} grew while encoding")
-            if preset_len and not sizes:
-                # first batch: block 0 plain (it IS the preset source),
-                # the rest of the batch against the preset
-                preset = chunk[:preset_len]
-                p0, s0 = enc(chunk[:block_size], params, block_size, mode)
-                p1, s1 = enc(chunk[block_size:], params, block_size, mode, preset)
-                payload, bsizes = p0 + p1, s0 + s1
-            else:
-                payload, bsizes = enc(chunk, params, block_size, mode, preset)
-            fo.write(payload)
-            written += len(payload)
-            sizes.extend(bsizes)
-            if progress is not None:
-                progress(consumed, table_offset + 4 * num_blocks + written)
-        rt.join(timeout=5)
+        try:
+            while True:
+                chunk = q.get()
+                if isinstance(chunk, Exception):
+                    raise chunk
+                if not chunk:
+                    break
+                consumed += len(chunk)
+                if consumed > total_size:
+                    raise ValueError(f"{src} grew while encoding")
+                payload, bsizes, preset = _encode_batch(
+                    enc, chunk, params, block_size, mode,
+                    preset_len, preset, first=not sizes)
+                fo.write(payload)
+                written += len(payload)
+                sizes.extend(bsizes)
+                if progress is not None:
+                    progress(consumed, table_offset + 4 * num_blocks + written)
+        finally:
+            stop.set()
+            rt.join(timeout=5)
         if consumed != total_size or len(sizes) != num_blocks:
             raise ValueError(f"{src} changed size while encoding")
         fo.seek(table_offset)
@@ -222,11 +287,7 @@ def decode_file(
          dict_len, dict_comp, head_size) = (
             blk.read_header(fi)  # validates the block geometry
         )
-        src_size = os.fstat(fi.fileno()).st_size
-        if total_size > src_size * blk.MAX_EXPANSION + (1 << 16):
-            raise CorruptStreamError(
-                "claimed total_size is impossible for this payload"
-            )
+        check_total_size_plausible(total_size, fi)
         table = fi.read(4 * n)
         if len(table) < 4 * n:
             raise CorruptStreamError("container size table truncated")
@@ -249,19 +310,9 @@ def decode_file(
             if len(payload) < need:
                 raise CorruptStreamError("container payload truncated")
             batch_total = min(block_size * len(batch), total_size - done)
-            if preset_len and start == 0:
-                # block 0 is the preset source: decode it plain first
-                b0_total = min(block_size, batch_total)
-                out0 = dec(payload[: batch[0]], params, block_size,
-                           b0_total, batch[:1])
-                preset = out0[:preset_len]
-                rest = dec(payload[batch[0] :], params, block_size,
-                           batch_total - b0_total, batch[1:], preset)
-                out = out0 + rest
-            else:
-                out = dec(payload, params, block_size, batch_total, batch, preset)
-            if len(out) != batch_total:
-                raise CorruptStreamError("decoded size mismatch")
+            out, preset = _decode_batch(
+                dec, payload, params, block_size, batch_total, batch,
+                preset_len, preset, first=start == 0)
             fo.write(out)
             done += batch_total
             comp_done += need

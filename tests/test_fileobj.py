@@ -172,3 +172,129 @@ def test_writer_preset_multi_batch_matches_filestream(tmp_path):
         for off in range(0, len(data), 50_000):
             w.write(data[off : off + 50_000])
     assert b.read_bytes() == a.read_bytes()
+
+
+# --- hardening regressions (review findings) --------------------------------
+
+def test_reader_rejects_forged_total_size(tmp_path):
+    """A ~30-byte forged container claiming a multi-GiB total_size must be
+    rejected BEFORE any decoder allocation (same guard as decode_file)."""
+    import struct
+
+    head = (b"LZTB" + bytes([1]) + PARAMS.encode_props()
+            + struct.pack("<IQI", 0xFFFFFFFF, 0xFFFFFFFF, 1))
+    forged = head + struct.pack("<I", 5) + b"\x00" * 5
+    f = tmp_path / "forged.lztb"
+    f.write_bytes(forged)
+    with pytest.raises(CorruptStreamError):
+        r = LZTBReader(f)
+        try:
+            r.read()
+        finally:
+            r.close()
+
+
+def test_partial_construction_close_is_noop(tmp_path):
+    """Constructor failures must not leave close() raising AttributeError
+    from the io finalizer, and must not leak the opened fd."""
+    import gc
+    import os
+
+    def nfds():
+        return len(os.listdir("/proc/self/fd"))
+
+    bad = tmp_path / "garbage.bin"
+    bad.write_bytes(b"\x13" * 64)
+    gc.collect()
+    before = nfds()
+    for _ in range(5):
+        with pytest.raises(ValueError):
+            LZTBWriter(tmp_path / "w.lztb", block_size=0)
+        with pytest.raises(CorruptStreamError):
+            LZTBReader(bad)
+    gc.collect()
+    assert nfds() <= before + 1  # no fd accumulation from failed ctors
+
+
+def test_encode_file_reader_thread_not_leaked(tmp_path, monkeypatch):
+    """When the encode consumer raises, the read-ahead thread must retire
+    instead of blocking forever on the full queue."""
+    import threading
+    import time
+
+    from lzma_tpu.parallel import filestream as fs
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(_mixed(400_000))
+
+    real_backend = fs._backend
+
+    def broken_backend(num_threads):
+        enc, dec = real_backend(num_threads)
+
+        def bad_enc(*a, **k):
+            raise RuntimeError("simulated encoder failure")
+
+        return bad_enc, dec
+
+    monkeypatch.setattr(fs, "_backend", broken_backend)
+    base = threading.active_count()
+    with pytest.raises(RuntimeError):
+        fs.encode_file(src, tmp_path / "dst.lztb", PARAMS,
+                       block_size=1 << 14, batch_bytes=1 << 15)
+    for _ in range(50):  # the reader retires within the 0.2s put timeout
+        if threading.active_count() <= base:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= base
+
+
+def test_alone_writer_fails_fast_without_native(tmp_path, monkeypatch):
+    """An unbuilt native runtime must surface BEFORE the destination file
+    is created/truncated."""
+    from lzma_tpu.parallel.fileobj import AloneWriter
+    from lzma_tpu.runtime import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    dst = tmp_path / "out.lzma"
+    with pytest.raises(native.NativeUnavailable):
+        AloneWriter(dst)
+    assert not dst.exists()
+
+
+def test_alone_reader_rejects_forged_size(tmp_path):
+    from lzma_tpu.parallel.fileobj import AloneReader
+
+    forged = PARAMS.encode_props() + (1 << 63).to_bytes(8, "little") + b"\x00" * 16
+    f = tmp_path / "forged.lzma"
+    f.write_bytes(forged)
+    with pytest.raises(CorruptStreamError):
+        AloneReader(f)
+
+
+def test_alone_reader_close_with_stalled_pipe_source():
+    """close() must return promptly even when the codec worker is stalled
+    in a blocking read on an unowned pipe whose peer never sends."""
+    import os
+    import time
+
+    from lzma_tpu.parallel.fileobj import AloneReader
+
+    rfd, wfd = os.pipe()
+    rf = os.fdopen(rfd, "rb")
+    try:
+        os.write(wfd, PARAMS.encode_props() + (50_000).to_bytes(8, "little"))
+        r = AloneReader(rf)  # worker now blocks reading payload
+        time.sleep(0.3)
+        t0 = time.perf_counter()
+        r.close()
+        assert time.perf_counter() - t0 < 3.0
+    finally:
+        # release the (abandoned) worker before touching rf: closing a
+        # buffered file object while another thread reads it deadlocks
+        os.close(wfd)  # EOF wakes the worker's blocking read
+        for _ in range(50):
+            if not r._thread.is_alive():
+                break
+            time.sleep(0.1)
+        rf.close()

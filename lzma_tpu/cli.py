@@ -155,6 +155,12 @@ class CommandLine:
             pos += 1
         return True
 
+    def mode(self) -> str:
+        """Parse mode from the reference's -a{N} switch (0=fast; our
+        fast profile is greedy/lazy, SetAlgorithm is a stub upstream,
+        Encoder.java:1127-1133)."""
+        return {0: "greedy", 1: "lazy"}.get(self.algorithm, "optimal")
+
     def params(self) -> LzmaParams:
         return LzmaParams(
             lc=self.lc,
@@ -203,6 +209,26 @@ def main(argv=None) -> int:
     if not cmd.parse(args):
         print("\nIncorrect command")
         return 1
+    try:
+        return _dispatch(cmd)
+    except (OSError, ValueError, RuntimeError) as e:
+        # umbrella for paths without a dedicated handler (-tune
+        # validation, bench validation, NativeUnavailable from explicit
+        # backends): the CLI contract is "error: ..." + exit 1, never a
+        # traceback
+        print(f"error: {e}")
+        return 1
+
+
+def _dispatch(cmd: "CommandLine") -> int:
+    if cmd.backend == "native":
+        # explicit request: never silently substitute the scalar codec
+        from .runtime import native as _native
+
+        if not _native.available():
+            print("error: -backendnative requested but the native runtime "
+                  "is unavailable (python -m lzma_tpu.runtime.build)")
+            return 1
 
     if cmd.command == "b":
         from .bench.harness import run_benchmark
@@ -231,6 +257,13 @@ def main(argv=None) -> int:
 
             def dec_fn(comp, out_size):
                 return _tpu.decode_stream(comp, bench_params, out_size)
+
+        elif cmd.backend != "scalar":
+            # e.g. -backendhybrid: an encode-only pipeline cannot be
+            # rated by the round-trip benchmark — refuse rather than
+            # silently rating the scalar codec
+            print(f"error: unsupported backend for b: {cmd.backend}")
+            return 1
 
         run_benchmark(cmd.num_passes, dict_size, params=bench_params,
                       encode_fn=enc_fn, decode_fn=dec_fn)
@@ -310,11 +343,10 @@ def main(argv=None) -> int:
             from .parallel import filestream
 
             params = cmd.params().validated_for_encode()
-            mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
             in_size = os.path.getsize(cmd.in_file)
             out_size = filestream.encode_file(
                 cmd.in_file, cmd.out_file, params,
-                block_size=cmd.block_size, num_threads=cmd.threads, mode=mode,
+                block_size=cmd.block_size, num_threads=cmd.threads, mode=cmd.mode(),
                 preset_len=cmd.preset_len, dictionary=_trained_dict(),
             )
             if not cmd.quiet:
@@ -330,10 +362,9 @@ def main(argv=None) -> int:
                 from .parallel import filestream
 
                 params = cmd.params().validated_for_encode()
-                mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
                 in_size = os.path.getsize(cmd.in_file)
                 out_size = filestream.encode_file_alone(
-                    cmd.in_file, cmd.out_file, params, mode=mode
+                    cmd.in_file, cmd.out_file, params, mode=cmd.mode()
                 )
                 if not cmd.quiet:
                     print(f"e: {in_size} -> {out_size} bytes [stream]")
@@ -392,7 +423,6 @@ def main(argv=None) -> int:
         enc, dec, backend = _pick_backend(cmd.backend)
         if cmd.command == "e":
             params = cmd.params().validated_for_encode()
-            mode = {0: "greedy", 1: "lazy"}.get(cmd.algorithm, "optimal")
             if cmd.block_size:
                 if backend == "tpu":
                     from .ops import api as tpu_api
@@ -412,7 +442,7 @@ def main(argv=None) -> int:
                         dictionary=_trained_dict(data),
                     )
             else:
-                out = enc(data, params, mode=mode)
+                out = enc(data, params, mode=cmd.mode())
         else:
             if data[:4] == b"LZTB":
                 if backend == "tpu":

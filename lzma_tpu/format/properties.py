@@ -94,3 +94,17 @@ def decode_props(props: bytes) -> LzmaParams:
     dict_size = struct.unpack("<I", props[1:5])[0]
     return LzmaParams(lc=lc, lp=lp, pb=pb, dict_size=dict_size)
 
+
+
+def validate_alone_size(out_size: int, payload_len: int) -> None:
+    """Anti-DoS guard for the `.lzma` 8-byte size field: decoders that
+    allocate the output up front must reject sizes impossible for the
+    payload BEFORE allocating (LZMA expands at most ~273 bytes per
+    2-bit symbol; 4096x is the same safely loose bound as
+    parallel.blocks.MAX_EXPANSION).  EOS-terminated streams
+    (out_size < 0) are exempt — their decoders size memory as they go."""
+    if out_size >= 0 and out_size > payload_len * 4096 + (1 << 16):
+        from ..core.rangecoder import CorruptStreamError
+
+        raise CorruptStreamError(
+            "claimed .lzma size is impossible for this payload")

@@ -44,6 +44,10 @@ def decode_alone(data: bytes) -> bytes:
         from ..codec.decoder import decode_stream as py_decode
 
         return py_decode(data, params, out_size=-1, start=13)
+    # a forged size field must not size the device output buffers
+    from ..format.properties import validate_alone_size
+
+    validate_alone_size(out_size, len(data) - 13)
     return decode_stream(data[13:], params, out_size)
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-from functools import lru_cache
 
 from ..format.properties import LzmaParams, decode_props
 from ..core.rangecoder import CorruptStreamError
@@ -33,15 +32,33 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
-@lru_cache(maxsize=1)
+#: [lib, NativeUnavailable] — failures are memoized too: lru_cache only
+#: caches successes, so a missing compiler would re-run the multi-second
+#: build attempt on every available() probe (several per CLI run)
+_LIB_STATE: list = [None, None]
+
+
 def _lib():
+    if _LIB_STATE[0] is not None:
+        return _LIB_STATE[0]
+    if _LIB_STATE[1] is not None:
+        raise _LIB_STATE[1]
     from . import build
 
     try:
         path = build.build()
+        lib = ctypes.CDLL(path)
     except Exception as e:  # no compiler / build failure
-        raise NativeUnavailable(str(e)) from e
-    lib = ctypes.CDLL(path)
+        exc = NativeUnavailable(str(e))
+        exc.__cause__ = e
+        _LIB_STATE[1] = exc
+        raise exc
+    _lib_bind(lib)
+    _LIB_STATE[0] = lib
+    return lib
+
+
+def _lib_bind(lib):
     lib.lzt_encode.restype = ctypes.c_int64
     lib.lzt_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -85,7 +102,7 @@ def _lib():
     ]
     lib.lzt_decode_blocks.restype = ctypes.c_int
     lib.lzt_decode_blocks.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,  # void*: offset pointers, no copy
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
@@ -122,7 +139,7 @@ def _lib():
     ]
     lib.lzt_decode_blocks_pre.restype = ctypes.c_int
     lib.lzt_decode_blocks_pre.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,  # void*: offset pointers, no copy
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
@@ -399,6 +416,11 @@ def decode_alone(data: bytes) -> bytes:
 
         decode_stream_io(_read, _write, params, -1)
         return sink.getvalue()
+    # a forged size field must not drive the upfront output allocation
+    # (same guard as filestream.decode_file_alone / blocks.parse_container)
+    from ..format.properties import validate_alone_size
+
+    validate_alone_size(out_size, len(data) - 13)
     return decode_stream(data[13:], params, out_size)
 
 
@@ -417,6 +439,8 @@ def encode_block_payload(
     LZTB container and the constant-memory file streamer
     (parallel/filestream.py), which feeds batches of blocks through here.
     """
+    if block_size < 1:
+        raise ValueError("block_size must be positive")
     params = params.validated_for_encode()
     lib = _lib()
     num_blocks = (len(data) + block_size - 1) // block_size
@@ -437,6 +461,24 @@ def encode_block_payload(
     return out.raw[:n], list(sizes)
 
 
+def _payload_ptr(payload, off: int = 0):
+    """(arg, length) for passing payload[off:] to a native call WITHOUT
+    copying.  bytes: ctypes borrows the buffer (pointer arithmetic for
+    the offset); bytearray: a from_buffer char array; anything else
+    (e.g. a memoryview) falls back to one bytes() copy.  The caller must
+    keep `payload` referenced until the native call returns."""
+    if isinstance(payload, bytes):
+        if not off:
+            return payload, len(payload)
+        base = ctypes.cast(ctypes.c_char_p(payload), ctypes.c_void_p).value
+        return ctypes.c_void_p(base + off), len(payload) - off
+    if isinstance(payload, bytearray):
+        n = len(payload) - off
+        return (ctypes.c_char * n).from_buffer(payload, off), n
+    payload = bytes(payload)
+    return _payload_ptr(payload, off)
+
+
 def decode_block_payload(
     payload,
     params: LzmaParams,
@@ -444,11 +486,14 @@ def decode_block_payload(
     total_size: int,
     comp_sizes,
     num_threads: int = 0,
+    payload_off: int = 0,
 ) -> bytes:
     """Decode concatenated block streams (no container framing).
 
     `total_size` sizes the final block: every block decodes to
     `block_size` bytes except the last, which gets the remainder.
+    `payload_off` decodes from payload[payload_off:] without slicing
+    (no copy — the payload is nearly the whole container).
     """
     n = len(comp_sizes)
     if n == 0:
@@ -456,11 +501,11 @@ def decode_block_payload(
     lib = _lib()
     if num_threads <= 0:
         num_threads = os.cpu_count() or 1
-    payload = bytes(payload)
+    ptr, plen = _payload_ptr(payload, payload_off)
     sizes = (ctypes.c_uint32 * n)(*comp_sizes)
     out = ctypes.create_string_buffer(max(total_size, 1))
     rc = lib.lzt_decode_blocks(
-        payload, len(payload), params.lc, params.lp, params.pb,
+        ptr, plen, params.lc, params.lp, params.pb,
         params.dict_size, block_size, total_size, sizes, n, num_threads, out,
     )
     if rc != 0:
@@ -485,6 +530,8 @@ def encode_block_payload_pre(
         return encode_block_payload(
             data, params, block_size, num_threads, optimal=optimal, mode=mode
         )
+    if block_size < 1:
+        raise ValueError("block_size must be positive")
     params = params.validated_for_encode()
     lib = _lib()
     num_blocks = (len(data) + block_size - 1) // block_size
@@ -516,11 +563,13 @@ def decode_block_payload_pre(
     num_threads: int = 0,
     out_buffer=None,
     out_offset: int = 0,
+    payload_off: int = 0,
 ) -> bytes:
     """Decode blocks that all share one preset dictionary (no framing).
 
     `out_buffer`/`out_offset` let callers decode into a larger buffer
-    in place (used by the v2 container path to stitch block 0 + rest).
+    in place (used by the v2 container path to stitch block 0 + rest);
+    `payload_off` decodes from payload[payload_off:] without a copy.
     """
     n = len(comp_sizes)
     own = out_buffer is None
@@ -532,18 +581,18 @@ def decode_block_payload_pre(
     lib = _lib()
     if num_threads <= 0:
         num_threads = os.cpu_count() or 1
-    payload = bytes(payload)
+    ptr, plen = _payload_ptr(payload, payload_off)
     sizes = (ctypes.c_uint32 * n)(*comp_sizes)
     dst = ctypes.addressof(out_buffer) + out_offset
     if preset:
         rc = lib.lzt_decode_blocks_pre(
-            payload, len(payload), preset, len(preset),
+            ptr, plen, preset, len(preset),
             params.lc, params.lp, params.pb, params.dict_size,
             block_size, total_size, sizes, n, num_threads, dst,
         )
     else:
         rc = lib.lzt_decode_blocks(
-            payload, len(payload), params.lc, params.lp, params.pb,
+            ptr, plen, params.lc, params.lp, params.pb,
             params.dict_size, block_size, total_size, sizes, n, num_threads, dst,
         )
     if rc != 0:
@@ -621,27 +670,30 @@ def decode_blocks(blob: bytes, num_threads: int = 0) -> bytes:
             frame.params, frame.dict_len,
         )
         return decode_block_payload_pre(
-            memoryview(blob)[frame.blocks_offset :], dictionary, frame.params,
+            blob, dictionary, frame.params,
             frame.block_size, frame.total_size, frame.comp_sizes, num_threads,
+            payload_off=frame.blocks_offset,
         )
-    # zero-copy view: the payload is nearly the whole blob
-    payload = memoryview(blob)[frame.payload_offset :]
+    # zero-copy: the payload (nearly the whole blob) is passed as the
+    # original buffer + an offset — no slice materialization
     if not frame.preset_len:
         return decode_block_payload(
-            payload, frame.params, frame.block_size,
+            blob, frame.params, frame.block_size,
             frame.total_size, frame.comp_sizes, num_threads,
+            payload_off=frame.payload_offset,
         )
     out = ctypes.create_string_buffer(max(frame.total_size, 1))
     b0_size = min(frame.block_size, frame.total_size)
     decode_block_payload_pre(
-        payload[: frame.comp_sizes[0]], b"", frame.params, frame.block_size,
+        blob, b"", frame.params, frame.block_size,
         b0_size, frame.comp_sizes[:1], num_threads,
-        out_buffer=out, out_offset=0,
+        out_buffer=out, out_offset=0, payload_off=frame.payload_offset,
     )
     preset = out[: frame.preset_len]  # slices only the preset bytes
     decode_block_payload_pre(
-        payload[frame.comp_sizes[0] :], preset, frame.params, frame.block_size,
+        blob, preset, frame.params, frame.block_size,
         frame.total_size - b0_size, frame.comp_sizes[1:], num_threads,
         out_buffer=out, out_offset=b0_size,
+        payload_off=frame.payload_offset + frame.comp_sizes[0],
     )
     return out.raw[: frame.total_size]

@@ -106,3 +106,41 @@ def test_cli_hybrid_backend(tmp_path):
     assert back.read_bytes() == data
     # hybrid without -bs is an error
     assert main(["e", "-backendhybrid", str(src), str(out)]) == 1
+
+
+def test_cli_explicit_native_fails_loud_when_unavailable(tmp_path, capsys, monkeypatch):
+    """-backendnative must never silently substitute the scalar codec."""
+    from lzma_tpu.cli import main
+    from lzma_tpu.runtime import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"hello" * 200)
+    dst = tmp_path / "out"
+    assert main(["e", "-backendnative", str(src), str(dst)]) == 1
+    out = capsys.readouterr().out
+    assert "error:" in out and "native" in out
+
+
+def test_cli_tune_with_bad_switch_clean_error(tmp_path, capsys):
+    """-tune validation errors must print 'error: ...', not a traceback."""
+    from lzma_tpu.cli import main
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"hello world" * 200)
+    assert main(["e", "-tune", "-lc9", str(src), str(tmp_path / "o")]) == 1
+    assert "error:" in capsys.readouterr().out
+
+
+def test_cli_bench_bad_dict_clean_error(capsys):
+    from lzma_tpu.cli import main
+
+    assert main(["b", "-d17"]) == 1
+    assert "error:" in capsys.readouterr().out
+
+
+def test_cli_bench_rejects_unratable_backend(capsys):
+    from lzma_tpu.cli import main
+
+    assert main(["b", "-backendhybrid"]) == 1
+    assert "error:" in capsys.readouterr().out

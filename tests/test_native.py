@@ -153,3 +153,26 @@ def test_top_level_api_routes_native_and_matches_scalar():
 
     assert blob == scalar_alone(data, p)
     assert lzma_tpu.decompress(blob) == data
+
+
+def test_native_decode_alone_rejects_forged_size():
+    """A tiny forged .lzma claiming a TB-scale size must raise
+    CorruptStreamError BEFORE the upfront output allocation."""
+    forged = (LzmaParams().encode_props()
+              + (1 << 40).to_bytes(8, "little") + b"\x00" * 8)
+    with pytest.raises(CorruptStreamError):
+        native.decode_alone(forged)
+    # >= 2^63 must not surface as ctypes OverflowError either
+    forged63 = (LzmaParams().encode_props()
+                + (1 << 63).to_bytes(8, "little") + b"\x00" * 8)
+    with pytest.raises(CorruptStreamError):
+        native.decode_alone(forged63)
+
+
+def test_native_block_size_validated():
+    for bs in (0, -5):
+        with pytest.raises(ValueError):
+            native.encode_blocks(b"x" * 100, LzmaParams(), block_size=bs)
+        with pytest.raises(ValueError):
+            native.encode_block_payload_pre(
+                b"x" * 100, b"pre", LzmaParams(), bs)

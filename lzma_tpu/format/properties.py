@@ -96,14 +96,23 @@ def decode_props(props: bytes) -> LzmaParams:
 
 
 
+#: Safely loose bound on LZMA's maximum expansion (output bytes per
+#: compressed byte).  True worst case: with saturated probabilities a
+#: range-coder decision costs ~-log2((2048-31)/2048) = 0.0219 bits, and a
+#: rep0 len-273 match takes ~14-15 decisions (~0.32 bits) to emit 273
+#: bytes -> ~6800x; measured on all-zero input this codec reaches ~4690x
+#: (16 MiB -> 3578 B).  8192 covers the theoretical bound with margin —
+#: the earlier 4096 REJECTED the encoder's own output on zeros.
+MAX_EXPANSION = 8192
+
+
 def validate_alone_size(out_size: int, payload_len: int) -> None:
     """Anti-DoS guard for the `.lzma` 8-byte size field: decoders that
     allocate the output up front must reject sizes impossible for the
-    payload BEFORE allocating (LZMA expands at most ~273 bytes per
-    2-bit symbol; 4096x is the same safely loose bound as
-    parallel.blocks.MAX_EXPANSION).  EOS-terminated streams
-    (out_size < 0) are exempt — their decoders size memory as they go."""
-    if out_size >= 0 and out_size > payload_len * 4096 + (1 << 16):
+    payload BEFORE allocating (see MAX_EXPANSION).  EOS-terminated
+    streams (out_size < 0) are exempt — their decoders size memory as
+    they go."""
+    if out_size >= 0 and out_size > payload_len * MAX_EXPANSION + (1 << 16):
         from ..core.rangecoder import CorruptStreamError
 
         raise CorruptStreamError(

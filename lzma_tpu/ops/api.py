@@ -41,6 +41,16 @@ def decode_alone(data: bytes) -> bytes:
     params = decode_props(data[:5])
     out_size = int.from_bytes(data[5:13], "little")
     if out_size == 0xFFFFFFFFFFFFFFFF:
+        # EOS-terminated: the lane FSM needs known sizes, so route to the
+        # native streaming decoder when built (the scalar per-bit Python
+        # loop is a last resort at ~1 MB/s)
+        try:
+            from ..runtime import native
+
+            if native.available():
+                return native.decode_alone(data)
+        except Exception:
+            pass
         from ..codec.decoder import decode_stream as py_decode
 
         return py_decode(data, params, out_size=-1, start=13)
@@ -105,16 +115,8 @@ def decode_blocks(blob, use_pallas: bool = False) -> bytes:
     n = len(frame.comp_sizes)
     if n == 0:
         return b""
-    offsets = [frame.blocks_offset]
-    for s in frame.comp_sizes:
-        offsets.append(offsets[-1] + s)
-    if offsets[-1] > len(blob):
-        raise CorruptStreamError("container payload truncated")
+    offsets, sizes = frame.stream_extents(len(blob))
     streams = [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(n)]
-    sizes = [
-        frame.block_size if i < n - 1 else frame.total_size - frame.block_size * (n - 1)
-        for i in range(n)
-    ]
     if use_pallas:
         from .pallas_ring import decode_batch_ring as _dec
     else:

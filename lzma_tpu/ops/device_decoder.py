@@ -47,6 +47,7 @@ from ..core.layout import (
     POS_SLOT_TREE_SIZE,
     ProbLayout,
 )
+from ..core.rangecoder import CorruptStreamError
 from ..format.properties import LzmaParams
 
 # FSM phases.  Each lane sits in exactly one phase per iteration.
@@ -106,7 +107,7 @@ assert [8 if s < 7 else 11 for s in range(12)] == list(NEXT_STATE_LONGREP)
 assert [9 if s < 7 else 11 for s in range(12)] == list(NEXT_STATE_SHORTREP)
 
 
-def _state_struct(n_lanes: int, arena_size: int, max_out: int, max_in: int):
+def _state_struct(n_lanes: int):
     """Initial per-lane register file."""
     z = lambda v=0: jnp.full((n_lanes,), v, dtype=_I32)
     return dict(
@@ -132,7 +133,7 @@ def _state_struct(n_lanes: int, arena_size: int, max_out: int, max_in: int):
 # backends supply those (probability arena + output window access).
 
 
-def _ctx_index(st, layout, lc, lp, pb, pos_base=0):
+def _ctx_index(st, layout, pb, pos_base=0):
     """Arena index for this iteration's adaptive bit, per lane.
 
     `pos_base` is the primed-window prefix length (preset dictionary):
@@ -192,7 +193,7 @@ def _bit_decode(rng, code, prob, is_adaptive, is_direct):
 
 
 def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
-                layout, lc, lp, pb, max_out, pos_base=0):
+                layout, lc, lp, pb, pos_base=0):
     """FSM transition: next register file plus this iteration's output byte.
 
     prev_byte = out[out_pos-1]; back_byte = out[out_pos-rep0-1] (serves both
@@ -467,7 +468,7 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
         code0 = (code0 << 8) | byte.astype(_U32)
     range0 = jnp.full((n_lanes,), 0xFFFFFFFF, dtype=_U32)
 
-    st = _state_struct(n_lanes, layout.size, max_out, max_in)
+    st = _state_struct(n_lanes)
     if pos_base:
         st["out_pos"] = jnp.full((n_lanes,), pos_base, dtype=_I32)
         prev0 = jnp.full((n_lanes,), 1, dtype=_I32) * preset[-1].astype(_I32)
@@ -488,7 +489,7 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
 
         # 1. context index + uniform bit decode (shared select networks)
         idx, is_adaptive, is_direct, consumes_bit = _ctx_index(
-            st, layout, lc, lp, pb, pos_base)
+            st, layout, pb, pos_base)
         prob = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
         bit, new_rng, new_code, new_prob = _bit_decode(rng, code, prob, is_adaptive, is_direct)
         probs = probs.at[lanes, jnp.where(is_adaptive, idx, 0)].set(
@@ -513,7 +514,7 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
         back_byte = out[lanes, jnp.clip(out_pos - st["rep0"] - 1, 0, max_out - 1)].astype(_I32)
         st2, emit, emit_byte = _transition(
             st, bit, prev, back_byte, out_sizes, dict_check,
-            layout, lc, lp, pb, max_out, pos_base)
+            layout, lc, lp, pb, pos_base)
         write_idx = jnp.where(emit, jnp.minimum(out_pos, max_out - 1), max_out)
         out = out.at[lanes, write_idx].set(emit_byte.astype(_U8), mode="drop")
         prev2 = jnp.where(emit, emit_byte, prev)
@@ -537,6 +538,20 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
     n = len(streams)
     if n == 0:
         return []
+    if any(sz >= 2**31 for sz in out_sizes):
+        # int32 lane sizes on device; a forged claim must be a clean
+        # decode error, not a numpy OverflowError
+        raise CorruptStreamError("output size exceeds device decoder range")
+    if any(sz <= 0 for sz in out_sizes):
+        # the FSM always decodes at least one symbol before its done
+        # check, so zero-output lanes (empty streams) short-circuit here
+        keep = [i for i, sz in enumerate(out_sizes) if sz > 0]
+        redone = decode_batch([streams[i] for i in keep], params,
+                              [out_sizes[i] for i in keep],
+                              max_out=max_out, max_iters=max_iters,
+                              preset=preset)
+        redo = dict(zip(keep, redone))
+        return [redo.get(i, b"") for i in range(n)]
     plen = len(preset)
     max_in = max(max(len(s) for s in streams), 16)
     max_in = 1 << (max_in - 1).bit_length()  # pow2 bucket: stable jit shapes
@@ -566,6 +581,8 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
     results = []
     for i in range(n):
         if not ok[i]:
-            raise ValueError(f"device decode failed for lane {i}")
+            # same exception type as the scalar/native backends so
+            # cross-backend callers need one except clause
+            raise CorruptStreamError(f"device decode failed for lane {i}")
         results.append(out[i, plen : plen + out_sizes[i]].tobytes())
     return results

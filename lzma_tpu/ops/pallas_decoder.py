@@ -132,7 +132,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
             code0 = (code0 << 8) | byte.astype(_U32)
         rng0 = jnp.full((N,), 0xFFFFFFFF, dtype=_U32)
 
-        st0 = _state_struct(N, layout.size, MO, max_in)
+        st0 = _state_struct(N)
         if pos_base:
             st0["out_pos"] = jnp.full((N,), pos_base, dtype=_I32)
             # literal context starts from the LAST preset byte (§1.1)
@@ -150,7 +150,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
             out_pos = st["out_pos"]
 
             idx, is_adaptive, is_direct, consumes_bit = _ctx_index(
-                st, layout, lc, lp, pb, pos_base)
+                st, layout, pb, pos_base)
             safe_idx = jnp.where(is_adaptive, idx, 0)
             prob = _gather_cols(probs[:], safe_idx)
             bit, new_rng, new_code, new_prob = _bit_decode(
@@ -180,7 +180,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
                 outv, jnp.clip(out_pos - st["rep0"] - 1, 0, MO - 1))
             st2, emit, emit_byte = _transition(
                 st, bit, prev, back_byte, sizes, dict_check,
-                layout, lc, lp, pb, MO, pos_base)
+                layout, lc, lp, pb, pos_base)
             widx = jnp.minimum(out_pos, MO - 1)
             wmask = (out_cols == widx[:, None]) & _mask2d(emit)
             outb[:] = jnp.where(wmask, emit_byte[:, None], outv)

@@ -158,7 +158,7 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
             code0 = (code0 << 8) | byte.astype(_U32)
         rng0 = jnp.full((N,), 0xFFFFFFFF, dtype=_U32)
 
-        st0 = _state_struct(N, layout.size, MO, max_in)
+        st0 = _state_struct(N)
         if pos_base:
             st0["out_pos"] = jnp.full((N,), pos_base, dtype=_I32)
             prev0 = jnp.full((N,), 1, dtype=_I32) * preset_ref[0, (pos_base - 1) & (W - 1)]
@@ -180,7 +180,7 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
             go = ~stalled_of(st, cur)
 
             idx, is_adaptive, is_direct, consumes_bit = _ctx_index(
-                st, layout, lc, lp, pb, pos_base)
+                st, layout, pb, pos_base)
             is_adaptive &= go
             is_direct &= go
             consumes_bit &= go
@@ -214,7 +214,7 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
                 winv, (out_pos - st1["rep0"] - 1) & (W - 1))
             st2, emit, emit_byte = _transition(
                 st1, bit, prev, back_byte, sizes, dict_check,
-                layout, lc, lp, pb, MO, pos_base)
+                layout, lc, lp, pb, pos_base)
             # stalled lanes: this iteration never happened
             st2 = {k: jnp.where(go, st2[k], st[k]) for k in st2}
             emit &= go

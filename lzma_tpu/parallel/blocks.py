@@ -51,6 +51,7 @@ from dataclasses import dataclass
 from ..codec.decoder import decode_stream
 from ..codec.encoder import encode_stream
 from ..core.rangecoder import CorruptStreamError
+from ..format.properties import MAX_EXPANSION as _MAX_EXPANSION
 from ..format.properties import LzmaParams, decode_props
 
 MAGIC = b"LZTB"
@@ -82,6 +83,23 @@ class BlockFrame:
     def blocks_offset(self) -> int:
         """Offset of the first block stream (skips the v3 dict stream)."""
         return self.payload_offset + self.dict_comp
+
+    def stream_extents(self, blob_len: int):
+        """(offsets, out_sizes) for the block streams: block i's
+        compressed bytes live at [offsets[i], offsets[i+1]) and decode
+        to out_sizes[i] bytes.  The ONE implementation of the framing
+        arithmetic (scalar, device and mesh decoders all call this).
+        Raises CorruptStreamError when the payload is truncated."""
+        offsets = [self.blocks_offset]
+        for s in self.comp_sizes:
+            offsets.append(offsets[-1] + s)
+        if offsets[-1] > blob_len:
+            raise CorruptStreamError("container payload truncated")
+        n = len(self.comp_sizes)
+        sizes = [self.block_size] * n
+        if n:
+            sizes[-1] = self.total_size - self.block_size * (n - 1)
+        return offsets, sizes
 
 
 def split_blocks(data: bytes, block_size: int):
@@ -194,10 +212,12 @@ def read_header(fileobj):
             dict_len, dict_comp, header_size)
 
 
-#: LZMA's maximum expansion is ~1100 output bytes per compressed byte (a
-#: 2-bit rep0 symbol emits at most 273 bytes); 4096 is a safely loose
-#: bound used to reject forged total_size headers BEFORE allocating.
-MAX_EXPANSION = 4096
+#: Bound used to reject forged total_size headers BEFORE allocating —
+#: shared with the `.lzma` guard (see the derivation at
+#: format.properties.MAX_EXPANSION; the true worst case is ~6800x, and
+#: this codec measures ~4690x on all-zero input, so the old 4096 bound
+#: rejected the encoder's own output).
+MAX_EXPANSION = _MAX_EXPANSION
 
 
 def parse_container(blob) -> BlockFrame:
@@ -292,16 +312,10 @@ def decode_blocks(blob, num_threads: int = 1, decode_fn=None) -> bytes:
     """
     frame = parse_container(blob)
     n = len(frame.comp_sizes)
-    offsets = [frame.blocks_offset]
-    for s in frame.comp_sizes:
-        offsets.append(offsets[-1] + s)
-    if offsets[-1] > len(blob):
-        raise CorruptStreamError("container payload truncated")
+    offsets, sizes = frame.stream_extents(len(blob))
 
     def out_size(i: int) -> int:
-        if i < n - 1:
-            return frame.block_size
-        return frame.total_size - frame.block_size * (n - 1)
+        return sizes[i]
 
     if (frame.preset_len or frame.dict_len) and decode_fn is not None:
         raise ValueError("preset containers require the default scalar backend")

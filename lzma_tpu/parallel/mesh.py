@@ -377,13 +377,10 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None,
     n = len(frame.comp_sizes)
     if n == 0:
         return b""
-    offsets = [frame.blocks_offset]
-    for s in frame.comp_sizes:
-        offsets.append(offsets[-1] + s)
+    offsets, _ext_sizes = frame.stream_extents(len(blob))
 
     def block_out_size(i):
-        return (frame.block_size if i < n - 1
-                else frame.total_size - frame.block_size * (n - 1))
+        return _ext_sizes[i]
 
     first = 0
     parts = []

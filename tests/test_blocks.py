@@ -87,3 +87,22 @@ def test_top_level_decompress_autodetects_lztb():
         assert lzma_tpu.decompress(blob) == data
     finally:
         lzma_tpu._NATIVE_PROBE[:] = probe
+
+
+def test_highly_compressible_round_trip():
+    """The anti-DoS expansion bound must clear LZMA's REAL worst case:
+    all-zero input compresses ~4700x, and the old 4096x bound rejected
+    the encoder's own output (review regression)."""
+    data = b"\x00" * (4 << 20)
+    p = LzmaParams(dict_size=1 << 20, fast_bytes=32)
+    try:
+        from lzma_tpu.runtime import native
+
+        enc, dec = native.encode_blocks, native.decode_blocks
+        assert native.available()
+    except Exception:
+        enc, dec = encode_blocks, decode_blocks
+    c = enc(data, p, block_size=1 << 20)
+    assert len(data) / len(c) > 4096  # the case that used to be rejected
+    assert dec(c) == data
+    assert parse_container(c).total_size == len(data)

@@ -79,3 +79,39 @@ def test_decode_batch_corrupt_flagged():
 
 def test_decode_batch_empty_stream_list():
     assert decode_batch([], LzmaParams(), []) == []
+
+
+def test_decode_batch_zero_length_output():
+    """Empty payloads (out_size 0) must decode to b'' — the FSM cannot
+    represent them (it always decodes one symbol first), so they
+    short-circuit.  Mixed batches keep their lane order."""
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    s_empty = encode_stream(b"", p)
+    payload = b"device" * 40
+    s_data = encode_stream(payload, p)
+    outs = decode_batch([s_empty, s_data, s_empty], p, [0, len(payload), 0])
+    assert outs == [b"", payload, b""]
+    assert decode_batch([s_empty], p, [0]) == [b""]
+
+
+def test_decode_batch_rejects_oversize_claims():
+    """Size claims past the device's int32 lane range must be a clean
+    CorruptStreamError, not a numpy OverflowError."""
+    from lzma_tpu.core.rangecoder import CorruptStreamError
+
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    s = encode_stream(b"x" * 100, p)
+    with pytest.raises(CorruptStreamError):
+        decode_batch([s], p, [1 << 31])
+
+
+def test_decode_batch_corrupt_raises_corrupt_stream_error():
+    """Same exception type as the scalar/native backends."""
+    from lzma_tpu.core.rangecoder import CorruptStreamError
+
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    payload = b"corrupt-me" * 30
+    s = bytearray(encode_stream(payload, p))
+    s[10] ^= 0xFF
+    with pytest.raises(CorruptStreamError):
+        decode_batch([bytes(s)], p, [len(payload)])

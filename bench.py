@@ -58,6 +58,7 @@ def main():
     log(f"corpus: {corpus_size/1e6:.1f} MB synthetic LZ data ({time.perf_counter()-t0:.1f}s)")
 
     results = {}
+    ratios = {}
 
     # ---------------- baseline: stock liblzma single-thread ----------------
     import lzma as _lzma
@@ -76,6 +77,7 @@ def main():
         f"ratio {corpus_size/len(comp_lib):.2f}"
     )
     results["liblzma"] = lib_rt
+    ratios["liblzma"] = corpus_size / len(comp_lib)
 
     # multithreaded system xz (LZMA2, all cores, forced 1 MiB blocks):
     # the fair MT baseline, stderr-only (the JSON vs_baseline stays the
@@ -94,6 +96,8 @@ def main():
                                        capture_output=True, check=True).stdout,
                 repeat=2)
             assert crc32(out_xz) == digest
+            ratios["xz_T0"] = corpus_size / len(r)
+            results["xz_T0"] = corpus_size / (t_enc_xz + t_dec_xz) / 1e6
             log(
                 f"xz -6 -T0 (MT) : enc {corpus_size/t_enc_xz/1e6:6.1f} MB/s  "
                 f"dec {corpus_size/t_dec_xz/1e6:6.1f} MB/s  rt "
@@ -120,6 +124,7 @@ def main():
             f"ratio {corpus_size/len(blob):.2f}"
         )
         results["native"] = rt
+        ratios["native"] = corpus_size / len(blob)
 
         # fast4 greedy fb=8: the measured speed/ratio knee of the fast
         # profile (finder + fb + chain-depth sweeps in MEASUREMENTS.md)
@@ -137,6 +142,7 @@ def main():
             f"ratio {corpus_size/len(blob):.2f}"
         )
         results["native_fast"] = rt
+        ratios["native_fast"] = corpus_size / len(blob)
     except Exception as e:
         log(f"native backend unavailable: {e!r}")
 
@@ -215,6 +221,7 @@ def main():
                 f"ratio {dev_size/len(blob):.2f}"
             )
             results[f"device_{backend}"] = rt
+            ratios[f"device_{backend}"] = dev_size / len(blob)
 
             # data-resident Pallas kernel rates (no host transfers), each
             # program timed BACK-TO-BACK — this rig's relay re-uploads a
@@ -283,19 +290,15 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
-    # ---------------- real-file corpus (secondary, stderr only) ----------
-    # No network on this rig (Silesia/enwik unavailable); use a
-    # deterministic mix of real local files: Python stdlib sources (text)
-    # + the liblzma shared object (binary).
+    # ---------------- real-file corpus (frozen, hash-pinned) -------------
+    # No network on this rig (Silesia/enwik unavailable); ratio numbers
+    # come from the FROZEN corpus (bench/corpus.py: committed stdlib text
+    # + reference-fixture slices, SHA-256 pinned) so they are comparable
+    # round over round (MEASUREMENTS.md keeps the table).
     try:
-        import glob
+        from lzma_tpu.bench.corpus import frozen_corpus
 
-        parts = []
-        for pat in ("/usr/local/lib/python3.12/*.py", "/usr/local/lib/python3.12/json/*.py"):
-            for f in sorted(glob.glob(pat))[:120]:
-                with open(f, "rb") as fh:
-                    parts.append(fh.read())
-        real = b"".join(parts)[: 6 << 20]
+        real = frozen_corpus()
         if len(real) > 1 << 20 and "native" in results:
             from lzma_tpu.runtime import native as _nat
 
@@ -338,21 +341,33 @@ def main():
     except Exception as e:
         log(f"real-file corpus skipped: {e!r}")
 
-    best_key = max((k for k in results if k != "liblzma"), key=lambda k: results[k], default=None)
+    own = [k for k in results if k not in ("liblzma", "xz_T0")]
+    best_key = max(own, key=lambda k: results[k], default=None)
     if best_key is None:
         log("no backend produced a result")
         sys.exit(1)
     value = results[best_key]
-    print(
-        json.dumps(
-            {
-                "metric": f"synthetic-corpus block-parallel encode+decode round-trip ({best_key})",
-                "value": round(value, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(value / results["liblzma"], 3),
-            }
-        )
-    )
+    payload = {
+        "metric": f"synthetic-corpus block-parallel encode+decode round-trip ({best_key})",
+        "value": round(value, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(value / results["liblzma"], 3),
+        # honesty fields (VERDICT r1 item 4): the headline backend's
+        # compression ratio next to the baseline's, plus the
+        # matched-ratio comparison (native bt4-opt vs multithreaded
+        # xz -T0, both ~2.59 on this corpus) so speed is never read
+        # without its ratio giveback
+        "ratio": round(ratios.get(best_key, 0.0), 3),
+        "baseline_ratio": round(ratios["liblzma"], 3),
+    }
+    if "native" in results and "xz_T0" in results:
+        payload["matched_ratio_rt"] = round(results["native"], 2)
+        payload["matched_ratio_vs_xz_T0"] = round(
+            results["native"] / results["xz_T0"], 3)
+        payload["matched_ratio_pair"] = (
+            f"native bt4-opt {ratios['native']:.2f} vs xz -T0 "
+            f"{ratios['xz_T0']:.2f}")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -64,6 +64,28 @@ K_REP = 2
 #: XLA / Pallas / host-retry paths always tokenize identically.
 DEFAULT_NUM_CANDIDATES = 4
 
+#: The device tokenizer's lazy parse evaluates match lengths inside a
+#: static 64-byte comparison window (device_matcher.tokenize), so fast
+#: bytes beyond 64 cannot change its decisions.  Requests above the cap
+#: are honored at 64 with an explicit warning instead of a silent rewrite
+#: (the native/scalar backends honor the full 5..273 range).
+DEVICE_FB_CAP = 64
+
+
+def clamp_fb(fast_bytes: int) -> int:
+    fb = int(fast_bytes)
+    if fb > DEVICE_FB_CAP:
+        import warnings
+
+        warnings.warn(
+            f"device backend caps fast_bytes at {DEVICE_FB_CAP} (requested"
+            f" {fb}): the lane tokenizer's match window is static; use the"
+            " native backend for fb>64 parse strength",
+            stacklevel=3,
+        )
+        return DEVICE_FB_CAP
+    return fb
+
 MAXB = 50          # bits-with-context per token, upper bound
 CTX_DIRECT = -1    # sentinel ctx: equiprobable direct bit
 
@@ -530,7 +552,7 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
     if not blocks:
         return []
     params = params.validated_for_encode()
-    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    fb = int(fb if fb is not None else clamp_fb(params.fast_bytes))
     n_lanes = len(blocks)
     max_n = max(max(len(b) for b in blocks), 16)
     max_n = 1 << (max_n - 1).bit_length()  # pow2 bucket: stable jit shapes

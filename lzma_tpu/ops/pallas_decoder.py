@@ -109,7 +109,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         max_iters = 28 * MO + 8 * max_in + 256
     dict_check = max(int(dict_size), 1)
 
-    def kernel(comp_ref, lens_ref, sizes_ref, *rest):
+    def kernel(comp_ref, aux_ref, *rest):
         if pos_base:
             preset_ref, out_ref, ok_ref, probs, outb = rest
         else:
@@ -122,14 +122,13 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         else:
             outb[:] = jnp.zeros_like(outb)
         comp_v = comp_ref[:]
-        lens = lens_ref[:, 0]
-        sizes = sizes_ref[:, 0]
-
-        # range decoder init: code = 5 big-endian header bytes
-        code0 = jnp.zeros((N,), dtype=_U32)
-        for i in range(5):
-            byte = jnp.where(i < lens, comp_v[:, i], 0)
-            code0 = (code0 << 8) | byte.astype(_U32)
+        # Per-lane scalars as ROWS of one (3, N) aux array — a column
+        # slice would drag a sublane layout through the loop carry (~20%
+        # relayout tax, MEASUREMENTS.md).  The 5-byte code preload is
+        # precomputed in XLA for the same reason.
+        lens = aux_ref[0, :]
+        sizes = aux_ref[1, :]
+        code0 = aux_ref[2, :].astype(_U32)
         rng0 = jnp.full((N,), 0xFFFFFFFF, dtype=_U32)
 
         st0 = _state_struct(N)
@@ -139,6 +138,11 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
             prev0 = jnp.full((N,), 1, dtype=_I32) * preset_ref[0, pos_base - 1]
         else:
             prev0 = jnp.zeros((N,), dtype=_I32)
+
+        # Liveness (jnp.any over lanes + scalar readback) is only checked
+        # once per F_CHECK iterations; the inner loop is a while_loop with
+        # a scalar-only condition (MEASUREMENTS.md round-2 entry).
+        F_CHECK = 256
 
         def cond(carry):
             st, rng, code, iters, prev = carry
@@ -187,17 +191,30 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
             prev2 = jnp.where(emit, emit_byte, prev)
             return (st2, new_rng, new_code, iters + 1, prev2)
 
-        st, rng, code, iters, _prev = jax.lax.while_loop(
-            cond, body, (st0, rng0, code0, jnp.int32(0), prev0))
-        out_ref[:] = outb[:]
-        ok_ref[:, 0] = (st["phase"] == PH_DONE).astype(_I32)
-        ok_ref[:, 1] = jnp.full((N,), iters, dtype=_I32)
+        def interval(c):
+            t, c = jax.lax.while_loop(
+                lambda tc: tc[0] < F_CHECK,
+                lambda tc: (tc[0] + 1, body(tc[1])),
+                (jnp.int32(0), c))
+            return c
 
-    operands = [comp, comp_lens.reshape(-1, 1), out_sizes.reshape(-1, 1)]
+        st, rng, code, iters, _prev = jax.lax.while_loop(
+            cond, interval, (st0, rng0, code0, jnp.int32(0), prev0))
+        out_ref[:] = outb[:]
+        ok_ref[0, :] = (st["phase"] == PH_DONE).astype(_I32)
+        ok_ref[1, :] = jnp.full((N,), iters, dtype=_I32)
+
+    code_init = jnp.zeros((N,), dtype=_U32)
+    for i in range(5):
+        byte = jnp.where(i < comp_lens, comp[:, i], 0)
+        code_init = (code_init << 8) | byte.astype(_U32)
+    aux = jnp.stack([comp_lens.astype(jnp.int32),
+                     out_sizes.astype(jnp.int32),
+                     code_init.astype(jnp.int32)])
+    operands = [comp, aux]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),          # comp
-        pl.BlockSpec(memory_space=pltpu.VMEM),          # lens
-        pl.BlockSpec(memory_space=pltpu.VMEM),          # sizes
+        pl.BlockSpec(memory_space=pltpu.VMEM),          # aux rows
     ]
     if pos_base:
         operands.append(preset_row)
@@ -206,7 +223,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((N, MO), jnp.int32),
-            jax.ShapeDtypeStruct((N, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, N), jnp.int32),
         ),
         in_specs=in_specs,
         out_specs=(
@@ -220,7 +237,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*operands)
-    return (out[:, :max_out].astype(jnp.uint8), okv[:, 0] == 1, okv[:, 1])
+    return (out[:, :max_out].astype(jnp.uint8), okv[0, :] == 1, okv[1, :])
 
 
 #: soft VMEM budget for one kernel invocation (bytes): the residents are

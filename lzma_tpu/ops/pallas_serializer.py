@@ -75,9 +75,11 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
 
     def kernel(totals_ref, pk_hbm, out_ref, lens_ref,
                probs, ring, pk_tile, sems):
-        # lens_ref[:, 0] = emitted bytes; lens_ref[:, 1] = consumed bits or
-        # -1 on staging-ring overflow — the wrapper falls back to the XLA
-        # serializer unless lens_ref[:, 1] == totals for every lane.
+        # lens_ref row 0 = emitted bytes; row 1 = consumed bits or -1 on
+        # staging-ring overflow — the wrapper falls back to the XLA
+        # serializer unless row 1 == totals for every lane.  Aux values
+        # travel as ROWS ((1,N)/(2,N)): column slices poison the
+        # loop-carry layout (tools/probe_ring_ablate.py `rowaux`).
         out_ref[:] = jnp.zeros_like(out_ref)
         probs[:] = jnp.full_like(probs, 1024)
         ring[:] = jnp.zeros_like(ring)
@@ -85,7 +87,7 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         ring_cols = jax.lax.broadcasted_iota(jnp.int32, (N, RING), 1)
         out_cols = jax.lax.broadcasted_iota(jnp.int32, (N, max_out_pad), 1)
         tile_cols = jax.lax.broadcasted_iota(jnp.int32, (N, CHUNK), 1)
-        tot = totals_ref[:, 0]
+        tot = totals_ref[0, :]
 
         def copy_chunk(slot, chunk_idx):
             return pltpu.make_async_copy(
@@ -201,9 +203,22 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                 work = work | (lc & (bit_pos >= tot) & (flush_i < 5))
                 return jnp.any(work) & (t < step_cap)
 
+            # the work check (a cross-lane any() + scalar readback) runs
+            # once per INNER_CHECK iterations, not per coded bit; the
+            # inner loop keeps a scalar-only while condition
+            # (MEASUREMENTS.md round-2 methodology entry)
+            INNER_CHECK = 64
+
+            def burst(c):
+                t, c = jax.lax.while_loop(
+                    lambda tc: tc[0] < INNER_CHECK,
+                    lambda tc: (tc[0] + 1, bit_body(tc[1])),
+                    (jnp.int32(0), c))
+                return c
+
             inner = (jnp.int32(0), low, carry_f, rng, cache, pending, drain,
                      drain_byte, bit_pos, out_pos, flush_i, err)
-            inner = jax.lax.while_loop(bit_cond, bit_body, inner)
+            inner = jax.lax.while_loop(bit_cond, burst, inner)
             (_, low, carry_f, rng, cache, pending, drain, drain_byte,
              bit_pos, out_pos, flush_i, err) = inner
 
@@ -219,18 +234,18 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                 jnp.full((N,), 0xFFFFFFFF, jnp.uint32), z, z, z, z, z, z, z, z,
                 err0)
         final = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
-        lens_ref[:, 0] = final[8]
+        lens_ref[0, :] = final[8]
         # a lane only counts as done when the 5-byte flush ran AND its
         # pending-0xFF drain emptied — bits alone can be consumed with the
         # tail un-emitted if the iteration budget ran out mid-drain
         complete = (final[9] == 5) & (final[5] == 0) & (final[11] == 0)
-        lens_ref[:, 1] = jnp.where(complete, final[7], -1)
+        lens_ref[1, :] = jnp.where(complete, final[7], -1)
 
     out, lens = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((N, max_out_pad), jnp.int32),
-            jax.ShapeDtypeStruct((N, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, N), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # totals
@@ -248,9 +263,9 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(totals.reshape(-1, 1), packed)
+    )(totals.reshape(1, -1), packed)
     return (out[:n_real, :max_out].astype(jnp.uint8),
-            lens[:n_real, 0], lens[:n_real, 1])
+            lens[0, :n_real], lens[1, :n_real])
 
 
 def serialize_with_fallback(ctx, bits, totals, arena_size: int, max_out: int):

@@ -44,32 +44,47 @@ def _pad_lanes(num: int, num_devices: int) -> int:
     return ((num + num_devices - 1) // num_devices) * num_devices
 
 
-@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "mesh_holder"))
-def _encode_step(data, lens, dict_size, *, lc, lp, pb, fb, mesh_holder):
-    """One sharded encode step: local lane-parallel encode + ordered gather."""
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "mesh_holder",
+                                   "gather"))
+def _encode_step(data, lens, dict_size, *, lc, lp, pb, fb, mesh_holder,
+                 gather=True):
+    """One sharded encode step: local lane-parallel encode + ordered gather.
+
+    gather=True replicates the ragged results to every device with an
+    all_gather (required on multi-host, where only addressable shards can
+    be read back); gather=False leaves them block-sharded — the host
+    reads each shard once over PCIe with NO collective at all, removing
+    the O(devices x total) replication traffic (VERDICT r1 item 6; the
+    single-host default).
+    """
     mesh = mesh_holder.mesh
 
     def local(data_l, lens_l):
         comp, comp_lens = encode_lanes(
             data_l, lens_l, dict_size, lc=lc, lp=lp, pb=pb, fb=fb
         )
+        if not gather:
+            return comp, comp_lens
         # ordered ragged gather: sizes first, then padded payloads
         all_lens = jax.lax.all_gather(comp_lens, BLOCK_AXIS, tiled=True)
         all_comp = jax.lax.all_gather(comp, BLOCK_AXIS, tiled=True)
         return all_comp, all_lens
 
+    out_specs = ((P(None, None), P(None)) if gather
+                 else (P(BLOCK_AXIS, None), P(BLOCK_AXIS)))
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
-        out_specs=(P(None, None), P(None)),
+        out_specs=out_specs,
         check_vma=False,  # loop carries start replicated, become device-varying
     )(data, lens)
 
 
-@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "mesh_holder"))
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "mesh_holder",
+                                   "gather"))
 def _encode_step_preset(data, lens, preset, dict_size, *, lc, lp, pb, fb,
-                        mesh_holder):
+                        mesh_holder, gather=True):
     """Sharded encode with a SHARED preset dictionary (LZTB v2).
 
     `preset` is replicated (in_specs P(None)): XLA broadcasts the
@@ -83,21 +98,27 @@ def _encode_step_preset(data, lens, preset, dict_size, *, lc, lp, pb, fb,
             data_l, lens_l, dict_size, lc=lc, lp=lp, pb=pb, fb=fb,
             preset=preset_r,
         )
+        if not gather:
+            return comp, comp_lens
         all_lens = jax.lax.all_gather(comp_lens, BLOCK_AXIS, tiled=True)
         all_comp = jax.lax.all_gather(comp, BLOCK_AXIS, tiled=True)
         return all_comp, all_lens
 
+    out_specs = ((P(None, None), P(None)) if gather
+                 else (P(BLOCK_AXIS, None), P(BLOCK_AXIS)))
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(None)),
-        out_specs=(P(None, None), P(None)),
+        out_specs=out_specs,
         check_vma=False,  # loop carries start replicated, become device-varying
     )(data, lens, preset)
 
 
-@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "mesh_holder"))
-def _decode_step(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb, max_out, mesh_holder):
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "mesh_holder",
+                                   "gather"))
+def _decode_step(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
+                 max_out, mesh_holder, gather=True):
     """One sharded decode step: local FSM decode + ordered gather."""
     mesh = mesh_holder.mesh
 
@@ -105,22 +126,27 @@ def _decode_step(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb, max_out, 
         out, ok, _ = _decode_fsm(
             comp_l, lens_l, sizes_l, dict_size, lc, lp, pb, max_out, 0
         )
+        if not gather:
+            return out, ok
         all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
         all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
         return all_out, all_ok
 
+    out_specs = ((P(None, None), P(None)) if gather
+                 else (P(BLOCK_AXIS, None), P(BLOCK_AXIS)))
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        out_specs=(P(None, None), P(None)),
+        out_specs=out_specs,
         check_vma=False,  # loop carries start replicated, become device-varying
     )(comp, comp_lens, out_sizes)
 
 
-@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "mesh_holder"))
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "max_out", "mesh_holder",
+                                   "gather"))
 def _decode_step_preset(comp, comp_lens, out_sizes, preset, dict_size, *,
-                        lc, lp, pb, max_out, mesh_holder):
+                        lc, lp, pb, max_out, mesh_holder, gather=True):
     """Sharded decode with a SHARED preset dictionary (LZTB v2).
 
     `preset` rides with in_specs P(None) — replicated, i.e. XLA
@@ -135,23 +161,27 @@ def _decode_step_preset(comp, comp_lens, out_sizes, preset, dict_size, *,
             comp_l, lens_l, sizes_l, dict_size, lc, lp, pb, max_out, 0,
             preset=preset_r,
         )
+        if not gather:
+            return out, ok
         all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
         all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
         return all_out, all_ok
 
+    out_specs = ((P(None, None), P(None)) if gather
+                 else (P(BLOCK_AXIS, None), P(BLOCK_AXIS)))
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS), P(None)),
-        out_specs=(P(None, None), P(None)),
+        out_specs=out_specs,
         check_vma=False,  # loop carries start replicated, become device-varying
     )(comp, comp_lens, out_sizes, preset)
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "interpret",
-                                   "plen", "mesh_holder"))
+                                   "plen", "mesh_holder", "gather"))
 def _encode_step_pallas(data, lens, dict_size, *, lc, lp, pb, fb, interpret,
-                        mesh_holder, preset=None, plen=0):
+                        mesh_holder, preset=None, plen=0, gather=True):
     """Sharded encode where each device runs the full Pallas pipeline on
     its local shard — tokenize/classify/lower (XLA vector ops) feeding
     the in-VMEM Pallas serializer — with the same ordered gather and
@@ -179,6 +209,8 @@ def _encode_step_pallas(data, lens, dict_size, *, lc, lp, pb, fb, interpret,
         out, olens, consumed = serialize_pallas(
             ctx, bits, totals, arena, max_out, interpret=interpret)
         ok = consumed == totals
+        if not gather:
+            return out, olens, ok
         all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
         all_lens = jax.lax.all_gather(olens, BLOCK_AXIS, tiled=True)
         all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
@@ -189,19 +221,23 @@ def _encode_step_pallas(data, lens, dict_size, *, lc, lp, pb, fb, interpret,
     if plen:
         in_specs.append(P(None))   # replicated: the ICI dictionary broadcast
         operands.append(preset)
+    out_specs = ((P(None, None), P(None), P(None)) if gather
+                 else (P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)))
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(None, None), P(None), P(None)),
+        out_specs=out_specs,
         check_vma=False,  # loop carries start replicated, become device-varying
     )(*operands)
 
 
 @partial(jax.jit, static_argnames=("dict_size", "lc", "lp", "pb", "max_out",
-                                   "interpret", "plen", "mesh_holder"))
+                                   "interpret", "plen", "mesh_holder",
+                                   "gather"))
 def _decode_step_pallas(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
-                        max_out, interpret, mesh_holder, preset=None, plen=0):
+                        max_out, interpret, mesh_holder, preset=None, plen=0,
+                        gather=True):
     """Sharded decode where each device runs the ring-window Pallas kernel
     (ops/pallas_ring.py) on its local shard — the per-chip production
     decoder — with the same ordered gather and (for LZTB v2/v3) the same
@@ -216,6 +252,8 @@ def _decode_step_pallas(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
             max_out, interpret=interpret, stage_input=False,
             preset=(preset_r[0].astype(jnp.int32) if plen else None),
         )
+        if not gather:
+            return out, ok
         all_out = jax.lax.all_gather(out, BLOCK_AXIS, tiled=True)
         all_ok = jax.lax.all_gather(ok, BLOCK_AXIS, tiled=True)
         return all_out, all_ok
@@ -225,11 +263,13 @@ def _decode_step_pallas(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
     if plen:
         in_specs.append(P(None))   # replicated: the ICI dictionary broadcast
         operands.append(preset)
+    out_specs = ((P(None, None), P(None)) if gather
+                 else (P(BLOCK_AXIS, None), P(BLOCK_AXIS)))
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(None, None), P(None)),
+        out_specs=out_specs,
         check_vma=False,  # loop carries start replicated, become device-varying
     )(*operands)
 
@@ -282,10 +322,16 @@ def encode_blocks_mesh(
     if not blocks:
         return blk.build_container(params, block_size, 0, [])
     n = len(blocks)
-    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    from ..ops.device_encoder import clamp_fb
+
+    fb = int(fb if fb is not None else clamp_fb(params.fast_bytes))
+    # single-host: skip the payload all_gather entirely (results stay
+    # block-sharded; the host reads each shard once).  Multi-host needs
+    # the replication so the coordinator can read every block.
+    gather = jax.process_count() > 1
     common = dict(
         lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
-        mesh_holder=_MeshHolder(mesh),
+        mesh_holder=_MeshHolder(mesh), gather=gather,
     )
 
     first = 0
@@ -323,6 +369,7 @@ def encode_blocks_mesh(
                 plen=len(pre_bytes),
                 lc=params.lc, lp=params.lp, pb=params.pb,
                 mesh_holder=common["mesh_holder"],
+                gather=common["gather"],
             )
             ok = np.asarray(ok)
             # serializer staging-envelope shortfalls re-encode host-side
@@ -414,7 +461,9 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None,
     # Mosaic tiles the lane axis in sublanes of 8: the Pallas step needs
     # every per-device shard 8-aligned
     lanes = _pad_lanes(n - first, d * 8 if use_pallas else d)
-    max_in = max(max(frame.comp_sizes[first:]), 16)
+    # word-aligned input width: the packed ring kernel consumes the
+    # compressed streams four bytes per word
+    max_in = (max(max(frame.comp_sizes[first:]), 16) + 3) & ~3
     comp = np.zeros((lanes, max_in), dtype=np.uint8)
     lens = np.zeros(lanes, dtype=np.int32)
     sizes = np.zeros(lanes, dtype=np.int32)
@@ -428,6 +477,7 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None,
         lp=frame.params.lp,
         pb=frame.params.pb,
         mesh_holder=_MeshHolder(mesh),
+        gather=jax.process_count() > 1,  # see encode_blocks_mesh
     )
     dict_size = np.int64(min(frame.params.dict_size, 2**31 - 1))
     if use_pallas:

@@ -41,9 +41,21 @@ def decode_alone(data: bytes) -> bytes:
     params = decode_props(data[:5])
     out_size = int.from_bytes(data[5:13], "little")
     if out_size == 0xFFFFFFFFFFFFFFFF:
-        # EOS-terminated: the lane FSM needs known sizes, so route to the
-        # native streaming decoder when built (the scalar per-bit Python
-        # loop is a last resort at ~1 MB/s)
+        # EOS-terminated (unknown size): the lane FSM detects the end
+        # marker (dist == -1, Decoder.java:277-283) under an expansion
+        # cap; streams whose output could exceed the cap — or that fail
+        # on-device — fall back to the native/scalar streaming decoders.
+        # Device-first only for modest caps: every new jit shape bucket
+        # compiles the whole FSM, so very large unknown-size buffers are
+        # cheaper on the native streaming decoder.
+        comp_len = len(data) - 13
+        cap = min(max(64 * comp_len, 1 << 16), 1 << 26)
+        if cap <= (1 << 20):
+            try:
+                (d,) = decode_batch([data[13:]], params, [-cap])
+                return d
+            except Exception:
+                pass
         try:
             from ..runtime import native
 

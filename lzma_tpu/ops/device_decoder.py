@@ -399,15 +399,20 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
     dist_full = st["dist_base"] + (st["acc"] << 4) + rev_val
     nrep0 = jnp.where(align_done, dist_full, nrep0)
     nphase = jnp.where(rev_done, PH_COPY, nphase)
-    # EOS (dist == -1) / invalid distances surface as errors in the
-    # known-size block design (blocks never use EOS)
-    bad_dist = align_done & (dist_full < 0)
+    # EOS-terminated lanes carry NEGATIVE out_sizes (-buffer bound): the
+    # end marker dist==-1 completes them (Decoder.java:277-283); with a
+    # known size — or any other negative distance — it is corruption
+    eos = out_sizes < 0
+    bound = jnp.abs(out_sizes)
+    marker = align_done & (dist_full == -1) & eos
+    bad_dist = align_done & (dist_full < 0) & ~marker
     nphase = jnp.where(bad_dist, PH_ERROR, nphase)
 
     # distance validity on entering copy (fresh match only; reps were valid)
     entering = (nphase == PH_COPY) & (phase != PH_COPY)
-    bad = entering & ((nrep0 >= nout_pos) | (nrep0 >= dict_check))
+    bad = entering & ~marker & ((nrep0 >= nout_pos) | (nrep0 >= dict_check))
     nphase = jnp.where(bad, PH_ERROR, nphase)
+    nphase = jnp.where(marker, PH_DONE, nphase)
 
     # --- PH_COPY: one byte per iteration ---
     p = phase == PH_COPY
@@ -420,8 +425,8 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
     emit_byte = jnp.where(lit_done, lit_byte, back_byte)
 
     # --- completion / error ---
-    nphase = jnp.where(nout_pos > out_sizes, PH_ERROR, nphase)  # overran known size
-    done = (nout_pos >= out_sizes) & (nphase == PH_ISMATCH)
+    nphase = jnp.where(nout_pos > bound, PH_ERROR, nphase)  # overran size/cap
+    done = ~eos & (nout_pos >= bound) & (nphase == PH_ISMATCH)
     nphase = jnp.where(done, PH_DONE, nphase)
     nphase = jnp.where(st["overrun"] > 40, PH_ERROR, nphase)
 
@@ -523,7 +528,7 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
     carry = (st, probs0, out0, range0, code0, jnp.int32(0), prev0)
     st, probs, out, rng, code, iters, _prev = jax.lax.while_loop(cond, body, carry)
     ok = st["phase"] == PH_DONE
-    return out, ok, iters
+    return out, ok, iters, st["out_pos"]
 
 
 def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
@@ -531,21 +536,23 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
     """Decode a list of raw LZMA streams lane-parallel on device.
 
     streams: list of bytes (one per lane).  out_sizes: list of known
-    uncompressed sizes (coded bytes only).  `preset` primes every lane's
-    window with the same shared dictionary (LZTB v2 blocks 1..n).
-    Returns list of bytes.
+    uncompressed sizes (coded bytes only); a NEGATIVE entry -cap marks an
+    EOS-TERMINATED stream of unknown size (Decoder.java:219,277-283):
+    the lane decodes until the end marker, erroring past `cap` bytes.
+    `preset` primes every lane's window with the same shared dictionary
+    (LZTB v2 blocks 1..n).  Returns list of bytes.
     """
     n = len(streams)
     if n == 0:
         return []
-    if any(sz >= 2**31 for sz in out_sizes):
+    if any(abs(sz) >= 2**31 for sz in out_sizes):
         # int32 lane sizes on device; a forged claim must be a clean
         # decode error, not a numpy OverflowError
         raise CorruptStreamError("output size exceeds device decoder range")
-    if any(sz <= 0 for sz in out_sizes):
+    if any(sz == 0 for sz in out_sizes):
         # the FSM always decodes at least one symbol before its done
         # check, so zero-output lanes (empty streams) short-circuit here
-        keep = [i for i, sz in enumerate(out_sizes) if sz > 0]
+        keep = [i for i, sz in enumerate(out_sizes) if sz != 0]
         redone = decode_batch([streams[i] for i in keep], params,
                               [out_sizes[i] for i in keep],
                               max_out=max_out, max_iters=max_iters,
@@ -560,10 +567,14 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
     for i, s in enumerate(streams):
         comp[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
         lens[i] = len(s)
-    mo = int(max_out if max_out is not None else max(out_sizes)) + plen
+    caps = [abs(sz) for sz in out_sizes]
+    mo = int(max_out if max_out is not None else max(caps)) + plen
     mo = 1 << (max(mo, 16) - 1).bit_length()
-    abs_sizes = np.asarray(out_sizes, dtype=np.int32) + plen
-    out, ok, _ = _decode_fsm(
+    # absolute end positions (preset included), sign marking EOS lanes
+    abs_sizes = np.asarray(
+        [sz + plen if sz > 0 else sz - plen for sz in out_sizes],
+        dtype=np.int32)
+    out, ok, _, out_pos = _decode_fsm(
         jnp.asarray(comp),
         jnp.asarray(lens),
         jnp.asarray(abs_sizes),
@@ -578,11 +589,13 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
     )
     out = np.asarray(out)
     ok = np.asarray(ok)
+    out_pos = np.asarray(out_pos)
     results = []
     for i in range(n):
         if not ok[i]:
             # same exception type as the scalar/native backends so
             # cross-backend callers need one except clause
             raise CorruptStreamError(f"device decode failed for lane {i}")
-        results.append(out[i, plen : plen + out_sizes[i]].tobytes())
+        end = out_sizes[i] + plen if out_sizes[i] > 0 else int(out_pos[i])
+        results.append(out[i, plen:end].tobytes())
     return results

@@ -158,3 +158,125 @@ def encode_blocks_hybrid(
     head = blk.pack_header(params, bs, len(data), n, preset_len,
                            len(dictionary), len(dict_stream))
     return head + struct.pack(f"<{n}I", *sizes) + dict_stream + payload
+
+
+@partial(jax.jit, static_argnames=("fb", "k4", "k8"))
+def _match_lists_lanes(data, lens, dict_size, fb, k4, k8):
+    from .device_matcher import find_match_lists
+
+    return jax.vmap(
+        lambda d, n: find_match_lists(d, n, dict_size, fb, k4, k8)
+    )(data, lens)
+
+
+def _flatten_lists(cl, cd, counts, n_pos_per_lane):
+    """Per-lane (max_n, M) candidate arrays -> flat pair arrays + offset
+    tables for native.encode_candidate_blocks."""
+    n_lanes, max_n, M = cl.shape
+    flat_l, flat_d, flat_off, pos_base = [], [], [], []
+    pair_base = 0
+    off_base = 0
+    col = np.arange(M)[None, :]
+    for i in range(n_lanes):
+        npos = int(n_pos_per_lane[i])
+        c = counts[i, :npos]
+        mask = col < c[:, None]
+        flat_l.append(cl[i, :npos][mask])
+        flat_d.append(cd[i, :npos][mask])
+        offs = np.zeros(npos + 1, dtype=np.int64)
+        np.cumsum(c, out=offs[1:])
+        flat_off.append(offs + pair_base)
+        pos_base.append(off_base)
+        pair_base += int(offs[-1])
+        off_base += npos + 1
+    return (np.concatenate(flat_l) if flat_l else np.zeros(0, np.int32),
+            np.concatenate(flat_d) if flat_d else np.zeros(0, np.int32),
+            np.concatenate(flat_off), np.asarray(pos_base, np.int64))
+
+
+def encode_blocks_hybrid_optimal(
+    data: bytes,
+    params: LzmaParams | None = None,
+    block_size: int = 1 << 18,
+    num_threads: int = 0,
+    fb: int | None = None,
+    k4: int = 4,
+    k8: int = 2,
+    preset_len: int = 0,
+    dictionary: bytes = b"",
+) -> bytes:
+    """TPU multi-tier candidate search + host OPTIMAL parse (VERDICT r1
+    item 3): the device builds ascending (len, dist) lists per position
+    (device_matcher.find_match_lists) and the native optimal DP runs over
+    them with zero finder work — skip is pure position advance.  Ratio
+    approaches native bt4-opt (candidate quality sets the gap); the
+    host-side cost drops to parse + serialize only.
+    """
+    params = (params or LzmaParams()).validated_for_encode()
+    if params.write_eos:
+        raise ValueError("block container uses known sizes; EOS not supported")
+    preset_len = blk.validated_preset_len(preset_len, block_size, len(data))
+    dictionary = blk.validated_dictionary(dictionary, preset_len)
+    if len(data) <= block_size:
+        preset_len = 0
+    blocks = blk.split_blocks(data, block_size)
+    if not blocks:
+        return blk.build_container(params, block_size, 0, [])
+    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    n = len(blocks)
+    bs = block_size
+    arr = np.zeros((n, bs), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    preset = dictionary or (data[:preset_len] if preset_len else b"")
+    plen = len(preset)
+    preset_first = bool(dictionary)
+
+    if plen:
+        pre_np = np.frombuffer(preset, dtype=np.uint8)
+        first = 0 if preset_first else 1
+        primed = np.concatenate(
+            [np.broadcast_to(pre_np, (n - first, plen)), arr[first:]], axis=1)
+        if first:
+            # v2: block 0 (the preset source) searches plain; pad its row
+            # to the primed width so one device batch covers all lanes
+            row0 = np.concatenate(
+                [arr[:1], np.zeros((1, plen), np.uint8)], axis=1)
+            primed = np.concatenate([row0, primed], axis=0)
+            lane_lens = np.concatenate([lens[:1], lens[1:] + plen])
+        else:
+            lane_lens = lens + plen
+        cl, cd, counts = _match_lists_lanes(
+            jnp.asarray(np.ascontiguousarray(primed)),
+            jnp.asarray(lane_lens),
+            jnp.int32(min(params.dict_size, bs + plen)), fb, k4, k8)
+        n_pos = lane_lens
+    else:
+        cl, cd, counts = _match_lists_lanes(
+            jnp.asarray(arr), jnp.asarray(lens),
+            jnp.int32(min(params.dict_size, bs)), fb, k4, k8)
+        n_pos = lens
+        first = 0
+
+    cl = np.asarray(cl)
+    cd = np.asarray(cd)
+    counts = np.asarray(counts)
+    flat_l, flat_d, flat_off, pos_base = _flatten_lists(cl, cd, counts, n_pos)
+
+    payload, sizes = native.encode_candidate_blocks(
+        arr.reshape(-1), bs, params.lc, params.lp, params.pb,
+        min(params.dict_size, 1 << 29), fb, flat_l, flat_d, flat_off,
+        pos_base, num_threads=num_threads, preset=preset,
+        preset_first=preset_first,
+        total_len=(n - 1) * bs + int(lens[-1]),
+    )
+    import struct
+
+    dict_stream = (
+        native.encode_stream(dictionary, params) if dictionary else b""
+    )
+    head = blk.pack_header(params, bs, len(data), n, preset_len,
+                           len(dictionary), len(dict_stream))
+    return head + struct.pack(f"<{n}I", *sizes) + dict_stream + payload

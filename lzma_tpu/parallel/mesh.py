@@ -123,7 +123,7 @@ def _decode_step(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
     mesh = mesh_holder.mesh
 
     def local(comp_l, lens_l, sizes_l):
-        out, ok, _ = _decode_fsm(
+        out, ok, _, _pos = _decode_fsm(
             comp_l, lens_l, sizes_l, dict_size, lc, lp, pb, max_out, 0
         )
         if not gather:
@@ -157,7 +157,7 @@ def _decode_step_preset(comp, comp_lens, out_sizes, preset, dict_size, *,
     mesh = mesh_holder.mesh
 
     def local(comp_l, lens_l, sizes_l, preset_r):
-        out, ok, _ = _decode_fsm(
+        out, ok, _, _pos = _decode_fsm(
             comp_l, lens_l, sizes_l, dict_size, lc, lp, pb, max_out, 0,
             preset=preset_r,
         )

@@ -154,6 +154,16 @@ def _lib_bind(lib):
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
     ]
+    lib.lzt_encode_candidate_blocks.restype = ctypes.c_int64
+    lib.lzt_encode_candidate_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+    ]
     return lib
 
 
@@ -197,6 +207,51 @@ def encode_token_blocks(
     )
     if total < 0:
         raise ValueError(f"native token serialize failed: {total}")
+    return out.raw[:total], list(sizes)
+
+
+def encode_candidate_blocks(
+    data_padded, block_size: int, lc: int, lp: int, pb: int,
+    dict_size: int, fb: int, cand_len, cand_dist, cand_off, pos_base,
+    num_threads: int = 0, preset: bytes = b"", preset_first: bool = False,
+    total_len: int | None = None,
+):
+    """Hybrid-OPTIMAL encode: the device's per-position ascending
+    (len, dist) candidate lists drive the native optimal parser
+    (VERDICT r1 item 3; contract: BinTree.fillMatches semantics,
+    BinTree.java:152-273).
+
+    data_padded: contiguous uint8, block i at [i*block_size:...].
+    cand_len/cand_dist: flat int32 pair arrays; cand_off: int64, for
+    block i the table slice starts at pos_base[i] and has
+    (primed_len_i + 1) entries of ABSOLUTE pair indices.
+    Returns (payload bytes, [sizes])."""
+    import numpy as np
+
+    lib = _lib()
+    num_blocks = len(pos_base)
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    # total_len trims the padded tail of the LAST block (blocks sit at
+    # i*block_size in data_padded; intermediate blocks are full)
+    n = len(data_padded) if total_len is None else int(total_len)
+    cap = lib.lzt_encode_bound(len(data_padded)) + 4096 * num_blocks
+    out = ctypes.create_string_buffer(cap)
+    sizes = (ctypes.c_uint32 * num_blocks)()
+    cl = np.ascontiguousarray(cand_len, dtype=np.int32)
+    cd = np.ascontiguousarray(cand_dist, dtype=np.int32)
+    co = np.ascontiguousarray(cand_off, dtype=np.int64)
+    pbase = np.ascontiguousarray(pos_base, dtype=np.int64)
+    data_padded = np.ascontiguousarray(data_padded, dtype=np.uint8)
+    total = lib.lzt_encode_candidate_blocks(
+        data_padded.ctypes.data, n, block_size, lc, lp, pb,
+        dict_size, fb,
+        cl.ctypes.data, cd.ctypes.data, co.ctypes.data, pbase.ctypes.data,
+        num_blocks, num_threads, out, cap, sizes, preset, len(preset),
+        1 if preset_first else 0,
+    )
+    if total < 0:
+        raise ValueError(f"native candidate encode failed: {total}")
     return out.raw[:total], list(sizes)
 
 

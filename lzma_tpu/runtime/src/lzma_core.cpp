@@ -317,7 +317,15 @@ using RangeDec = RangeDecT<FlatSource>;
 // Exact BT2/BT4 (BinTree.java:152-356) + HC4 chain walker, in-memory block.
 class MatchFinder {
  public:
-  enum Kind { BT2, BT4, HC4, FAST4 };
+  enum Kind { BT2, BT4, HC4, FAST4, CAND };
+  // CAND: precomputed candidate lists (the hybrid-optimal pipeline,
+  // lzma_tpu/ops/device_matcher.find_match_lists).  For buffer position p
+  // the ascending (len, dist) pairs live at cand_len/cand_dist
+  // [cand_off[p], cand_off[p+1]); find_matches copies them (clamped to
+  // len_limit) and skip() is pure position advance — no tree work at all.
+  const int32_t* cand_len = nullptr;
+  const int32_t* cand_dist = nullptr;
+  const int64_t* cand_off = nullptr;
   const uint8_t* buf;
   int32_t n, pos = 0;
   int match_max_len, cut_value;
@@ -364,6 +372,14 @@ class MatchFinder {
     // not 512 MB.  Hash sizing stays dict-derived (hash values must be
     // bit-identical to the reference's).
     cyclic_size = (dict < len ? dict : len) + 1;
+    if (k == CAND) {
+      num_direct_bytes = 0;
+      min_match_check = 2;
+      fix_hash_size = 0;
+      // no hash/son: candidates are precomputed
+      son.assign(1, 0);
+      return;
+    }
     if (k == BT2) {
       num_direct_bytes = 2;
       min_match_check = 3;
@@ -524,6 +540,27 @@ class MatchFinder {
         advance();
         return 0;
       }
+    }
+    if (kind == CAND) {
+      // copy the precomputed ascending pairs, clamped to len_limit and
+      // guarded against out-of-window distances (device bugs must not
+      // corrupt streams)
+      int count_out = 0;
+      int prev_len = 1;
+      for (int64_t i = cand_off[pos]; i < cand_off[pos + 1]; i++) {
+        int len = cand_len[i];
+        int32_t dist = cand_dist[i];
+        if (dist < 0 || dist + 1 > pos) continue;
+        if (len > len_limit) len = len_limit;
+        if (len <= prev_len) continue;
+        out[count_out * 2] = len;
+        out[count_out * 2 + 1] = dist;
+        count_out++;
+        prev_len = len;
+        if (len == len_limit) break;
+      }
+      advance();
+      return count_out;
     }
     int32_t match_min_pos = pos > cyclic_size ? pos - cyclic_size : 0;
     int count_out = 0;
@@ -700,6 +737,10 @@ class MatchFinder {
   }
 
   void skip(int num) {
+    if (kind == CAND) {
+      while (num-- > 0) advance();
+      return;
+    }
     do {
       int len_limit;
       if (pos + match_max_len <= n) {
@@ -1605,6 +1646,23 @@ class Encoder {
     delete mf;
     mf = new MatchFinder(data, (int32_t)n, (int32_t)P.dict_size, P.fb,
                          finder_kind());
+    run_encode(out, preset_len, preset_len ? data[preset_len - 1] : 0,
+               [] { return true; });
+  }
+
+  // Hybrid-optimal encode: the device supplies per-position ascending
+  // (len, dist) candidate lists; the OPTIMAL parser runs over them with
+  // zero finder work (skip is pure advance).  Contract matched:
+  // BinTree.fillMatches list semantics (BinTree.java:152-273).
+  void encode_cand(const uint8_t* data, size_t n, const int32_t* cl,
+                   const int32_t* cd, const int64_t* coff,
+                   std::vector<uint8_t>* out, size_t preset_len = 0) {
+    delete mf;
+    mf = new MatchFinder(data, (int32_t)n, (int32_t)P.dict_size, P.fb,
+                         MatchFinder::CAND);
+    mf->cand_len = cl;
+    mf->cand_dist = cd;
+    mf->cand_off = coff;
     run_encode(out, preset_len, preset_len ? data[preset_len - 1] : 0,
                [] { return true; });
   }
@@ -2623,6 +2681,67 @@ int64_t lzt_encode_token_blocks(const uint8_t* data, int64_t n,
   for (int64_t i = 0; i < num_blocks; i++) {
     std::memcpy(out + off, streams[(size_t)i].data(), streams[(size_t)i].size());
     off += (int64_t)streams[(size_t)i].size();
+  }
+  return total;
+}
+
+// Hybrid-optimal block encode: per block i the primed buffer is
+// preset||block (preset_first/v3: every block; v2: blocks 1..n-1) and its
+// per-position candidate table starts at coff + pos_base[i] (absolute
+// pair indices into cl/cd).  Returns total payload bytes or negative.
+int64_t lzt_encode_candidate_blocks(
+    const uint8_t* data, int64_t n, int64_t block_size, int lc, int lp,
+    int pb, uint32_t dict_size, int fb, const int32_t* cl, const int32_t* cd,
+    const int64_t* coff, const int64_t* pos_base, int64_t num_blocks,
+    int num_threads, uint8_t* out, int64_t out_cap, uint32_t* sizes,
+    const uint8_t* preset, int64_t preset_len, int preset_first) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return -1;
+  if (fb < 5 || fb > kMatchMaxLen) return -1;
+  if (dict_size < 1 || dict_size > (1u << 29)) return -1;
+  if (num_blocks <= 0) return 0;
+  std::vector<std::vector<uint8_t>> streams((size_t)num_blocks);
+  std::atomic<int64_t> next(0);
+  int threads = std::max(1, (int)std::min<int64_t>(num_threads, num_blocks));
+  auto worker = [&]() {
+    EncParams p;
+    p.lc = lc; p.lp = lp; p.pb = pb;
+    p.dict_size = dict_size;
+    p.fb = fb; p.mf = 1; p.eos = 0; p.optimal = 1;
+    Encoder enc(p);
+    std::vector<uint8_t> primed;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= num_blocks) break;
+      int64_t off = i * block_size;
+      int64_t len = std::min(block_size, n - off);
+      bool use_pre = preset_len > 0 && (preset_first || i > 0);
+      const int64_t* my_off = coff + pos_base[i];
+      if (use_pre) {
+        primed.resize((size_t)(preset_len + len));
+        std::memcpy(primed.data(), preset, (size_t)preset_len);
+        std::memcpy(primed.data() + preset_len, data + off, (size_t)len);
+        enc.encode_cand(primed.data(), (size_t)(preset_len + len), cl, cd,
+                        my_off, &streams[(size_t)i], (size_t)preset_len);
+      } else {
+        enc.encode_cand(data + off, (size_t)len, cl, cd, my_off,
+                        &streams[(size_t)i]);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 1; i < threads; i++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  int64_t total = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    sizes[i] = (uint32_t)streams[(size_t)i].size();
+    total += (int64_t)streams[(size_t)i].size();
+  }
+  if (total > out_cap) return -6;
+  int64_t woff = 0;
+  for (int64_t i = 0; i < num_blocks; i++) {
+    std::memcpy(out + woff, streams[(size_t)i].data(), streams[(size_t)i].size());
+    woff += (int64_t)streams[(size_t)i].size();
   }
   return total;
 }

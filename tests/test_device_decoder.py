@@ -115,3 +115,70 @@ def test_decode_batch_corrupt_raises_corrupt_stream_error():
     s[10] ^= 0xFF
     with pytest.raises(CorruptStreamError):
         decode_batch([bytes(s)], p, [len(payload)])
+
+
+def test_device_eos_decode():
+    """Unknown-size (EOS marker) streams decode ON-LANE via the negative
+    out_sizes sentinel — no host fallback (Decoder.java:219,277-283)."""
+    import lzma as _lzma
+
+    from lzma_tpu.ops.device_decoder import decode_batch
+
+    data = bytes(((i * 31) ^ (i >> 3)) & 0xFF for i in range(3000)) * 2
+    params = LzmaParams(dict_size=1 << 16, lc=3, lp=0, pb=2)
+    # liblzma FORMAT_ALONE always writes size=-1 (EOS-terminated)
+    blob = _lzma.compress(data, format=_lzma.FORMAT_ALONE,
+                          filters=[dict(id=_lzma.FILTER_LZMA1,
+                                        dict_size=1 << 16)])
+    (out,) = decode_batch([blob[13:]], params, [-(1 << 16)])
+    assert out == data
+
+
+def test_device_eos_decode_via_api():
+    import lzma as _lzma
+
+    from lzma_tpu.ops import api
+
+    data = b"the quick brown fox jumps over the lazy dog " * 200
+    blob = _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=1)
+    assert api.decode_alone(blob) == data
+
+
+def test_device_eos_cap_overrun_is_clean_error():
+    """A stream bigger than the cap must error on-lane (not crash), so
+    api.decode_alone can fall back to the streaming decoders."""
+    import lzma as _lzma
+
+    import pytest
+
+    from lzma_tpu.core.rangecoder import CorruptStreamError
+    from lzma_tpu.ops.device_decoder import decode_batch
+
+    data = bytes(range(256)) * 64
+    params = LzmaParams(dict_size=1 << 16)
+    blob = _lzma.compress(data, format=_lzma.FORMAT_ALONE,
+                          filters=[dict(id=_lzma.FILTER_LZMA1,
+                                        dict_size=1 << 16)])
+    with pytest.raises(CorruptStreamError):
+        decode_batch([blob[13:]], params, [-1024])
+
+
+def test_device_known_size_rejects_marker():
+    """With a known size, dist==-1 stays corruption (reference parity:
+    Decoder.java:288-291 path)."""
+    import lzma as _lzma
+
+    import pytest
+
+    from lzma_tpu.core.rangecoder import CorruptStreamError
+    from lzma_tpu.ops.device_decoder import decode_batch
+
+    data = b"abcabcabc" * 300
+    params = LzmaParams(dict_size=1 << 16)
+    blob = _lzma.compress(data, format=_lzma.FORMAT_ALONE,
+                          filters=[dict(id=_lzma.FILTER_LZMA1,
+                                        dict_size=1 << 16)])
+    # claim a size PAST the real end: the decoder runs into the EOS
+    # marker while a known size is expected -> corruption
+    with pytest.raises(CorruptStreamError):
+        decode_batch([blob[13:]], params, [len(data) + 64])

@@ -1,0 +1,131 @@
+"""Hybrid-OPTIMAL pipeline: device candidate lists -> native optimal
+parser (VERDICT r1 item 3).
+
+The plumbing oracle: feeding the native CAND finder the EXACT per-position
+match lists of the scalar BT4 BinTree must reproduce the native
+bt4-optimal encoder's bytes IDENTICALLY (the parser is the same; only the
+list source changes — contract: BinTree.java:152-273)."""
+
+import numpy as np
+import pytest
+
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.match.bintree import BinTreeMatchFinder
+
+try:
+    from lzma_tpu.runtime import native
+
+    HAVE_NATIVE = native.available()
+except Exception:
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native runtime not built")
+
+
+def bt4_lists(data: bytes, dict_size: int, fb: int):
+    """Exact BT4 (len, dist) lists for every position."""
+    mf = BinTreeMatchFinder(data, dict_size, fb, num_hash_bytes=4)
+    lens, dists, offs = [], [], [0]
+    for _ in range(len(data)):
+        pairs = mf.find_matches()
+        for ln, d in pairs:
+            lens.append(ln)
+            dists.append(d)
+        offs.append(len(lens))
+    return (np.asarray(lens, np.int32), np.asarray(dists, np.int32),
+            np.asarray(offs, np.int64))
+
+
+def test_cand_parser_reproduces_bt4_exactly():
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import fixture_bytes
+
+    data = fixture_bytes()[: 1 << 14]
+    dict_size, fb = 1 << 16, 32
+    cl, cd, co = bt4_lists(data, dict_size, fb)
+    payload, sizes = native.encode_candidate_blocks(
+        np.frombuffer(data, np.uint8), len(data), 3, 0, 2, dict_size, fb,
+        cl, cd, co, [0], num_threads=1)
+    # reference: the native bt4 optimal block encoder on the same block
+    p = LzmaParams(dict_size=dict_size, fast_bytes=fb, match_finder="bt4")
+    want = native.encode_stream(data, p, optimal=True)
+    assert payload == want
+    assert sizes == [len(want)]
+
+
+def test_cand_parser_roundtrip_blocks():
+    from lzma_tpu.bench.datagen import generate_bench_data
+
+    data = generate_bench_data(1 << 16)
+    bs, dict_size, fb = 1 << 14, 1 << 14, 16
+    n_blocks = len(data) // bs
+    cls, cds, cos, pbase = [], [], [], []
+    pair_base = 0
+    off_base = 0
+    for i in range(n_blocks):
+        blk = bytes(data[i * bs:(i + 1) * bs])
+        cl, cd, co = bt4_lists(blk, dict_size, fb)
+        cls.append(cl)
+        cds.append(cd)
+        cos.append(co + pair_base)
+        pbase.append(off_base)
+        pair_base += len(cl)
+        off_base += len(co)
+    payload, sizes = native.encode_candidate_blocks(
+        np.frombuffer(bytes(data), np.uint8), bs, 3, 0, 2, dict_size, fb,
+        np.concatenate(cls) if cls else np.zeros(0, np.int32),
+        np.concatenate(cds) if cds else np.zeros(0, np.int32),
+        np.concatenate(cos), pbase, num_threads=2)
+    # every stream decodes back
+    off = 0
+    out = b""
+    p = LzmaParams(dict_size=dict_size, fast_bytes=fb)
+    for i, sz in enumerate(sizes):
+        blk_len = min(bs, len(data) - i * bs)
+        out += native.decode_stream(payload[off:off + sz], p, blk_len)
+        off += sz
+    assert out == data
+
+
+def test_hybrid_optimal_container_roundtrip():
+    from lzma_tpu.bench.datagen import generate_bench_data
+    from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
+
+    data = generate_bench_data((1 << 16) + 1234)  # partial last block
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    blob = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14,
+                                        num_threads=2)
+    assert native.decode_blocks(blob) == data
+
+
+def test_hybrid_optimal_ratio_near_bt4():
+    """Candidate-quality gate: the hybrid-optimal container should land
+    close to native bt4-opt (the round-1 gap was ~5% with the K=4 greedy
+    finder; the multi-tier lists + optimal parse close most of it)."""
+    from lzma_tpu.bench.datagen import generate_bench_data
+    from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
+
+    data = generate_bench_data(1 << 17)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=32, match_finder="bt4")
+    blob_h = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14)
+    blob_bt = native.encode_blocks(data, p, block_size=1 << 14)
+    assert native.decode_blocks(blob_h) == data
+    # within 3% of bt4-opt on the synthetic corpus (chip sweeps push the
+    # candidate count higher; see MEASUREMENTS.md)
+    assert len(blob_h) <= len(blob_bt) * 1.03, (len(blob_h), len(blob_bt))
+
+
+def test_hybrid_optimal_preset_variants():
+    from lzma_tpu.bench.datagen import generate_bench_data
+    from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
+
+    data = generate_bench_data(1 << 16)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    blob_v2 = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14,
+                                           preset_len=1 << 12)
+    assert native.decode_blocks(blob_v2) == data
+    dictionary = bytes(data[1 << 13 : (1 << 13) + 2048])
+    blob_v3 = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14,
+                                           dictionary=dictionary)
+    assert native.decode_blocks(blob_v3) == data

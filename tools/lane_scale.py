@@ -37,9 +37,11 @@ def main():
         streams = [native.encode_stream(b, p, optimal=False) for b in blocks]
         max_in = 1 << (max(len(s) for s in streams) - 1).bit_length()
 
-        from lzma_tpu.ops.pallas_ring import decode_pallas_ring
-        for n in (16, 32, 64):
-            comp = np.zeros((n, max_in), dtype=np.int32)
+        from lzma_tpu.ops.pallas_ring import decode_pallas_ring, C_IN
+        import itertools
+        for n, staged in itertools.product((32, 64, 128, 256), (False, True)):
+            mi = max_in if not staged else ((max_in + C_IN - 1) // C_IN) * C_IN
+            comp = np.zeros((n, mi), dtype=np.int32)
             lens = np.zeros(n, dtype=np.int32)
             for i in range(n):
                 s = streams[i % lanes_max]
@@ -58,7 +60,7 @@ def main():
                 cj = jnp.asarray(c)
                 o, ok, it = decode_pallas_ring(
                     cj, lj, sizes, dict_size, lc, 0, 2, bs,
-                    stage_input=False)
+                    stage_input=staged)
                 jax.block_until_ready(o)
                 return o, ok, it
 
@@ -73,11 +75,13 @@ def main():
                 dt = sorted(times)[1]  # median of 3
                 tot = n * bs
                 iters = int(jnp.max(it))
-                print(f"ring-decode lc{lc} n={n:3d}: {tot/dt/1e6:6.2f} MB/s  "
+                tag = "st" if staged else "un"
+                print(f"ring-decode lc{lc} n={n:3d} {tag}: {tot/dt/1e6:6.2f} MB/s  "
                       f"{dt/iters*1e9:7.0f} ns/iter ({iters} iters, "
                       f"spread {min(times)*1e3:.0f}-{max(times)*1e3:.0f} ms)")
             except Exception as e:
-                print(f"ring-decode lc{lc} n={n:3d}: FAIL {str(e)[:100]}")
+                tag = "st" if staged else "un"
+                print(f"ring-decode lc{lc} n={n:3d} {tag}: FAIL {str(e)[:100]}")
 
 
 if __name__ == "__main__":

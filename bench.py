@@ -239,7 +239,7 @@ def main():
                 lanes_r, bs_r)
             dj_r = jnp.asarray(arr_r)
             lens_r = jnp.full((lanes_r,), bs_r, jnp.int32)
-            arena_r = ProbLayout(3, 0, 2).size
+            arena_r = ProbLayout(3, 0, 2, pos_bits=2).size
 
             interp = backend != "tpu"
 

@@ -59,11 +59,25 @@ LITERAL_CODER_SIZE = 0x300
 
 @dataclass(frozen=True)
 class ProbLayout:
-    """Offsets of every sub-model inside the flat arena for given lc/lp/pb."""
+    """Offsets of every sub-model inside the flat arena for given lc/lp/pb.
+
+    ``pos_bits`` sets the posState STRIDE of the position-conditioned
+    tables (is_match, is_rep0_long, len low/mid).  The canonical layout
+    uses the reference's fixed kNumPosStatesMax=16 stride
+    (Decoder.java:132,137, LenEncoder.java:11-14) so scalar/native
+    arenas stay directly diffable.  The device kernels pass
+    ``pos_bits=pb``: with pb=2 only 4 of every 16 posState slots are
+    ever touched, and the per-bit one-hot gather/scatter in the Pallas
+    FSMs costs O(arena), so compacting the stride to the live posStates
+    shrinks the hot masked-op width ~25% at lc0 (MEASUREMENTS.md
+    round-2).  Pure memory plan — probabilities, adaptation and output
+    bytes are identical.
+    """
 
     lc: int
     lp: int
     pb: int
+    pos_bits: int = NUM_POS_STATES_BITS_MAX
 
     is_match: int = field(init=False)
     is_rep: int = field(init=False)
@@ -78,8 +92,16 @@ class ProbLayout:
     rep_len_coder: int = field(init=False)
     literal: int = field(init=False)
     size: int = field(init=False)
+    # relative offsets inside one length coder (stride-dependent)
+    len_choice: int = field(init=False)
+    len_choice2: int = field(init=False)
+    len_low: int = field(init=False)
+    len_mid: int = field(init=False)
+    len_high: int = field(init=False)
 
     def __post_init__(self):
+        assert self.pb <= self.pos_bits <= NUM_POS_STATES_BITS_MAX
+        n_ps = 1 << self.pos_bits
         off = 0
 
         def take(n):
@@ -88,17 +110,25 @@ class ProbLayout:
             off += n
             return cur
 
-        object.__setattr__(self, "is_match", take(NUM_STATES << NUM_POS_STATES_BITS_MAX))
+        object.__setattr__(self, "is_match", take(NUM_STATES * n_ps))
         object.__setattr__(self, "is_rep", take(NUM_STATES))
         object.__setattr__(self, "is_rep_g0", take(NUM_STATES))
         object.__setattr__(self, "is_rep_g1", take(NUM_STATES))
         object.__setattr__(self, "is_rep_g2", take(NUM_STATES))
-        object.__setattr__(self, "is_rep0_long", take(NUM_STATES << NUM_POS_STATES_BITS_MAX))
+        object.__setattr__(self, "is_rep0_long", take(NUM_STATES * n_ps))
         object.__setattr__(self, "pos_slot", take(NUM_LEN_TO_POS_STATES * POS_SLOT_TREE_SIZE))
         object.__setattr__(self, "spec_pos", take(NUM_FULL_DISTANCES - END_POS_MODEL_INDEX))
         object.__setattr__(self, "align", take(ALIGN_TABLE_SIZE))
-        object.__setattr__(self, "len_coder", take(LEN_CODER_SIZE))
-        object.__setattr__(self, "rep_len_coder", take(LEN_CODER_SIZE))
+        object.__setattr__(self, "len_choice", 0)
+        object.__setattr__(self, "len_choice2", 1)
+        object.__setattr__(self, "len_low", 2)
+        object.__setattr__(self, "len_mid",
+                           2 + n_ps * NUM_LOW_LEN_SYMBOLS)
+        object.__setattr__(self, "len_high",
+                           2 + n_ps * (NUM_LOW_LEN_SYMBOLS + NUM_MID_LEN_SYMBOLS))
+        len_size = self.len_high + LEN_HIGH_SIZE
+        object.__setattr__(self, "len_coder", take(len_size))
+        object.__setattr__(self, "rep_len_coder", take(len_size))
         object.__setattr__(self, "literal", take(LITERAL_CODER_SIZE << (self.lc + self.lp)))
         object.__setattr__(self, "size", off)
 

@@ -31,18 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import (
-    NUM_POS_STATES_BITS_MAX,
     NEXT_STATE_LITERAL,
     NEXT_STATE_LONGREP,
     NEXT_STATE_MATCH,
     NEXT_STATE_SHORTREP,
 )
 from ..core.layout import (
-    LEN_CHOICE,
-    LEN_CHOICE2,
-    LEN_HIGH,
-    LEN_LOW,
-    LEN_MID,
     LITERAL_CODER_SIZE,
     POS_SLOT_TREE_SIZE,
     ProbLayout,
@@ -148,7 +142,7 @@ def _ctx_index(st, layout, pb, pos_base=0):
     pos_state = coded_pos & ((1 << pb) - 1)
     idx = jnp.full_like(phase, 0)
     idx = jnp.where(phase == PH_ISMATCH,
-                    layout.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state, idx)
+                    layout.is_match + (state << layout.pos_bits) + pos_state, idx)
     idx = jnp.where(phase == PH_LIT, st["lit_base"] + sym, idx)
     match_bit = (st["mb"] >> 7) & 1
     idx = jnp.where(phase == PH_LITM,
@@ -156,12 +150,12 @@ def _ctx_index(st, layout, pb, pos_base=0):
     idx = jnp.where(phase == PH_ISREP, layout.is_rep + state, idx)
     idx = jnp.where(phase == PH_ISREPG0, layout.is_rep_g0 + state, idx)
     idx = jnp.where(phase == PH_ISREP0LONG,
-                    layout.is_rep0_long + (state << NUM_POS_STATES_BITS_MAX) + pos_state, idx)
+                    layout.is_rep0_long + (state << layout.pos_bits) + pos_state, idx)
     idx = jnp.where(phase == PH_ISREPG1, layout.is_rep_g1 + state, idx)
     idx = jnp.where(phase == PH_ISREPG2, layout.is_rep_g2 + state, idx)
     len_base = jnp.where(st["tree_kind"] == TK_LEN_REP, layout.rep_len_coder, layout.len_coder)
-    idx = jnp.where(phase == PH_LENCHOICE, len_base + LEN_CHOICE, idx)
-    idx = jnp.where(phase == PH_LENCHOICE2, len_base + LEN_CHOICE2, idx)
+    idx = jnp.where(phase == PH_LENCHOICE, len_base + layout.len_choice, idx)
+    idx = jnp.where(phase == PH_LENCHOICE2, len_base + layout.len_choice2, idx)
     idx = jnp.where(phase == PH_TREE, st["tree_base"] + sym, idx)
     idx = jnp.where(phase == PH_REV, st["rev_base"] + st["rev_m"], idx)
     is_adaptive = (phase <= PH_TREE) | (phase == PH_REV)
@@ -306,7 +300,7 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
     p = phase == PH_LENCHOICE
     low = p & (bit == 0)
     nphase = jnp.where(low, PH_TREE, nphase)
-    ntree_base = jnp.where(low, len_base + LEN_LOW + (pos_state << 3), ntree_base)
+    ntree_base = jnp.where(low, len_base + layout.len_low + (pos_state << 3), ntree_base)
     ntree_top = jnp.where(low, 8, ntree_top)
     nsym = jnp.where(low, 1, nsym)
     nacc = jnp.where(low, 0, nacc)   # acc reused as len band offset
@@ -317,10 +311,10 @@ def _transition(st, bit, prev_byte, back_byte, out_sizes, dict_check,
     mid = p & (bit == 0)
     high = p & (bit == 1)
     nphase = jnp.where(p, PH_TREE, nphase)
-    ntree_base = jnp.where(mid, len_base + LEN_MID + (pos_state << 3), ntree_base)
+    ntree_base = jnp.where(mid, len_base + layout.len_mid + (pos_state << 3), ntree_base)
     ntree_top = jnp.where(mid, 8, ntree_top)
     nacc = jnp.where(mid, 8, nacc)
-    ntree_base = jnp.where(high, len_base + LEN_HIGH, ntree_base)
+    ntree_base = jnp.where(high, len_base + layout.len_high, ntree_base)
     ntree_top = jnp.where(high, 256, ntree_top)
     nacc = jnp.where(high, 16, nacc)
     nsym = jnp.where(p, 1, nsym)
@@ -456,7 +450,7 @@ def _decode_fsm(comp, comp_lens, out_sizes, dict_size, lc, lp, pb, max_out,
     exactly the broadcast the scaling design calls for — XLA moves it to
     every device over ICI.
     """
-    layout = ProbLayout(lc, lp, pb)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     n_lanes, max_in = comp.shape
     lanes = jnp.arange(n_lanes)
     pos_base = 0 if preset is None else preset.shape[0]

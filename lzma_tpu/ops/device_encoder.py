@@ -35,13 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.constants import NUM_POS_STATES_BITS_MAX
 from ..core.layout import (
-    LEN_CHOICE,
-    LEN_CHOICE2,
-    LEN_HIGH,
-    LEN_LOW,
-    LEN_MID,
     LITERAL_CODER_SIZE,
     POS_SLOT_TREE_SIZE,
     ProbLayout,
@@ -173,7 +167,7 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     primed with a preset dictionary (token positions are absolute; coded
     positions start at pos_base).  Returns ctx (N,max_bits),
     bit (N,max_bits), total (N,)."""
-    layout = ProbLayout(lc, lp, pb)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     kind, rep_idx, state, match_mode, match_byte, prev_byte, lit_byte = meta
     N, T = t_pos.shape
     lanes2 = jnp.arange(N)[:, None]
@@ -219,7 +213,7 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
 
     # ---- shared ctx components ----
     L = layout
-    im_ctx = L.is_match + (state << NUM_POS_STATES_BITS_MAX) + pos_state
+    im_ctx = L.is_match + (state << L.pos_bits) + pos_state
     lit_sub = L.literal + (
         ((coded_pos & ((1 << lp) - 1)) << lc) + (prev_byte >> (8 - lc))
     ) * LITERAL_CODER_SIZE
@@ -239,8 +233,8 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     band_bits = jnp.where(band == 2, 8, 3)
     band_v = jnp.where(band == 0, len_lo_v, jnp.where(band == 1, len_mid_v, len_hi_v))
     band_tree = jnp.where(
-        band == 0, len_base + LEN_LOW + (pos_state << 3),
-        jnp.where(band == 1, len_base + LEN_MID + (pos_state << 3), len_base + LEN_HIGH),
+        band == 0, len_base + L.len_low + (pos_state << 3),
+        jnp.where(band == 1, len_base + L.len_mid + (pos_state << 3), len_base + L.len_high),
     )
     choice_bits = jnp.where(band == 0, 1, 2)
 
@@ -279,7 +273,7 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
         sel = in_tok & is_rep & (kk >= 0) & (kk < rbits)
         c1 = jnp.where(
             rep_idx == 0,
-            L.is_rep0_long + (state << NUM_POS_STATES_BITS_MAX) + pos_state,
+            L.is_rep0_long + (state << L.pos_bits) + pos_state,
             L.is_rep_g1 + state,
         )
         b1v = jnp.where(rep_idx == 0, 1, jnp.where(rep_idx == 1, 0, 1))
@@ -296,10 +290,10 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
         kk = t - len_s
         sel_len = in_tok & (~is_lit) & (kk >= 0) & (kk < dlen)
         sel = sel_len & (kk == 0)
-        ctx_t = jnp.where(sel, len_base + LEN_CHOICE, ctx_t)
+        ctx_t = jnp.where(sel, len_base + L.len_choice, ctx_t)
         bit_t = jnp.where(sel, jnp.where(band == 0, 0, 1), bit_t)
         sel = sel_len & (kk == 1) & (band > 0)
-        ctx_t = jnp.where(sel, len_base + LEN_CHOICE2, ctx_t)
+        ctx_t = jnp.where(sel, len_base + L.len_choice2, ctx_t)
         bit_t = jnp.where(sel, jnp.where(band == 1, 0, 1), bit_t)
         #   band tree (MSB-first): after j bits m = (1<<j) | (v >> (nb-j))
         j = jnp.clip(kk - choice_bits, 0, 8)
@@ -514,7 +508,7 @@ def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
     ctx, bits, totals, max_out = _lower_lanes_jit(
         data, lens, dict_size, lc=lc, lp=lp, pb=pb, fb=fb,
         num_candidates=num_candidates, preset=preset)
-    layout = ProbLayout(lc, lp, pb)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     out, out_lens, consumed = serialize_pallas(
         ctx, bits, totals, layout.size, int(max_out), interpret=interpret)
     return out, out_lens, consumed, totals
@@ -535,7 +529,7 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
     ctx, bits, totals, max_out = _lower_lanes(
         data, lens, dict_size, lc, lp, pb, fb, num_candidates, preset
     )
-    layout = ProbLayout(lc, lp, pb)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     return serialize(ctx, bits, totals, layout.size, max_out)
 
 
@@ -576,7 +570,7 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
             lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
             num_candidates=num_candidates, preset=preset_j,
         )
-        layout = ProbLayout(params.lc, params.lp, params.pb)
+        layout = ProbLayout(params.lc, params.lp, params.pb, pos_bits=params.pb)
         try:
             out, out_lens, consumed = serialize_pallas(
                 ctx, bits, totals, layout.size, int(max_out),

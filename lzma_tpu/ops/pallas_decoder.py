@@ -88,7 +88,7 @@ def decode_pallas(comp, comp_lens, out_sizes, dict_size: int, lc: int, lp: int,
     the payload sits at out[:, P:].  Returns (out u8 (N, max_out),
     ok bool (N,), iters int32 (N,)).
     """
-    layout = ProbLayout(lc, lp, pb)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     N, max_in = comp.shape
     S = _round_up(layout.size, 128)
     MO = _round_up(max_out, 128)
@@ -338,7 +338,7 @@ def decode_batch_pallas(streams, params: LzmaParams, out_sizes, max_out=None,
     budget; lanes the kernel cannot finish — or a whole group whose
     shape fails to compile — reroute to the XLA FSM when fallback=True,
     so correctness never depends on the kernel envelope."""
-    arena = _round_up(ProbLayout(params.lc, params.lp, params.pb).size, 128)
+    arena = _round_up(ProbLayout(params.lc, params.lp, params.pb, pos_bits=params.pb).size, 128)
     interpret = jax.default_backend() != "tpu"
 
     def run_kernel(comp, lens, sizes, mo, preset_arr):

@@ -49,8 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..format.properties import LzmaParams
 from ..core.layout import ProbLayout
 from .device_decoder import (
+    PH_COPY,
     PH_DONE,
     PH_ERROR,
+    PH_ISMATCH,
     _bit_decode,
     _ctx_index,
     _state_struct,
@@ -83,11 +85,11 @@ def _unpack_words(words, n_bytes):
 
 @partial(jax.jit, static_argnames=(
     "dict_size", "lc", "lp", "pb", "max_out", "max_iters", "interpret",
-    "stage_input"))
+    "stage_input", "copy4"))
 def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
                        lp: int, pb: int, max_out: int, max_iters: int = 0,
                        interpret: bool = False, preset=None,
-                       stage_input: bool = True):
+                       stage_input: bool = True, copy4: bool = True):
     """Decode N padded streams with an O(dict) packed ring window per lane.
 
     comp: (N, max_in) int32 byte values (max_in % 4 == 0); `preset`
@@ -95,7 +97,7 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     out_sizes are then ABSOLUTE end positions and the payload sits at
     out[:, P:].  Returns (out u8 (N, max_out), ok (N,), iters (N,)).
     """
-    layout = ProbLayout(lc, lp, pb)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     N, max_in = comp.shape
     assert max_in % 4 == 0, "pad comp to a word multiple"
     S = layout.size
@@ -110,7 +112,11 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     WP = W // 4
     MO = _round_up(max_out, W)
     MOP = MO // 4
-    assert MO % W == 0 and F_STEP <= W - 4
+    # ring-reuse safety: a lane emits at most (4 if copy4 else 1) bytes
+    # per iteration, and the span written between flush services plus the
+    # open word must fit the ring
+    f_step = min(F_STEP, (W - 8) // 4) if copy4 else F_STEP
+    assert MO % W == 0 and f_step * (4 if copy4 else 1) <= W - 4
 
     stage_in = bool(stage_input)
     if stage_in:
@@ -126,7 +132,7 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     # With the shared input window, stalls can serialize lanes in the
     # worst case, so the sound bound is the SUM of per-lane budgets;
     # real streams exit via all-done long before either.
-    per_lane = -(-max_iters // F_STEP)
+    per_lane = -(-max_iters // f_step)
     n_outer = (N * per_lane if stage_in else per_lane) + num_chunks + 1
     dict_check = max(int(dict_size), 1)
 
@@ -238,6 +244,10 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
             in_acc = (q >> 2) == (out_pos >> 2)
             src_w = jnp.where(in_acc, wacc, gw)
             back_byte = (src_w >> (8 * (q & 3))) & 0xFF
+            if copy4:
+                # multi-byte copy needs the NEXT window word too: bytes
+                # q+1..q+3 span at most words {q>>2, q>>2+1}
+                gw2 = _gather_cols(win[:], ((q >> 2) + 1) & (WP - 1))
 
             st2, emit, emit_byte = _transition(
                 st1, bit, prev, back_byte, sizes, dict_check,
@@ -251,14 +261,84 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
             nwacc = jnp.where(emit, wacc | (emit_byte << (8 * (out_pos & 3))),
                               wacc)
             closes = emit & ((out_pos & 3) == 3)
-            wmask = (win_cols == ((out_pos >> 2) & (WP - 1))[:, None]) \
-                & _mask2d(closes)
-            win[:] = jnp.where(wmask, nwacc[:, None], win[:])
-            nwacc = jnp.where(closes, 0, nwacc)
             prev2 = jnp.where(emit, emit_byte, prev)
+
+            if not copy4:
+                wmask = (win_cols == ((out_pos >> 2) & (WP - 1))[:, None]) \
+                    & _mask2d(closes)
+                win[:] = jnp.where(wmask, nwacc[:, None], win[:])
+                nwacc = jnp.where(closes, 0, nwacc)
+                if stage_in:
+                    return (t + 1, st2, new_rng, new_code, prev2, nwacc, cur)
+                return (t + 1, st2, new_rng, new_code, prev2, nwacc)
+
+            # ---- multi-byte match copy (VERDICT r1 item 1 follow-up) ----
+            # A lane still in PH_COPY after the generic 1-byte emit extends
+            # the copy by up to 3 more bytes this iteration, bounded by the
+            # remaining length, the match distance (no self-overlap except
+            # the dist==1 RLE special case, which replicates the byte just
+            # emitted), and the open destination word (so the whole
+            # extension rides the register accumulator and the SAME single
+            # masked ring write as the generic byte).  Cost: gw2 above plus
+            # ~25 per-lane vector ops; payoff: match bytes move 4-per-
+            # iteration instead of 1 (Decoder.java:288-294 semantics).
+            out_pos1 = st2["out_pos"]
+            ext = (st["phase"] == PH_COPY) & (st2["phase"] == PH_COPY)
             if stage_in:
-                return (t + 1, st2, new_rng, new_code, prev2, nwacc, cur)
-            return (t + 1, st2, new_rng, new_code, prev2, nwacc)
+                ext &= go
+            dist = st2["rep0"] + 1
+            destcap = 4 - (out_pos1 & 3)
+            e = jnp.minimum(
+                jnp.minimum(3, st2["length"]),
+                jnp.minimum(destcap, jnp.where(dist == 1, 3, dist)))
+            e = jnp.where(ext, e, 0)
+            q1 = out_pos1 - dist
+            # source words, with open-word reads served from the merged
+            # accumulator (word out_pos>>2 is not in VMEM yet — or was
+            # closed THIS iteration and its write is folded in below)
+            wA = jnp.where((q1 >> 2) == (q >> 2), gw, gw2)
+            wA = jnp.where((q1 >> 2) == (out_pos >> 2), nwacc, wA)
+            uB = jnp.where(((q1 >> 2) + 1) == (out_pos >> 2),
+                           nwacc, gw2).astype(_U32)
+            uA = wA.astype(_U32)
+            sh = (8 * (q1 & 3)).astype(_U32)
+            funnel = (uA >> sh) | jnp.where(
+                sh == 0, 0, uB << ((32 - sh) & 31))
+            src = jnp.where(dist == 1, emit_byte * 0x01010101,
+                            funnel.astype(_I32))
+            emask = jnp.where(e == 3, 0xFFFFFF,
+                              jnp.where(e == 2, 0xFFFF,
+                                        jnp.where(e == 1, 0xFF, 0)))
+            frag = src & emask
+            nwacc_res = jnp.where(closes, 0, nwacc)
+            nwacc2 = nwacc_res | (frag << (8 * (out_pos1 & 3)))
+            closes2 = (e > 0) & (((out_pos1 & 3) + e) == 4)
+            # one merged ring write: closes and closes2 are mutually
+            # exclusive and target the same word index (out_pos>>2)
+            fire = closes | closes2
+            wval = jnp.where(closes2, nwacc2, nwacc)
+            wmask = (win_cols == ((out_pos >> 2) & (WP - 1))[:, None]) \
+                & _mask2d(fire)
+            win[:] = jnp.where(wmask, wval[:, None], win[:])
+            nwacc3 = jnp.where(closes2, 0, nwacc2)
+            prev2 = jnp.where(e > 0,
+                              (frag >> (8 * jnp.maximum(e - 1, 0))) & 0xFF,
+                              prev2)
+            # advance the register file past the extension, mirroring
+            # _transition's completion/overrun checks
+            out_pos2 = out_pos1 + e
+            length2 = st2["length"] - e
+            ph2 = jnp.where((e > 0) & (length2 == 0), PH_ISMATCH,
+                            st2["phase"])
+            eos_l = sizes < 0
+            bound = jnp.abs(sizes)
+            ph2 = jnp.where((e > 0) & (out_pos2 > bound), PH_ERROR, ph2)
+            ph2 = jnp.where(~eos_l & (out_pos2 >= bound) & (ph2 == PH_ISMATCH)
+                            & (e > 0), PH_DONE, ph2)
+            st3 = dict(st2, out_pos=out_pos2, length=length2, phase=ph2)
+            if stage_in:
+                return (t + 1, st3, new_rng, new_code, prev2, nwacc3, cur)
+            return (t + 1, st3, new_rng, new_code, prev2, nwacc3)
 
         # The service interval runs a FIXED F_STEP iterations under a
         # while_loop with a SCALAR-ONLY condition: the per-bit liveness
@@ -266,7 +346,7 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
         # outer cond, running once per interval.  Done / stalled lanes
         # spin as no-ops (MEASUREMENTS.md round-2 methodology entry).
         def fsm_cond(carry):
-            return carry[0] < F_STEP
+            return carry[0] < f_step
 
         def flush(st, fbw, partial):
             # ring word slots are absolute word positions mod WP: one
@@ -324,7 +404,7 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
         flush(st, fbw, partial=True)
         # row writes for the same layout reason as the row reads above
         ok_ref[0, :] = (st["phase"] == PH_DONE).astype(_I32)
-        ok_ref[1, :] = jnp.full((N,), outer * F_STEP, dtype=_I32)
+        ok_ref[1, :] = jnp.full((N,), outer * f_step, dtype=_I32)
 
     # 5-byte big-endian code preload (RangeDecoder.Init) computed in XLA:
     # doing it in-kernel needs per-byte column slices of comp (sublane
@@ -415,7 +495,7 @@ def decode_batch_ring(streams, params: LzmaParams, out_sizes, max_out=None,
     back to the XLA FSM."""
     from .pallas_decoder import batched_decode
 
-    arena = ProbLayout(params.lc, params.lp, params.pb).size
+    arena = ProbLayout(params.lc, params.lp, params.pb, pos_bits=params.pb).size
     w_raw = 1 << (max(int(params.dict_size), F_STEP + 4, 1024) - 1).bit_length()
     interpret = jax.default_backend() != "tpu"
 

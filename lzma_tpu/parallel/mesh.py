@@ -200,7 +200,7 @@ def _encode_step_pallas(data, lens, dict_size, *, lc, lp, pb, fb, interpret,
     from ..ops.pallas_serializer import serialize_pallas
 
     mesh = mesh_holder.mesh
-    arena = ProbLayout(lc, lp, pb).size
+    arena = ProbLayout(lc, lp, pb, pos_bits=pb).size
 
     def local(data_l, lens_l, *preset_r):
         ctx, bits, totals, max_out = _lower_lanes(

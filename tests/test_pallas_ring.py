@@ -108,3 +108,35 @@ def test_ring_decode_corrupt_falls_back():
     with pytest.raises(ValueError):
         decode_batch_ring([bytes(stream)], params, [len(payload)],
                           fallback=False)
+
+
+@pytest.mark.parametrize("copy4", [True, False])
+def test_ring_decode_copy4_modes(copy4):
+    """Multi-byte match copy (copy4) is byte-exact vs the 1-byte path,
+    including dist==1 RLE runs, dist 2/3 overlapped copies and ragged
+    tails (Decoder.java:288-294 semantics)."""
+    import jax.numpy as jnp
+    from lzma_tpu.ops.pallas_ring import decode_pallas_ring
+
+    rng = np.random.default_rng(9)
+    params = LzmaParams(dict_size=1 << 11, fast_bytes=64)
+    payloads = [_corpus(rng, 4000)]
+    payloads.append(bytes([5]) * 3000)                     # dist==1 RLE
+    payloads.append(bytes([1, 2]) * 1500)                  # dist==2
+    payloads.append(bytes([1, 2, 3]) * 1000 + b"xy")       # dist==3
+    streams = [encode_stream(p, params, mode="optimal") for p in payloads]
+    mi = -(-max(len(s) for s in streams) // 4) * 4
+    comp = np.zeros((len(payloads), mi), np.int32)
+    lens = np.zeros(len(payloads), np.int32)
+    for i, s in enumerate(streams):
+        comp[i, :len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    mo = max(len(p) for p in payloads)
+    out, ok, _ = decode_pallas_ring(
+        jnp.asarray(comp), jnp.asarray(lens),
+        jnp.asarray(np.array([len(p) for p in payloads], np.int32)),
+        1 << 11, params.lc, params.lp, params.pb, mo,
+        interpret=True, stage_input=False, copy4=copy4)
+    assert bool(jnp.all(ok))
+    for i, p in enumerate(payloads):
+        assert np.asarray(out[i, :len(p)]).tobytes() == p

@@ -37,7 +37,7 @@ def _bit_streams(n_lanes=4, max_n=2048, seed=0, lc=3, lp=0, pb=2):
     ctx, bits, totals = lower_tokens(
         dj, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb, 10 * max_n + 128
     )
-    layout = ProbLayout(lc, lp, pb)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     return ctx, bits, totals, layout.size, max_n + max_n // 4 + 128
 
 

@@ -27,7 +27,7 @@ def main():
     bs, dict_size = 1 << 14, 1 << 12
     data = generate_bench_data(bs * 256)
     for lc in (3, 0):
-        arena = ProbLayout(lc, 0, 2).size
+        arena = ProbLayout(lc, 0, 2, pos_bits=2).size
         for n in (32, 64, 128, 256):
             arr = np.frombuffer(data[: n * bs], np.uint8).reshape(n, bs)
             dj = jnp.asarray(arr)

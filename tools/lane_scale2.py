@@ -61,8 +61,10 @@ def main():
 
     streams_by_lc = {}
     for cfg in configs:
-        lc, n, tag = cfg.split(",")
-        lc, n, staged = int(lc), int(n), tag == "st"
+        parts = cfg.split(",")
+        lc, n, tag = int(parts[0]), int(parts[1]), parts[2]
+        staged = tag == "st"
+        copy4 = "c1" not in parts[3:]
         if lc not in streams_by_lc:
             p = LzmaParams(dict_size=dict_size, fast_bytes=fb,
                            match_finder=mf, lc=lc)
@@ -87,7 +89,8 @@ def main():
             c[:, -1] = trial + 1
             cj = jnp.asarray(c)
             o, ok, it = decode_pallas_ring(
-                cj, lj, sizes, dict_size, lc, 0, 2, bs, stage_input=staged)
+                cj, lj, sizes, dict_size, lc, 0, 2, bs, stage_input=staged,
+                copy4=copy4)
             jax.block_until_ready(o)
             return o, ok, it
 
@@ -107,7 +110,8 @@ def main():
             dt = sorted(times)[1]
             tot = n * bs
             iters = int(jnp.max(it))
-            print(f"ring lc{lc} n={n:3d} {tag}: {tot/dt/1e6:6.2f} MB/s  "
+            c4t = "c4" if copy4 else "c1"
+            print(f"ring lc{lc} n={n:3d} {tag} {c4t}: {tot/dt/1e6:6.2f} MB/s  "
                   f"{dt/iters*1e9:7.0f} ns/iter  "
                   f"({dt/iters/n*1e9:6.2f} ns/lane-iter, {iters} iters, "
                   f"compile+run {tc:.0f}s, "

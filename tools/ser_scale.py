@@ -24,11 +24,14 @@ from lzma_tpu.format.properties import LzmaParams
 
 
 def main():
+    import sys, itertools
     bs, dict_size = 1 << 14, 1 << 12
     data = generate_bench_data(bs * 256)
-    for lc in (3, 0):
+    configs = ([tuple(map(int, a.split(","))) for a in sys.argv[1:]]
+               or list(itertools.product((3, 0), (32, 64, 128, 256))))
+    for lc, n in configs:
         arena = ProbLayout(lc, 0, 2, pos_bits=2).size
-        for n in (32, 64, 128, 256):
+        if True:
             arr = np.frombuffer(data[: n * bs], np.uint8).reshape(n, bs)
             dj = jnp.asarray(arr)
             lens = jnp.full((n,), bs, jnp.int32)

@@ -264,9 +264,13 @@ def main():
             comp_r = cstreams.astype(jnp.int32)
 
             def dec_res():
+                # staged input + multi-byte copy: the round-2 champion
+                # decode configuration (MEASUREMENTS.md lane_scale2 sweeps)
+                pad = -comp_r.shape[1] % 1024
+                comp_p = jnp.pad(comp_r, ((0, 0), (0, pad))) if pad else comp_r
                 o, ok, _ = decode_pallas_ring(
-                    comp_r, clens, jnp.full((lanes_r,), bs_r, jnp.int32),
-                    dict_r, 3, 0, 2, bs_r, stage_input=False,
+                    comp_p, clens, jnp.full((lanes_r,), bs_r, jnp.int32),
+                    dict_r, 3, 0, 2, bs_r, stage_input=True,
                     interpret=interp)
                 jax.block_until_ready(o)
                 return o, ok

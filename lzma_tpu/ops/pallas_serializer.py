@@ -6,28 +6,22 @@ probability arena resident in VMEM for the kernel's whole lifetime — the
 formulation XLA cannot express (its scatter into a loop carry copies the
 arena every iteration; see DESIGN-NOTES.md).
 
-Round-2 architecture (VERDICT r1 item 2) — LOCK-STEP and PACKED:
-
-  lock-step — every lane consumes exactly ONE (ctx, bit) per iteration
-      (bit_pos == the global step counter until the lane's total), so the
-      token fetch is a dynamic ROW read of a transposed (CHUNK, N) tile —
-      no per-lane gather at all.  Carry runs no longer stall consumption:
-      a fired shiftLow emits its cache byte AND the whole pending-0xFF
-      run in the same iteration via ONE range-masked ring write
-      (reference semantics: RangeEncoder.java:73-87 — the run bytes are
-      all (0xFF + carry) & 0xFF).
-  probs (N, SP) int32 VMEM — TWO 11-bit probabilities per word
-      (ops/pallas_ring.py's packing): gather + in-register half update +
-      same-mask scatter over S/2 words.
-  ring  (N, RING) int32 VMEM — staged bytes, absolute position mod RING;
-      flushed into the PACKED output (N, MOP) as words once per chunk
-      (the boundary word is rewritten whole — its earlier bytes are
-      still live in the ring because per-chunk emissions are bounded by
-      RING - 4, enforced by the `err` check whose overflow falls back to
-      the XLA serializer).
-
-Bit-exact with the XLA serializer and the scalar oracle
-(tests/test_pallas_serializer.py).
+Memory plan (N lanes, arena S, max_bits B):
+  probs   (N, S)  int32  VMEM scratch   — adaptive model, one-hot updates
+  out     (N, max_out) int32 VMEM out   — compressed bytes (as i32)
+  ring    (N, RING) int32 VMEM scratch  — staged bytes between out flushes
+  packed  (N, B) int32 HBM input        — (ctx, bit) pairs packed into one
+                                          word each, DMA'd in (N, CHUNK)
+                                          tiles, double-buffered (one
+                                          masked tile gather per step
+                                          instead of two)
+Per-lane coder registers (low/carry/range/cache/...) live as loop-carried
+vectors.  One (ctx, bit) is consumed per inner step, exactly mirroring the
+XLA serializer's semantics (bit-exact, asserted in tests).  The per-chunk
+inner loop exits as soon as no lane has work left in the chunk (coding,
+draining a carry run, or the 5-byte final flush); the fixed 1.5x step
+slack is only a cap for pathological drain runs, whose overflow reroutes
+to the XLA serializer via the `consumed` check.
 """
 
 from __future__ import annotations
@@ -39,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RING = 512   # staged bytes between flushes (bounds per-chunk emissions)
+RING = 256
 CHUNK = 512  # (ctx,bit) entries DMA'd per tile
 
 
@@ -59,43 +53,41 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
     """Drop-in replacement for device_encoder.serialize (same contract)."""
     n_real, B = ctx.shape
     # Mosaic tiles the lane axis in sublanes of 8: unaligned lane counts
-    # fail to lower on real hardware, so pad with idle lanes (totals=0)
-    # and slice them back off below
+    # fail to lower on real hardware (memref_slice of a 12-row tile), so
+    # pad with idle lanes (totals=0) and slice them back off below
     N = _round_up(n_real, 8)
     if N != n_real:
         rows = ((0, N - n_real), (0, 0))
         ctx = jnp.pad(ctx, rows, constant_values=-3)
         bits = jnp.pad(bits, rows)
         totals = jnp.pad(totals, (0, N - n_real))
-    SP = _round_up((arena_size + 1) // 2, 128)
+    S = _round_up(arena_size, 128)
     B_pad = _round_up(B, CHUNK)
     if B_pad != B:
         pad = ((0, 0), (0, B_pad - B))
         ctx = jnp.pad(ctx, pad, constant_values=-3)
         bits = jnp.pad(bits, pad)
-    # one packed word per (ctx, bit)
+    # one packed word per (ctx, bit): ctx >= -3, so (ctx+4)*2+bit >= 2
     packed = ((ctx + 4) << 1) | bits
     max_out_pad = _round_up(max_out, RING)
     num_chunks = B_pad // CHUNK
-    # post-last-chunk tail: 5 final shiftLows (flush) + slack
-    TAIL = 8
+    step_cap = CHUNK + CHUNK // 2 + 16
 
     def kernel(totals_ref, pk_hbm, out_ref, lens_ref,
                probs, ring, pk_tile, sems):
         # lens_ref row 0 = emitted bytes; row 1 = consumed bits or -1 on
         # staging-ring overflow — the wrapper falls back to the XLA
         # serializer unless row 1 == totals for every lane.  Aux values
-        # travel as ROWS: column slices tax the loop-carry layout
-        # (MEASUREMENTS.md).
+        # travel as ROWS ((1,N)/(2,N)): column slices poison the
+        # loop-carry layout (tools/probe_ring_ablate.py `rowaux`).
         out_ref[:] = jnp.zeros_like(out_ref)
-        probs[:] = jnp.full_like(probs, 1024 | (1024 << 16))
+        probs[:] = jnp.full_like(probs, 1024)
         ring[:] = jnp.zeros_like(ring)
-        arena_cols = jax.lax.broadcasted_iota(jnp.int32, (N, SP), 1)
+        arena_cols = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
         ring_cols = jax.lax.broadcasted_iota(jnp.int32, (N, RING), 1)
         out_cols = jax.lax.broadcasted_iota(jnp.int32, (N, max_out_pad), 1)
-        tot = totals_ref[0, :]
-
         tile_cols = jax.lax.broadcasted_iota(jnp.int32, (N, CHUNK), 1)
+        tot = totals_ref[0, :]
 
         def copy_chunk(slot, chunk_idx):
             return pltpu.make_async_copy(
@@ -105,58 +97,61 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         copy_chunk(0, 0).start()
 
         def flush(out_vals, ring_vals, flush_base, out_pos):
-            # ring positions are absolute mod RING, so output byte j maps
-            # to ring column j % RING and the select needs no gather.
-            # (A packed-word flush would shrink this pass 4x, but Mosaic
-            # rejects the stride-4 byte-combine slices it needs.)
+            # ring is indexed by absolute position mod RING, so the staged
+            # byte for output column j is ring[:, j % RING] — a static tile,
+            # not a gather (Mosaic supports only full-shape dynamic gathers)
             m = (out_cols >= flush_base[:, None]) & (out_cols < out_pos[:, None])
             vals = jnp.tile(ring_vals, (1, max_out_pad // RING))
             return jnp.where(m, vals, out_vals)
 
-        def make_step(chunk_idx, slot, last):
-            def step(carry):
-                (t, low, carry_f, rng, cache, pending, out_pos, flush_i,
-                 flush_base, err) = carry
-                gpos = chunk_idx * CHUNK + t
-                coding = gpos < tot
-                flushing = (~coding) & (flush_i < 5) & last
+        # global registers
+        def chunk_body(chunk_idx, carry):
+            (low, carry_f, rng, cache, pending, drain, drain_byte,
+             bit_pos, out_pos, flush_i, flush_base, err) = carry
+            slot = chunk_idx % 2
 
-                # lock-step token fetch: every coding lane reads COLUMN t
-                # of the tile — a masked sum against a SCALAR index (the
-                # old per-lane gather needed per-lane indices; lock-step
-                # makes it uniform, and Mosaic rejects both value-level
-                # dynamic_slice and unaligned pl.ds row reads)
-                sel = tile_cols == t
+            @pl.when(chunk_idx + 1 < num_chunks)
+            def _():
+                copy_chunk((chunk_idx + 1) % 2, chunk_idx + 1).start()
+
+            copy_chunk(slot, chunk_idx).wait()
+            last_chunk = chunk_idx == num_chunks - 1
+
+            def bit_body(inner):
+                (t, low, carry_f, rng, cache, pending, drain, drain_byte,
+                 bit_pos, out_pos, flush_i, err) = inner
+                draining = drain > 0
+                in_chunk = (bit_pos >= chunk_idx * CHUNK) & (
+                    bit_pos < (chunk_idx + 1) * CHUNK)
+                has_bits = (bit_pos < tot) & in_chunk
+                flushing = (~draining) & (bit_pos >= tot) & (flush_i < 5) & (
+                    last_chunk)
+                coding = (~draining) & has_bits
+
+                local = jnp.clip(bit_pos - chunk_idx * CHUNK, 0, CHUNK - 1)
+                # tpu.dynamic_gather spans one vreg only; use a masked sum
+                # over the packed (ctx,bit) tile — one pass, not two
+                sel = tile_cols == local[:, None]
                 pk = jnp.sum(jnp.where(sel, pk_tile[slot], 0), axis=1)
                 cx = (pk >> 1) - 4
                 bt = pk & 1
                 adaptive = coding & (cx >= 0)
                 direct = coding & (cx == -1)
 
-                # packed-pair arena RMW (see ops/pallas_ring.py)
-                safe_cx = jnp.where(adaptive, cx, 0)
-                wi = safe_cx >> 1
-                hi = safe_cx & 1
-                amask = (arena_cols == wi[:, None]) & _mask2d(adaptive)
-                word = jnp.sum(jnp.where(amask, probs[:], 0), axis=1)
-                prob = jnp.where(hi == 1, word >> 16, word) & 0xFFFF
+                mask = (arena_cols == cx[:, None]) & _mask2d(adaptive)
+                prob = jnp.sum(jnp.where(mask, probs[:], 0), axis=1)
+                bound = (rng >> 11) * prob.astype(jnp.uint32)
                 new_prob = jnp.where(
                     bt == 0, prob + ((2048 - prob) >> 5), prob - (prob >> 5))
-                nword = jnp.where(hi == 1,
-                                  (word & 0xFFFF) | (new_prob << 16),
-                                  (word - (word & 0xFFFF)) | new_prob)
-                probs[:] = jnp.where(amask, nword[:, None], probs[:])
+                probs[:] = jnp.where(mask, new_prob[:, None], probs[:])
 
-                bound = (rng >> 11) * prob.astype(jnp.uint32)
                 low_add_a = jnp.where(bt == 1, bound, jnp.uint32(0))
                 rng_a = jnp.where(bt == 0, bound, rng - bound)
                 rng_d = rng >> 1
                 low_add_d = jnp.where(bt == 1, rng_d, jnp.uint32(0))
-                rng1 = jnp.where(adaptive, rng_a,
-                                 jnp.where(direct, rng_d, rng))
+                rng1 = jnp.where(adaptive, rng_a, jnp.where(direct, rng_d, rng))
                 low_add = jnp.where(
-                    adaptive, low_add_a,
-                    jnp.where(direct, low_add_d, jnp.uint32(0)))
+                    adaptive, low_add_a, jnp.where(direct, low_add_d, jnp.uint32(0)))
                 new_low = low + low_add
                 new_carry = carry_f | (new_low < low).astype(jnp.int32)
 
@@ -168,77 +163,83 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                 emit_byte = (cache + new_carry) & 0xFF
                 filler = (0xFF + new_carry) & 0xFF
 
-                # inline emission: the cache byte plus the WHOLE pending
-                # run land this iteration.  err latches when an emission
-                # would overrun the unflushed ring span; err lanes stop
-                # writing (they re-encode on the XLA fallback).
-                n_emit = jnp.where(fire, 1 + pending, 0)
-                err = err | (fire & (
-                    out_pos + n_emit - flush_base > RING - 4)).astype(
-                        jnp.int32)
-                ok_w = fire & (err == 0)
-                # ring slot of the cache byte, then `pending` fillers
-                rel = (ring_cols - (out_pos & (RING - 1))[:, None]) \
-                    & (RING - 1)
-                head_m = (rel == 0) & _mask2d(ok_w)
-                run_m = (rel >= 1) & (rel <= pending[:, None]) & _mask2d(ok_w)
+                wflag = draining | fire
+                wbyte = jnp.where(draining, drain_byte, emit_byte)
+                # err is i32 0/1: Mosaic cannot legalize i1 loop carries
+                err = err | (wflag & (out_pos - flush_base >= RING)).astype(jnp.int32)
+                rslot = out_pos & (RING - 1)
                 ring[:] = jnp.where(
-                    head_m, emit_byte[:, None],
-                    jnp.where(run_m, filler[:, None], ring[:]))
+                    (ring_cols == rslot[:, None]) & _mask2d(wflag),
+                    wbyte[:, None], ring[:])
 
-                out_pos = out_pos + jnp.where(ok_w, n_emit, 0)
-                pending = jnp.where(fire, 0,
-                                    jnp.where(stall, pending + 1, pending))
+                out_pos = out_pos + jnp.where(wflag, 1, 0)
+                drain = jnp.where(
+                    draining, drain - 1, jnp.where(fire, pending, drain))
+                drain_byte = jnp.where(fire, filler, drain_byte)
+                pending = jnp.where(
+                    fire, 0, jnp.where(stall, pending + 1, pending))
                 cache = jnp.where(
                     fire, (new_low >> 24).astype(jnp.int32) & 0xFF, cache)
-                low2 = jnp.where(need_shift, (new_low & 0xFFFFFF) << 8,
-                                 new_low)
+                low2 = jnp.where(need_shift, (new_low & 0xFFFFFF) << 8, new_low)
                 carry2 = jnp.where(need_shift, 0, new_carry)
+                bit_pos = bit_pos + jnp.where(coding, 1, 0)
                 flush_i = flush_i + jnp.where(flushing, 1, 0)
-                return (t + 1, low2, carry2, rng2, cache, pending,
-                        out_pos, flush_i, flush_base, err)
-            return step
+                return (t + 1, low2, carry2, rng2, cache, pending, drain,
+                        drain_byte, bit_pos, out_pos, flush_i, err)
 
-        def run_chunk(chunk_idx, carry, last_static):
-            (low, carry_f, rng, cache, pending, out_pos, flush_i,
-             flush_base, err) = carry
-            slot = chunk_idx % 2
+            def bit_cond(inner):
+                (t, low, carry_f, rng, cache, pending, drain, drain_byte,
+                 bit_pos, out_pos, flush_i, err) = inner
+                # a lane has work while it drains a carry run, has bits
+                # left inside this chunk, or still owes final-flush bytes
+                work = (drain > 0) | (
+                    (bit_pos < tot)
+                    & (bit_pos >= chunk_idx * CHUNK)
+                    & (bit_pos < (chunk_idx + 1) * CHUNK))
+                if isinstance(last_chunk, bool):
+                    lc = jnp.bool_(last_chunk)
+                else:
+                    lc = last_chunk
+                work = work | (lc & (bit_pos >= tot) & (flush_i < 5))
+                return jnp.any(work) & (t < step_cap)
 
-            @pl.when(chunk_idx + 1 < num_chunks)
-            def _():
-                copy_chunk((chunk_idx + 1) % 2, chunk_idx + 1).start()
+            # the work check (a cross-lane any() + scalar readback) runs
+            # once per INNER_CHECK iterations, not per coded bit; the
+            # inner loop keeps a scalar-only while condition
+            # (MEASUREMENTS.md round-2 methodology entry)
+            INNER_CHECK = 64
 
-            copy_chunk(slot, chunk_idx).wait()
-            last = jnp.bool_(True) if last_static else (
-                chunk_idx == num_chunks - 1)
-            step = make_step(chunk_idx, slot, last)
-            trip = CHUNK + (TAIL if last_static else 0)
-            inner = (jnp.int32(0), low, carry_f, rng, cache, pending,
-                     out_pos, flush_i, flush_base, err)
-            inner = jax.lax.while_loop(lambda c: c[0] < trip, step, inner)
-            (_, low, carry_f, rng, cache, pending, out_pos, flush_i,
-             flush_base, err) = inner
+            def burst(c):
+                t, c = jax.lax.while_loop(
+                    lambda tc: tc[0] < INNER_CHECK,
+                    lambda tc: (tc[0] + 1, bit_body(tc[1])),
+                    (jnp.int32(0), c))
+                return c
 
+            inner = (jnp.int32(0), low, carry_f, rng, cache, pending, drain,
+                     drain_byte, bit_pos, out_pos, flush_i, err)
+            inner = jax.lax.while_loop(bit_cond, burst, inner)
+            (_, low, carry_f, rng, cache, pending, drain, drain_byte,
+             bit_pos, out_pos, flush_i, err) = inner
+
+            # flush staged ring into out
             out_ref[:] = flush(out_ref[:], ring[:], flush_base, out_pos)
             flush_base = out_pos
-            return (low, carry_f, rng, cache, pending, out_pos, flush_i,
-                    flush_base, err)
+            return (low, carry_f, rng, cache, pending, drain, drain_byte,
+                    bit_pos, out_pos, flush_i, flush_base, err)
 
         z = jnp.zeros((N,), dtype=jnp.int32)
+        err0 = z
         init = (jnp.zeros((N,), jnp.uint32), z,
-                jnp.full((N,), 0xFFFFFFFF, jnp.uint32), z, z, z, z, z, z)
-        if num_chunks > 1:
-            init = jax.lax.fori_loop(
-                0, num_chunks - 1,
-                lambda i, c: run_chunk(i, c, last_static=False), init)
-        final = run_chunk(num_chunks - 1, init, last_static=True)
-        (low, carry_f, rng, cache, pending, out_pos, flush_i, flush_base,
-         err) = final
-        lens_ref[0, :] = out_pos
+                jnp.full((N,), 0xFFFFFFFF, jnp.uint32), z, z, z, z, z, z, z, z,
+                err0)
+        final = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
+        lens_ref[0, :] = final[8]
         # a lane only counts as done when the 5-byte flush ran AND its
-        # pending-0xFF run emptied AND no ring overflow was latched
-        complete = (flush_i == 5) & (pending == 0) & (err == 0)
-        lens_ref[1, :] = jnp.where(complete, tot, -1)
+        # pending-0xFF drain emptied — bits alone can be consumed with the
+        # tail un-emitted if the iteration budget ran out mid-drain
+        complete = (final[9] == 5) & (final[5] == 0) & (final[11] == 0)
+        lens_ref[1, :] = jnp.where(complete, final[7], -1)
 
     out, lens = pl.pallas_call(
         kernel,
@@ -247,17 +248,17 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
             jax.ShapeDtypeStruct((2, N), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # totals (1, N)
-            pl.BlockSpec(memory_space=pl.ANY),          # packed tokens (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # totals
+            pl.BlockSpec(memory_space=pl.ANY),          # packed ctx|bit (HBM)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, SP), jnp.int32),             # packed prob pairs
-            pltpu.VMEM((N, RING), jnp.int32),           # byte ring
-            pltpu.VMEM((2, N, CHUNK), jnp.int32),       # token tiles
+            pltpu.VMEM((N, S), jnp.int32),              # probs
+            pltpu.VMEM((N, RING), jnp.int32),           # ring
+            pltpu.VMEM((2, N, CHUNK), jnp.int32),       # packed tiles
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -270,10 +271,10 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
 def serialize_with_fallback(ctx, bits, totals, arena_size: int, max_out: int):
     """Pallas fast path with a guaranteed-correct XLA fallback.
 
-    The kernel's staging envelope (RING-byte flush windows) covers all
-    realistic streams; `consumed` reports whether every lane finished
-    inside it, and any shortfall reroutes the whole batch to the XLA
-    serializer.
+    The kernel's staging envelope (per-chunk step cap, RING-byte flush
+    windows) covers all realistic streams; `consumed` reports whether every
+    lane finished inside it, and any shortfall reroutes the whole batch to
+    the XLA serializer.
     """
     from .device_encoder import serialize
 

@@ -82,12 +82,17 @@ def main():
         sizes = jnp.full((n,), bs, jnp.int32)
         lj = jnp.asarray(lens)
 
+        comp_j = jnp.asarray(comp)
+
+        @jax.jit
+        def _perturb(c, t):
+            # ON-DEVICE perturbation of a padding byte: defeats the relay
+            # result cache without re-uploading comp over the slow relay
+            # link per trial (which inflates ns/iter at large N)
+            return c.at[:, -1].set(t)
+
         def run(trial):
-            # perturb a padding byte per trial: the relay memoizes repeated
-            # identical (program, inputs) executions (MEASUREMENTS.md)
-            c = comp.copy()
-            c[:, -1] = trial + 1
-            cj = jnp.asarray(c)
+            cj = _perturb(comp_j, jnp.int32(trial + 1))
             o, ok, it = decode_pallas_ring(
                 cj, lj, sizes, dict_size, lc, 0, 2, bs, stage_input=staged,
                 copy4=copy4)

@@ -40,16 +40,21 @@ def main():
                 num_candidates=4)
             jax.block_until_ready(ctx)
             mo = int(max_out)
-            bits_h = np.asarray(bits)
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=())
+            def _perturb(b, t):
+                # ON-DEVICE pad-bit perturbation: defeats the relay result
+                # cache without re-uploading the (N, max_bits) array over
+                # the slow relay link (which dominated the old timing —
+                # the 2026-08-20 1.3 MB/s "regression" was H2D, not the
+                # kernel)
+                return b.at[:, -1].set(t & 1)
 
             def run(trial):
-                # perturb a PAD bit (entries past each lane's total are
-                # ignored by the coder but change the input hash, defeating
-                # the relay result cache)
-                b = bits_h.copy()
-                b[:, -1] = trial & 1
+                b = _perturb(bits, jnp.int32(trial))
                 out, olens, consumed = serialize_pallas(
-                    ctx, jnp.asarray(b), totals, arena, mo)
+                    ctx, b, totals, arena, mo)
                 jax.block_until_ready(out)
                 return out, olens, consumed
 

@@ -263,10 +263,12 @@ def main():
             assert bool(jnp.all(cons_r == tot_r_))
             comp_r = cstreams.astype(jnp.int32)
 
+            from lzma_tpu.ops.pallas_ring import C_IN
+
             def dec_res():
                 # staged input + multi-byte copy: the round-2 champion
                 # decode configuration (MEASUREMENTS.md lane_scale2 sweeps)
-                pad = -comp_r.shape[1] % 1024
+                pad = -comp_r.shape[1] % C_IN
                 comp_p = jnp.pad(comp_r, ((0, 0), (0, pad))) if pad else comp_r
                 o, ok, _ = decode_pallas_ring(
                     comp_p, clens, jnp.full((lanes_r,), bs_r, jnp.int32),

@@ -54,8 +54,17 @@ def decode_alone(data: bytes) -> bytes:
             try:
                 (d,) = decode_batch([data[13:]], params, [-cap])
                 return d
-            except Exception:
-                pass
+            except Exception as e:
+                # loud degradation (VERDICT r2 item 6): a Mosaic/XLA
+                # regression on the device EOS path must be visible, not
+                # silently absorbed by the native fallback
+                import warnings
+
+                warnings.warn(
+                    f"device EOS decode failed ({e!r}); falling back to the"
+                    " native/scalar streaming decoder",
+                    stacklevel=2,
+                )
         try:
             from ..runtime import native
 

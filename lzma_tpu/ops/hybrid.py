@@ -65,7 +65,9 @@ def encode_blocks_hybrid(
     blocks = blk.split_blocks(data, block_size)
     if not blocks:
         return blk.build_container(params, block_size, 0, [])
-    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    from .device_encoder import clamp_fb
+
+    fb = int(fb if fb is not None else clamp_fb(params.fast_bytes))
     n = len(blocks)
     bs = block_size
     arr = np.zeros((n, bs), dtype=np.uint8)
@@ -222,7 +224,11 @@ def encode_blocks_hybrid_optimal(
     blocks = blk.split_blocks(data, block_size)
     if not blocks:
         return blk.build_container(params, block_size, 0, [])
-    fb = int(fb if fb is not None else min(params.fast_bytes, 64))
+    # Unlike the lazy tokenizer (static 64-byte compare window), the
+    # candidate-list compare depth is a static loop bound — the full
+    # reference fb range 5..273 (Encoder.java:1148-1154) is honored here,
+    # on both the device compare loop and the host optimal parse.
+    fb = int(fb if fb is not None else params.fast_bytes)
     n = len(blocks)
     bs = block_size
     arr = np.zeros((n, bs), dtype=np.uint8)

@@ -165,7 +165,15 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
 
                 wflag = draining | fire
                 wbyte = jnp.where(draining, drain_byte, emit_byte)
-                # err is i32 0/1: Mosaic cannot legalize i1 loop carries
+                # err is i32 0/1: Mosaic cannot legalize i1 loop carries.
+                # After err latches, the lane keeps writing wrapped ring
+                # slots and advancing out_pos — its flushed bytes are
+                # garbage from that point.  Correctness depends on the
+                # whole-batch fallback invariant: serialize_with_fallback
+                # reroutes the ENTIRE batch to the XLA serializer when any
+                # lane reports consumed != totals (err forces consumed=-1
+                # via `complete` below), so a latched lane's output is
+                # never consumed.
                 err = err | (wflag & (out_pos - flush_base >= RING)).astype(jnp.int32)
                 rslot = out_pos & (RING - 1)
                 ring[:] = jnp.where(

@@ -111,12 +111,16 @@ def test_ring_decode_corrupt_falls_back():
 
 
 @pytest.mark.parametrize("copy4", [True, False])
-def test_ring_decode_copy4_modes(copy4):
+@pytest.mark.parametrize("stage_input", [False, True])
+def test_ring_decode_copy4_modes(copy4, stage_input):
     """Multi-byte match copy (copy4) is byte-exact vs the 1-byte path,
     including dist==1 RLE runs, dist 2/3 overlapped copies and ragged
-    tails (Decoder.java:288-294 semantics)."""
+    tails (Decoder.java:288-294 semantics).  Parametrized over staged
+    input too: copy4+staged is the production/bench champion config and
+    its stall-revert interaction (st2 reverted for stalled lanes while
+    extension state advances) is the trickiest path in the kernel."""
     import jax.numpy as jnp
-    from lzma_tpu.ops.pallas_ring import decode_pallas_ring
+    from lzma_tpu.ops.pallas_ring import C_IN, decode_pallas_ring
 
     rng = np.random.default_rng(9)
     params = LzmaParams(dict_size=1 << 11, fast_bytes=64)
@@ -125,7 +129,8 @@ def test_ring_decode_copy4_modes(copy4):
     payloads.append(bytes([1, 2]) * 1500)                  # dist==2
     payloads.append(bytes([1, 2, 3]) * 1000 + b"xy")       # dist==3
     streams = [encode_stream(p, params, mode="optimal") for p in payloads]
-    mi = -(-max(len(s) for s in streams) // 4) * 4
+    align = C_IN if stage_input else 4
+    mi = -(-max(len(s) for s in streams) // align) * align
     comp = np.zeros((len(payloads), mi), np.int32)
     lens = np.zeros(len(payloads), np.int32)
     for i, s in enumerate(streams):
@@ -136,7 +141,7 @@ def test_ring_decode_copy4_modes(copy4):
         jnp.asarray(comp), jnp.asarray(lens),
         jnp.asarray(np.array([len(p) for p in payloads], np.int32)),
         1 << 11, params.lc, params.lp, params.pb, mo,
-        interpret=True, stage_input=False, copy4=copy4)
+        interpret=True, stage_input=stage_input, copy4=copy4)
     assert bool(jnp.all(ok))
     for i, p in enumerate(payloads):
         assert np.asarray(out[i, :len(p)]).tobytes() == p

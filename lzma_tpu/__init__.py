@@ -43,7 +43,8 @@ def _native_or_none():
 def compress(data: bytes, params: LzmaParams | None = None,
              container: str = "alone", block_size: int = 1 << 20,
              num_threads: int = 0, preset_len: int = 0,
-             dictionary: bytes = b"", train_dict=0, **kw) -> bytes:
+             dictionary: bytes = b"", train_dict=0,
+             backend: str | None = None, **kw) -> bytes:
     """Compress in memory.  container="alone" (default): one `.lzma`
     (LZMA_Alone) stream — the reference's container, liblzma-decodable.
     container="lztb": the block-parallel LZTB container (all host
@@ -52,6 +53,10 @@ def compress(data: bytes, params: LzmaParams | None = None,
 
     Routes through the native runtime when built (byte-identical to the
     scalar oracle — pinned by tests), scalar otherwise.
+    backend="hybrid" (LZTB only) runs the hybrid-OPTIMAL TPU pipeline:
+    device multi-tier candidate search + host optimal parse/serialize
+    (ops/hybrid.encode_blocks_hybrid_optimal) — ratio ~ native bt4-opt
+    at a fraction of the host cost, with the search on the accelerator.
 
     params="auto" picks lc/lp/pb by measured cost on a spread sample of
     the input (utils/autotune.py); other fields keep their defaults or
@@ -78,7 +83,17 @@ def compress(data: bytes, params: LzmaParams | None = None,
                                                block_size=block_size)
             else:
                 dictionary = train_dictionary(data, train_dict)
-        if native is not None:
+        if backend == "hybrid":
+            from .ops.hybrid import encode_blocks_hybrid_optimal
+
+            return encode_blocks_hybrid_optimal(
+                data, params, block_size=block_size,
+                num_threads=num_threads, preset_len=preset_len,
+                dictionary=dictionary,
+            )
+        if backend not in (None, "native", "scalar"):
+            raise ValueError(f"unknown backend: {backend!r}")
+        if native is not None and backend != "scalar":
             return native.encode_blocks(
                 data, params, block_size=block_size, num_threads=num_threads,
                 preset_len=preset_len, dictionary=dictionary,
@@ -96,6 +111,11 @@ def compress(data: bytes, params: LzmaParams | None = None,
         raise ValueError(f"unknown container: {container!r}")
     if preset_len or dictionary or train_dict:
         raise ValueError("preset dictionaries apply to the LZTB container only")
+    if backend == "hybrid":
+        raise ValueError(
+            'backend="hybrid" encodes the block-parallel LZTB container; '
+            'pass container="lztb"'
+        )
     params = params or LzmaParams()
     if native is not None:
         return native.encode_alone(data, params)

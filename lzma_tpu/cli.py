@@ -35,7 +35,9 @@ Usage:  lzma_tpu <e|d|b> [<switches>...] inputFile outputFile
   -eos:   write End Of Stream marker
   -backend{B}: scalar | native | tpu | hybrid (default: native if built,
           else scalar; hybrid = device match search + native serialize,
-          encode with -bs{N}, decodes via native)
+          encode with -bs{N}, decodes via native; -a2 [default] runs the
+          hybrid-OPTIMAL pipeline — device candidate lists + host optimal
+          parse; -a0/-a1 the greedy/lazy device tokenizer)
   -bs{N}: block size (bytes) -> block-parallel LZTB container
   -ps{N}: shared preset-dictionary bytes for block-parallel mode (LZTB v2)
   -td{N}: train an N-byte dictionary from the input and store it in the
@@ -322,20 +324,34 @@ def _dispatch(cmd: "CommandLine") -> int:
                 print("error: -backendhybrid encodes the block container; "
                       "pass -bs{N}")
                 return 1
-            from .ops.hybrid import encode_blocks_hybrid
-
             params = cmd.params().validated_for_encode()
             with open(cmd.in_file, "rb") as f:
                 data = f.read()
-            out = encode_blocks_hybrid(
-                data, params, block_size=cmd.block_size,
-                num_threads=cmd.threads, preset_len=cmd.preset_len,
-                dictionary=_trained_dict(data),
-            )
+            if cmd.algorithm >= 2:
+                # flagship TPU encode: device multi-tier candidate lists +
+                # host optimal parse (ratio ~ native bt4-opt at a fraction
+                # of the host cost)
+                from .ops.hybrid import encode_blocks_hybrid_optimal
+
+                out = encode_blocks_hybrid_optimal(
+                    data, params, block_size=cmd.block_size,
+                    num_threads=cmd.threads, preset_len=cmd.preset_len,
+                    dictionary=_trained_dict(data),
+                )
+                tag = "hybrid-optimal"
+            else:
+                from .ops.hybrid import encode_blocks_hybrid
+
+                out = encode_blocks_hybrid(
+                    data, params, block_size=cmd.block_size,
+                    num_threads=cmd.threads, preset_len=cmd.preset_len,
+                    dictionary=_trained_dict(data),
+                )
+                tag = "hybrid"
             with open(cmd.out_file, "wb") as f:
                 f.write(out)
             if not cmd.quiet:
-                print(f"e: {len(data)} -> {len(out)} bytes [hybrid]")
+                print(f"e: {len(data)} -> {len(out)} bytes [{tag}]")
             return 0
         if cmd.command == "d" and cmd.backend == "hybrid":
             cmd.backend = None  # hybrid is an encode pipeline; decode native

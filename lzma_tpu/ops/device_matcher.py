@@ -214,13 +214,20 @@ def _compact(best_len, best_dist, on_path, n, lazy: bool = False):
     return t_pos_c, t_len_c, t_dist_c, t_valid, num_tokens
 
 
-def _neighbor_candidates(h, pos, max_n: int, k: int):
-    """k nearest previous positions with the same hash value, via one
-    stable sort (the same trick as find_best_matches step 2)."""
+def _neighbor_candidates(h, pos, max_n: int, k, sort_hint=None):
+    """Nearest previous positions with the same hash value, via one
+    stable sort (the same trick as find_best_matches step 2).
+
+    `k` is either an int (ranks 1..k — the k nearest) or an explicit
+    tuple of ranks (e.g. (1, 2, 4, 8): rank-spaced sampling reaches
+    deeper into crowded hash groups at the same candidate budget)."""
+    ranks = tuple(range(1, k + 1)) if isinstance(k, int) else tuple(k)
+    if not ranks:
+        return []
     order = jnp.lexsort((pos, h))
     sorted_h = h[order]
     cands = []
-    for j in range(1, k + 1):
+    for j in ranks:
         prev = jnp.roll(order, j)
         same = jnp.roll(sorted_h, j) == sorted_h
         same = same & (jnp.arange(max_n) >= j)
@@ -230,15 +237,20 @@ def _neighbor_candidates(h, pos, max_n: int, k: int):
     return cands
 
 
-@partial(jax.jit, static_argnames=("fb", "k4", "k8"))
-def find_match_lists(data, n, dict_size, fb: int, k4: int = 4, k8: int = 2):
+@partial(jax.jit,
+         static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32"))
+def find_match_lists(data, n, dict_size, fb: int, k4=4, k8=2,
+                     k2=1, k3=1, k6=0, k16=0, k32=0):
     """Multi-tier ascending (len, dist) candidate lists per position — the
     device half of the hybrid-OPTIMAL pipeline (VERDICT r1 item 3).
 
     Tiers (mirroring BT4's sub-hash structure, BinTree.java:170-208):
-      2-byte exact (nearest), 3-byte exact (nearest), 4-byte hash
-      (k4 nearest), 8-byte hash (k8 nearest — long-match seeds the short
-      hash tiers under-sample).
+      2-byte exact (k2 nearest), 3-byte exact (k3 nearest), 4-byte hash
+      (k4 nearest), 8-byte hash (k8 nearest) and optional 6/16/32-byte
+      hashes (k6/k16/k32 nearest) — the longer seeds reach matches whose
+      short prefixes are too common to surface within k neighbors.  Each
+      k is an int (k nearest) or a tuple of ranks (rank-spaced sampling,
+      see _neighbor_candidates).
     Candidates are merged per position by ascending distance with a
     strictly-increasing-length filter, yielding exactly the ascending
     pair-list contract of BinTree.fillMatches (each kept length at its
@@ -247,12 +259,13 @@ def find_match_lists(data, n, dict_size, fb: int, k4: int = 4, k8: int = 2):
     (read_match_distances / Encoder.java:275-287).
 
     Returns (lens (max_n, M), dists (max_n, M), counts (max_n,)) with
-    valid pairs compacted to the front of each row, M = 2 + k4 + k8.
+    valid pairs compacted to the front of each row, M = sum of tier ks.
     """
     max_n = data.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
     d = data.astype(jnp.uint32)
-    b = [jnp.roll(d, -i) for i in range(8)]
+    nroll = 32 if k32 else (16 if k16 else 8)
+    b = [jnp.roll(d, -i) for i in range(nroll)]
 
     uniq = jnp.uint32(0x80000000)
     h2 = jnp.where(pos + 1 < n, b[0] | (b[1] << 8),
@@ -262,15 +275,24 @@ def find_match_lists(data, n, dict_size, fb: int, k4: int = 4, k8: int = 2):
     h4 = (b[0] * jnp.uint32(2654435761) ^ b[1] * jnp.uint32(2246822519)
           ^ b[2] * jnp.uint32(3266489917) ^ b[3] * jnp.uint32(668265263))
     h4 = jnp.where(pos + 3 < n, h4, uniq ^ pos.astype(jnp.uint32))
-    h8 = h4
-    for i in range(4, 8):
-        h8 = h8 * jnp.uint32(2654435761) ^ b[i] * jnp.uint32(2246822519)
-    h8 = jnp.where(pos + 7 < n, h8, uniq ^ pos.astype(jnp.uint32))
 
-    cands = (_neighbor_candidates(h2, pos, max_n, 1)
-             + _neighbor_candidates(h3, pos, max_n, 1)
+    def _extend(h, lo, hi):
+        for i in range(lo, hi):
+            h = h * jnp.uint32(2654435761) ^ b[i] * jnp.uint32(2246822519)
+        return jnp.where(pos + hi - 1 < n, h, uniq ^ pos.astype(jnp.uint32))
+
+    h6 = _extend(h4, 4, 6) if k6 else None
+    h8 = _extend(h4, 4, 8)
+    h16 = _extend(h8, 8, 16) if k16 else None
+    h32 = _extend(h16 if k16 else _extend(h8, 8, 16), 16, 32) if k32 else None
+
+    cands = (_neighbor_candidates(h2, pos, max_n, k2)
+             + _neighbor_candidates(h3, pos, max_n, k3)
              + _neighbor_candidates(h4, pos, max_n, k4)
-             + _neighbor_candidates(h8, pos, max_n, k8))
+             + (_neighbor_candidates(h6, pos, max_n, k6) if k6 else [])
+             + _neighbor_candidates(h8, pos, max_n, k8)
+             + (_neighbor_candidates(h16, pos, max_n, k16) if k16 else [])
+             + (_neighbor_candidates(h32, pos, max_n, k32) if k32 else []))
     cand = jnp.stack(cands, axis=1)                    # (max_n, M)
     M = cand.shape[1]
 

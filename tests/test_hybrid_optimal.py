@@ -129,3 +129,53 @@ def test_hybrid_optimal_preset_variants():
     blob_v3 = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14,
                                            dictionary=dictionary)
     assert native.decode_blocks(blob_v3) == data
+
+
+def test_compress_backend_hybrid_roundtrip():
+    """compress(backend="hybrid") is the public hybrid-optimal surface
+    (VERDICT r2 item 1c): LZTB out, decodable by the standard decoder."""
+    import lzma_tpu
+    from lzma_tpu.bench.datagen import generate_bench_data
+
+    data = generate_bench_data((1 << 16) + 77)
+    blob = lzma_tpu.compress(data, container="lztb", backend="hybrid",
+                             block_size=1 << 14, dict_size=1 << 14,
+                             fast_bytes=16)
+    assert lzma_tpu.decompress(blob) == data
+    # hybrid is a block pipeline: the alone container rejects it loudly
+    with pytest.raises(ValueError):
+        lzma_tpu.compress(data, backend="hybrid")
+    with pytest.raises(ValueError):
+        lzma_tpu.compress(data, container="lztb", backend="nope")
+
+
+def test_hybrid_optimal_tiers_kwarg():
+    """Tier overrides flow through to the device search; shallow tiers
+    still produce a valid (just larger) container."""
+    from lzma_tpu.bench.datagen import generate_bench_data
+    from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
+
+    data = generate_bench_data(1 << 15)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=16)
+    blob_deep = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14)
+    blob_shallow = encode_blocks_hybrid_optimal(
+        data, p, block_size=1 << 14, tiers=dict(k4=2, k8=1, k16=0))
+    assert native.decode_blocks(blob_deep) == data
+    assert native.decode_blocks(blob_shallow) == data
+    assert len(blob_deep) <= len(blob_shallow)
+
+
+def test_hybrid_optimal_honors_fb_above_64():
+    """fb > 64 must flow through to the candidate compare depth and the
+    host parse (the lazy tokenizer caps at 64; this pipeline must not —
+    reference fb range 5..273, Encoder.java:1148-1154)."""
+    import warnings
+
+    from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
+
+    data = (b"a pattern that repeats well beyond sixty-four bytes! " * 40)
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=128)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no clamp warning may fire
+        blob = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14)
+    assert native.decode_blocks(blob) == data

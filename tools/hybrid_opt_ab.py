@@ -29,11 +29,18 @@ from lzma_tpu.format.properties import LzmaParams
 from lzma_tpu.runtime import native
 
 
-def main(size_mb=4, k4=4, k8=2, fb=32):
+def main(size_mb=4, k4=None, k8=None, fb=32):
     import jax
     import jax.numpy as jnp
 
-    from lzma_tpu.ops.hybrid import _flatten_lists, _match_lists_lanes
+    from lzma_tpu.ops.hybrid import (DEFAULT_TIERS, _flatten_lists,
+                                     _match_lists_lanes)
+
+    tiers = dict(DEFAULT_TIERS)
+    if k4 is not None:
+        tiers["k4"] = k4
+    if k8 is not None:
+        tiers["k8"] = k8
 
     total = size_mb << 20
     bs, dict_size = 1 << 18, 1 << 18
@@ -54,7 +61,7 @@ def main(size_mb=4, k4=4, k8=2, fb=32):
         t0 = time.perf_counter()
         cl, cd, counts = _match_lists_lanes(
             jnp.asarray(arr), jnp.asarray(lens), jnp.int32(dict_size),
-            fb, k4, k8)
+            fb, **tiers)
         jax.block_until_ready(cl)
         t_dev = time.perf_counter() - t0
         cl, cd, counts = map(np.asarray, (cl, cd, counts))
@@ -62,16 +69,22 @@ def main(size_mb=4, k4=4, k8=2, fb=32):
         fl, fd, fo, pbase = _flatten_lists(cl, cd, counts, lens)
         t_flat = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        payload, sizes = native.encode_candidate_blocks(
-            arr.reshape(-1), bs, 3, 0, 2, dict_size, fb, fl, fd, fo, pbase,
-            num_threads=2, total_len=len(data))
-        t_host = time.perf_counter() - t0
+        # interleaved median-of-3 (the rig's run-to-run band is ~±8%;
+        # MEASUREMENTS.md methodology entry)
+        t_hosts, t_bts = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            payload, sizes = native.encode_candidate_blocks(
+                arr.reshape(-1), bs, 3, 0, 2, dict_size, fb, fl, fd, fo,
+                pbase, num_threads=2, total_len=len(data))
+            t_hosts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            blob_bt = native.encode_blocks(data, p, block_size=bs,
+                                           num_threads=2)
+            t_bts.append(time.perf_counter() - t0)
+        t_host = sorted(t_hosts)[1]
+        t_bt = sorted(t_bts)[1]
         hyb_size = len(payload)
-
-        t0 = time.perf_counter()
-        blob_bt = native.encode_blocks(data, p, block_size=bs, num_threads=2)
-        t_bt = time.perf_counter() - t0
         # container header overhead excluded: compare payload totals
         import struct
 
@@ -93,8 +106,8 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("size_mb", nargs="?", type=int, default=4)
-    ap.add_argument("--k4", type=int, default=4)
-    ap.add_argument("--k8", type=int, default=2)
+    ap.add_argument("--k4", type=int, default=None)
+    ap.add_argument("--k8", type=int, default=None)
     ap.add_argument("--fb", type=int, default=32)
     a = ap.parse_args()
     main(a.size_mb, a.k4, a.k8, a.fb)

@@ -294,11 +294,13 @@ def main():
             )
             REPORT["kernel_dec_mbs"] = round(kernel_dec, 2)
 
-            # ---- serializer champion: 128 lanes lc3.  The (ctx, bit)
-            # streams come from ONE 32-lane XLA lowering (the only
-            # relay-expensive compile, same shape as r2) tiled 4x — the
-            # kernel processes lanes independently, so repeated rows cost
-            # exactly what distinct rows do
+            # ---- serializer champion: 256 lanes lc3 (the packed-pair
+            # arena's VMEM savings unlock 256; MEASUREMENTS.md round-3
+            # sweep).  The (ctx, bit) streams come from ONE 32-lane XLA
+            # lowering (the only relay-expensive compile, same shape as
+            # r2) tiled up — the kernel processes lanes independently,
+            # so repeated rows cost exactly what distinct rows do
+            lanes_s = 256
             lanes_l = 32
             arr_r = np.frombuffer(data[: lanes_l * bs_r], np.uint8).reshape(
                 lanes_l, bs_r)
@@ -311,9 +313,9 @@ def main():
                 num_candidates=4)
             jax.block_until_ready(ctx_r)
             mo_i = int(mo_r)
-            ctx_t = jnp.tile(ctx_r, (lanes_r // lanes_l, 1))
-            bits_t = jnp.tile(bits_r, (lanes_r // lanes_l, 1))
-            tot_t = jnp.tile(tot_r_, (lanes_r // lanes_l,))
+            ctx_t = jnp.tile(ctx_r, (lanes_s // lanes_l, 1))
+            bits_t = jnp.tile(bits_r, (lanes_s // lanes_l, 1))
+            tot_t = jnp.tile(tot_r_, (lanes_s // lanes_l,))
 
             def ser_res(trial=0):
                 # perturbing a tail ctx entry (never consumed: bit_pos
@@ -327,11 +329,11 @@ def main():
 
             cstreams, clens, cons_r = ser_res()
             assert bool(jnp.all(cons_r == tot_t))
-            tot_s = lanes_r * bs_r
+            tot_s = lanes_s * bs_r
             t_ser = median3(ser_res)
             kernel_enc = tot_s / t_ser / 1e6
             log(
-                f"device rc-encode champion (128x16KB lc3, on-chip): "
+                f"device rc-encode champion (256x16KB lc3, on-chip): "
                 f"{kernel_enc:.2f} MB/s"
             )
             REPORT["kernel_enc_mbs"] = round(kernel_enc, 2)

@@ -7,7 +7,13 @@ formulation XLA cannot express (its scatter into a loop carry copies the
 arena every iteration; see DESIGN-NOTES.md).
 
 Memory plan (N lanes, arena S, max_bits B):
-  probs   (N, S)  int32  VMEM scratch   — adaptive model, one-hot updates
+  probs   (N, S/2) int32 VMEM scratch   — adaptive model, TWO 11-bit
+                                          probabilities per word (the
+                                          ring decoder's packed-pair
+                                          plan, round 3): the per-bit
+                                          gather + RMW update — the
+                                          dominant masked-op width at
+                                          lc3 — runs over S/2 words
   out     (N, max_out) int32 VMEM out   — compressed bytes (as i32)
   ring    (N, RING) int32 VMEM scratch  — staged bytes between out flushes
   packed  (N, B) int32 HBM input        — (ctx, bit) pairs packed into one
@@ -47,10 +53,19 @@ def _mask2d(m):
     return m.astype(jnp.int32)[:, None] != 0
 
 
-@partial(jax.jit, static_argnames=("arena_size", "max_out", "interpret"))
+@partial(jax.jit, static_argnames=("arena_size", "max_out", "interpret",
+                                   "unroll"))
 def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
-                     interpret: bool = False):
-    """Drop-in replacement for device_encoder.serialize (same contract)."""
+                     interpret: bool = False, unroll: int = 1):
+    """Drop-in replacement for device_encoder.serialize (same contract).
+
+    `unroll` = (ctx, bit) entries processed per inner-loop iteration —
+    an EXACT unroll (the bit stream is known in advance), kept for
+    A/B probes but default 1: chip-measured 4-15% SLOWER at 2/4
+    (MEASUREMENTS.md round 3 — the per-sub-step cost is a serial
+    dependency chain, which unrolling cannot amortize; what does help
+    is lane count, which the packed-pair arena's VMEM savings unlocks:
+    256 lanes now compile and set the 7.21 MB/s record)."""
     n_real, B = ctx.shape
     # Mosaic tiles the lane axis in sublanes of 8: unaligned lane counts
     # fail to lower on real hardware (memref_slice of a 12-row tile), so
@@ -61,7 +76,7 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         ctx = jnp.pad(ctx, rows, constant_values=-3)
         bits = jnp.pad(bits, rows)
         totals = jnp.pad(totals, (0, N - n_real))
-    S = _round_up(arena_size, 128)
+    SP = _round_up((arena_size + 1) // 2, 128)  # packed prob pairs
     B_pad = _round_up(B, CHUNK)
     if B_pad != B:
         pad = ((0, 0), (0, B_pad - B))
@@ -81,9 +96,9 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
         # travel as ROWS ((1,N)/(2,N)): column slices poison the
         # loop-carry layout (tools/probe_ring_ablate.py `rowaux`).
         out_ref[:] = jnp.zeros_like(out_ref)
-        probs[:] = jnp.full_like(probs, 1024)
+        probs[:] = jnp.full_like(probs, 1024 | (1024 << 16))
         ring[:] = jnp.zeros_like(ring)
-        arena_cols = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
+        arena_cols = jax.lax.broadcasted_iota(jnp.int32, (N, SP), 1)
         ring_cols = jax.lax.broadcasted_iota(jnp.int32, (N, RING), 1)
         out_cols = jax.lax.broadcasted_iota(jnp.int32, (N, max_out_pad), 1)
         tile_cols = jax.lax.broadcasted_iota(jnp.int32, (N, CHUNK), 1)
@@ -138,12 +153,21 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
                 adaptive = coding & (cx >= 0)
                 direct = coding & (cx == -1)
 
-                mask = (arena_cols == cx[:, None]) & _mask2d(adaptive)
-                prob = jnp.sum(jnp.where(mask, probs[:], 0), axis=1)
+                # packed-pair arena: gather ONE word, extract the half,
+                # update in-register, scatter the word back (same mask)
+                safe_cx = jnp.where(adaptive, cx, 0)
+                wi = safe_cx >> 1
+                hi = safe_cx & 1
+                mask = (arena_cols == wi[:, None]) & _mask2d(adaptive)
+                word = jnp.sum(jnp.where(mask, probs[:], 0), axis=1)
+                prob = jnp.where(hi == 1, word >> 16, word) & 0xFFFF
                 bound = (rng >> 11) * prob.astype(jnp.uint32)
                 new_prob = jnp.where(
                     bt == 0, prob + ((2048 - prob) >> 5), prob - (prob >> 5))
-                probs[:] = jnp.where(mask, new_prob[:, None], probs[:])
+                nword = jnp.where(hi == 1,
+                                  (word & 0xFFFF) | (new_prob << 16),
+                                  (word - (word & 0xFFFF)) | new_prob)
+                probs[:] = jnp.where(mask, nword[:, None], probs[:])
 
                 low_add_a = jnp.where(bt == 1, bound, jnp.uint32(0))
                 rng_a = jnp.where(bt == 0, bound, rng - bound)
@@ -214,13 +238,20 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
             # the work check (a cross-lane any() + scalar readback) runs
             # once per INNER_CHECK iterations, not per coded bit; the
             # inner loop keeps a scalar-only while condition
-            # (MEASUREMENTS.md round-2 methodology entry)
+            # (MEASUREMENTS.md round-2 methodology entry).  Each while
+            # iteration applies `unroll` full sub-steps — the exact
+            # multi-entry unroll (bits are known in advance)
             INNER_CHECK = 64
+
+            def multi_step(c):
+                for _ in range(unroll):
+                    c = bit_body(c)
+                return c
 
             def burst(c):
                 t, c = jax.lax.while_loop(
                     lambda tc: tc[0] < INNER_CHECK,
-                    lambda tc: (tc[0] + 1, bit_body(tc[1])),
+                    lambda tc: (tc[0] + 1, multi_step(tc[1])),
                     (jnp.int32(0), c))
                 return c
 
@@ -264,7 +295,7 @@ def serialize_pallas(ctx, bits, totals, arena_size: int, max_out: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, S), jnp.int32),              # probs
+            pltpu.VMEM((N, SP), jnp.int32),             # packed prob pairs
             pltpu.VMEM((N, RING), jnp.int32),           # ring
             pltpu.VMEM((2, N, CHUNK), jnp.int32),       # packed tiles
             pltpu.SemaphoreType.DMA((2,)),

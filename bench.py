@@ -410,7 +410,10 @@ def main():
     # item 1): ratio within ~0.4% of native bt4-opt at >2x the host-side
     # cost (tools/cand_sweep.py; A/B in MEASUREMENTS.md).  Own watchdog:
     # the candidate search compiles through the relay on TPU rigs.
-    hbudget = int(os.environ.get("LZMA_TPU_BENCH_HYBRID_BUDGET", "240"))
+    # 420 s: the candidate-search executable recompiles through the
+    # remote relay every run on this rig (the persistent cache does not
+    # cover TPU executables) and needs ~200 s before the timed encode
+    hbudget = int(os.environ.get("LZMA_TPU_BENCH_HYBRID_BUDGET", "420"))
     if os.environ.get("LZMA_TPU_BENCH_HYBRID", "1") != "0" and hbudget > 0 \
             and "native" in results:
         class _HBudget(Exception):

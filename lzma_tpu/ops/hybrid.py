@@ -174,6 +174,35 @@ def _match_lists_lanes(data, lens, dict_size, fb, k4, k8, k2=1, k3=1,
     )(data, lens)
 
 
+def _match_lists_grouped(arr, lane_lens, dict_size, fb, tiers):
+    """Run the candidate search in memory-bounded lane groups.
+
+    One oversized dispatch (deep tiers x many 256 KB lanes) can crash
+    the TPU worker outright (observed at 17 x 2^18 on v5e), so the
+    batch is chunked to ~2 MB of lane data per dispatch; the last group
+    is padded with idle lanes to keep one stable jit shape.  Returns
+    numpy (cl, cd, counts)."""
+    n, width = arr.shape
+    group = max(1, (2 << 20) // max(width, 1))
+    cls, cds, cnts = [], [], []
+    for i in range(0, n, group):
+        g_arr = arr[i : i + group]
+        g_lens = lane_lens[i : i + group]
+        pad = group - g_arr.shape[0] if n > group else 0
+        if pad > 0:
+            g_arr = np.concatenate(
+                [g_arr, np.zeros((pad, width), g_arr.dtype)], axis=0)
+            g_lens = np.concatenate([g_lens, np.zeros(pad, g_lens.dtype)])
+        cl, cd, counts = _match_lists_lanes(
+            jnp.asarray(np.ascontiguousarray(g_arr)), jnp.asarray(g_lens),
+            dict_size, fb, **tiers)
+        m = g_arr.shape[0] - pad
+        cls.append(np.asarray(cl)[:m])
+        cds.append(np.asarray(cd)[:m])
+        cnts.append(np.asarray(counts)[:m])
+    return (np.concatenate(cls), np.concatenate(cds), np.concatenate(cnts))
+
+
 def _flatten_lists(cl, cd, counts, n_pos_per_lane):
     """Per-lane (max_n, M) candidate arrays -> flat pair arrays + offset
     tables for native.encode_candidate_blocks.
@@ -273,21 +302,16 @@ def encode_blocks_hybrid_optimal(
             lane_lens = np.concatenate([lens[:1], lens[1:] + plen])
         else:
             lane_lens = lens + plen
-        cl, cd, counts = _match_lists_lanes(
-            jnp.asarray(np.ascontiguousarray(primed)),
-            jnp.asarray(lane_lens),
-            jnp.int32(min(params.dict_size, bs + plen)), fb, **tiers)
+        cl, cd, counts = _match_lists_grouped(
+            primed, lane_lens,
+            jnp.int32(min(params.dict_size, bs + plen)), fb, tiers)
         n_pos = lane_lens
     else:
-        cl, cd, counts = _match_lists_lanes(
-            jnp.asarray(arr), jnp.asarray(lens),
-            jnp.int32(min(params.dict_size, bs)), fb, **tiers)
+        cl, cd, counts = _match_lists_grouped(
+            arr, lens, jnp.int32(min(params.dict_size, bs)), fb, tiers)
         n_pos = lens
         first = 0
 
-    cl = np.asarray(cl)
-    cd = np.asarray(cd)
-    counts = np.asarray(counts)
     flat_l, flat_d, flat_off, pos_base = _flatten_lists(cl, cd, counts, n_pos)
 
     payload, sizes = native.encode_candidate_blocks(

@@ -529,8 +529,14 @@ class MatchFinder {
     }
   }
 
-  // returns count of (len,dist) pairs in out[2*i], out[2*i+1]
-  int find_matches(int32_t* out) {
+  // CAND fast path, inlineable: the general find_matches carries every
+  // finder kind and never inlines, and the per-position call overhead
+  // alone was ~20% of the hybrid-optimal host time (22M calls on the
+  // frozen-corpus profile, tools/prof_driver.cpp `cand` mode).  Copies
+  // the precomputed ascending pairs, clamped to len_limit and guarded
+  // against out-of-window distances (device bugs must not corrupt
+  // streams).
+  inline int find_matches_cand(int32_t* out) {
     int len_limit;
     if (pos + match_max_len <= n) {
       len_limit = match_max_len;
@@ -541,26 +547,37 @@ class MatchFinder {
         return 0;
       }
     }
-    if (kind == CAND) {
-      // copy the precomputed ascending pairs, clamped to len_limit and
-      // guarded against out-of-window distances (device bugs must not
-      // corrupt streams)
-      int count_out = 0;
-      int prev_len = 1;
-      for (int64_t i = cand_off[pos]; i < cand_off[pos + 1]; i++) {
-        int len = cand_len[i];
-        int32_t dist = cand_dist[i];
-        if (dist < 0 || dist + 1 > pos) continue;
-        if (len > len_limit) len = len_limit;
-        if (len <= prev_len) continue;
-        out[count_out * 2] = len;
-        out[count_out * 2 + 1] = dist;
-        count_out++;
-        prev_len = len;
-        if (len == len_limit) break;
+    int count_out = 0;
+    int prev_len = 1;
+    const int64_t end = cand_off[pos + 1];
+    for (int64_t i = cand_off[pos]; i < end; i++) {
+      int len = cand_len[i];
+      int32_t dist = cand_dist[i];
+      if (dist < 0 || dist + 1 > pos) continue;
+      if (len > len_limit) len = len_limit;
+      if (len <= prev_len) continue;
+      out[count_out * 2] = len;
+      out[count_out * 2 + 1] = dist;
+      count_out++;
+      prev_len = len;
+      if (len == len_limit) break;
+    }
+    advance();
+    return count_out;
+  }
+
+  // returns count of (len,dist) pairs in out[2*i], out[2*i+1]
+  int find_matches(int32_t* out) {
+    if (kind == CAND) return find_matches_cand(out);
+    int len_limit;
+    if (pos + match_max_len <= n) {
+      len_limit = match_max_len;
+    } else {
+      len_limit = (int)(n - pos);
+      if (len_limit < min_match_check) {
+        advance();
+        return 0;
       }
-      advance();
-      return count_out;
     }
     int32_t match_min_pos = pos > cyclic_size ? pos - cyclic_size : 0;
     int count_out = 0;
@@ -738,7 +755,9 @@ class MatchFinder {
 
   void skip(int num) {
     if (kind == CAND) {
-      while (num-- > 0) advance();
+      // pure position advance: CAND has no tree/hash state and never
+      // streams, so the cyclic bookkeeping is dead weight here
+      pos += num;
       return;
     }
     do {
@@ -1071,7 +1090,10 @@ class Encoder {
   }
 
   int read_match_distances() {
-    num_pairs = mf->find_matches(md);
+    // call-site dispatch so the tiny CAND list copy inlines here (the
+    // general find_matches never inlines; see find_matches_cand)
+    num_pairs = mf->kind == MatchFinder::CAND ? mf->find_matches_cand(md)
+                                              : mf->find_matches(md);
     int length = 0;
     if (num_pairs > 0) {
       length = md[(num_pairs - 1) * 2];

@@ -425,31 +425,61 @@ def main():
         old = signal.signal(signal.SIGALRM, _htrip)
         signal.alarm(hbudget)
         try:
-            from lzma_tpu.bench.corpus import frozen_corpus
-            from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
-            from lzma_tpu.runtime import native as _nat
+            # The candidate search runs in a CPU-jax SUBPROCESS: the
+            # compression ratio is backend-independent (asserted by the
+            # equivalence tests), the on-chip search rate is measured
+            # separately (3.8 GB/s, MEASUREMENTS.md), and this rig's
+            # tunnel moves device->host buffers at ~130 KB/s — the
+            # candidate lists would take many minutes to read back even
+            # packed (the chip-side probe: kernel 1 ms, D2H 453 s).
+            import subprocess
 
-            real = frozen_corpus()
-            bs_h = 1 << 18
-            p_h = LzmaParams(dict_size=bs_h, fast_bytes=32, match_finder="bt4")
-            blob_h, t_h = timed(
-                encode_blocks_hybrid_optimal, real, p_h, block_size=bs_h,
-                num_threads=0)
-            assert _nat.decode_blocks(blob_h) == real
-            blob_bt, t_bt = timed(
-                _nat.encode_blocks, real, p_h, block_size=bs_h, num_threads=0)
-            r_h = len(real) / len(blob_h)
-            r_bt = len(real) / len(blob_bt)
+            script = r"""
+import json, sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lzma_tpu.bench.corpus import frozen_corpus
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
+from lzma_tpu.runtime import native
+
+real = frozen_corpus()
+bs = 1 << 18
+p = LzmaParams(dict_size=bs, fast_bytes=32, match_finder="bt4")
+t0 = time.perf_counter()
+blob_h = encode_blocks_hybrid_optimal(real, p, block_size=bs, num_threads=0)
+t_h = time.perf_counter() - t0
+assert native.decode_blocks(blob_h) == real
+t0 = time.perf_counter()
+blob_bt = native.encode_blocks(real, p, block_size=bs, num_threads=0)
+t_bt = time.perf_counter() - t0
+print(json.dumps({
+    "n": len(real), "h": len(blob_h), "bt": len(blob_bt),
+    "t_h": t_h, "t_bt": t_bt,
+}))
+"""
+            r = subprocess.run(
+                [sys.executable, "-c", script], capture_output=True,
+                text=True, timeout=max(hbudget - 10, 30),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                raise RuntimeError(f"subprocess failed: {r.stderr[-500:]}")
+            import json as _json
+
+            d = _json.loads(line[-1])
+            r_h = d["n"] / d["h"]
+            r_bt = d["n"] / d["bt"]
             log(
-                f"hybrid-optimal (frozen {len(real)/1e6:.1f} MB, bs 256K): "
+                f"hybrid-optimal (frozen {d['n']/1e6:.1f} MB, bs 256K): "
                 f"ratio {r_h:.3f} vs native bt4-opt {r_bt:.3f} "
-                f"(size {(len(blob_h)-len(blob_bt))/len(blob_bt)*100:+.2f}%), "
-                f"e2e {len(real)/t_h/1e6:.1f} vs {len(real)/t_bt/1e6:.1f} MB/s "
-                f"(e2e includes device search + transfers on this rig)"
+                f"(size {(d['h']-d['bt'])/d['bt']*100:+.2f}%); host-side "
+                f"parse+serialize A/B: tools/hybrid_opt_ab.py "
+                f"(search measured on-chip at 3.8 GB/s separately)"
             )
             REPORT["hybrid_opt_ratio"] = round(r_h, 3)
             REPORT["hybrid_opt_vs_bt4_size_pct"] = round(
-                (len(blob_h) - len(blob_bt)) / len(blob_bt) * 100, 2)
+                (d["h"] - d["bt"]) / d["bt"] * 100, 2)
         except _HBudget:
             log(f"hybrid-optimal bench skipped: exceeded {hbudget}s budget")
         except Exception as e:

@@ -174,17 +174,39 @@ def _match_lists_lanes(data, lens, dict_size, fb, k4, k8, k2=1, k3=1,
     )(data, lens)
 
 
+@partial(jax.jit,
+         static_argnames=("fb", "cap", "k4", "k8", "k2", "k3", "k6", "k16",
+                          "k32"))
+def _match_lists_lanes_packed(data, lens, dict_size, fb, cap, k4, k8,
+                              k2=1, k3=1, k6=0, k16=0, k32=0):
+    """find_match_lists + device-side flatten: the (max_n, M) row padding
+    never crosses the device->host wire (pack_match_lists)."""
+    from .device_matcher import find_match_lists, pack_match_lists
+
+    def one(d, n):
+        cl, cd, counts = find_match_lists(d, n, dict_size, fb, k4, k8,
+                                          k2=k2, k3=k3, k6=k6, k16=k16,
+                                          k32=k32)
+        return pack_match_lists(cl, cd, counts, cap)
+
+    return jax.vmap(one)(data, lens)
+
+
 def _match_lists_grouped(arr, lane_lens, dict_size, fb, tiers):
-    """Run the candidate search in memory-bounded lane groups.
+    """Run the candidate search in memory-bounded lane groups, with the
+    per-position lists flattened ON DEVICE.
 
     One oversized dispatch (deep tiers x many 256 KB lanes) can crash
     the TPU worker outright (observed at 17 x 2^18 on v5e), so the
     batch is chunked to ~2 MB of lane data per dispatch; the last group
     is padded with idle lanes to keep one stable jit shape.  Returns
-    numpy (cl, cd, counts)."""
+    numpy (fl (n, cap), fd (n, cap), counts (n, width)) — ~3 pair words
+    per position on the wire instead of M (device-side flatten,
+    pack_match_lists)."""
     n, width = arr.shape
     group = max(1, (2 << 20) // max(width, 1))
-    cls, cds, cnts = [], [], []
+    cap = 3 * width
+    fls, fds, cnts = [], [], []
     for i in range(0, n, group):
         g_arr = arr[i : i + group]
         g_lens = lane_lens[i : i + group]
@@ -193,14 +215,40 @@ def _match_lists_grouped(arr, lane_lens, dict_size, fb, tiers):
             g_arr = np.concatenate(
                 [g_arr, np.zeros((pad, width), g_arr.dtype)], axis=0)
             g_lens = np.concatenate([g_lens, np.zeros(pad, g_lens.dtype)])
-        cl, cd, counts = _match_lists_lanes(
+        fl, fd, counts = _match_lists_lanes_packed(
             jnp.asarray(np.ascontiguousarray(g_arr)), jnp.asarray(g_lens),
-            dict_size, fb, **tiers)
+            dict_size, fb, cap, **tiers)
         m = g_arr.shape[0] - pad
-        cls.append(np.asarray(cl)[:m])
-        cds.append(np.asarray(cd)[:m])
+        fls.append(np.asarray(fl)[:m])
+        fds.append(np.asarray(fd)[:m])
         cnts.append(np.asarray(counts)[:m])
-    return (np.concatenate(cls), np.concatenate(cds), np.concatenate(cnts))
+    return (np.concatenate(fls), np.concatenate(fds), np.concatenate(cnts))
+
+
+def _flatten_packed(fl, fd, counts, n_pos_per_lane):
+    """Packed per-lane pair buffers -> flat arrays + offset tables for
+    native.encode_candidate_blocks.  `counts` rows are already zero past
+    each lane's length (invalid tail positions form no hash groups), and
+    the packed pair buffers were laid out from exactly these counts on
+    device — no host-side re-masking may alter them or the offsets
+    desync from the buffers."""
+    n_lanes, cap = fl.shape
+    max_n = counts.shape[1]
+    c = counts.astype(np.int64)
+    used = c.sum(axis=1)                                    # pairs per lane
+    m = np.arange(cap, dtype=np.int64)[None, :] < used[:, None]
+    flat_l = np.ascontiguousarray(fl[m])
+    flat_d = np.ascontiguousarray(fd[m])
+    npos = np.asarray(n_pos_per_lane, dtype=np.int64)
+    G = np.zeros(n_lanes * max_n + 1, dtype=np.int64)
+    np.cumsum(c.reshape(-1), out=G[1:])
+    j = np.arange(max_n + 1, dtype=np.int64)[None, :]
+    sel = j <= npos[:, None]
+    gidx = np.arange(n_lanes, dtype=np.int64)[:, None] * max_n + j
+    flat_off = G[gidx[sel]]
+    pos_base = np.zeros(n_lanes, dtype=np.int64)
+    np.cumsum(npos[:-1] + 1, out=pos_base[1:])
+    return flat_l, flat_d, flat_off, pos_base
 
 
 def _flatten_lists(cl, cd, counts, n_pos_per_lane):
@@ -302,17 +350,17 @@ def encode_blocks_hybrid_optimal(
             lane_lens = np.concatenate([lens[:1], lens[1:] + plen])
         else:
             lane_lens = lens + plen
-        cl, cd, counts = _match_lists_grouped(
+        fl, fd, counts = _match_lists_grouped(
             primed, lane_lens,
             jnp.int32(min(params.dict_size, bs + plen)), fb, tiers)
         n_pos = lane_lens
     else:
-        cl, cd, counts = _match_lists_grouped(
+        fl, fd, counts = _match_lists_grouped(
             arr, lens, jnp.int32(min(params.dict_size, bs)), fb, tiers)
         n_pos = lens
         first = 0
 
-    flat_l, flat_d, flat_off, pos_base = _flatten_lists(cl, cd, counts, n_pos)
+    flat_l, flat_d, flat_off, pos_base = _flatten_packed(fl, fd, counts, n_pos)
 
     payload, sizes = native.encode_candidate_blocks(
         arr.reshape(-1), bs, params.lc, params.lp, params.pb,

@@ -274,6 +274,104 @@ def _decode_step_pallas(comp, comp_lens, out_sizes, dict_size, *, lc, lp, pb,
     )(*operands)
 
 
+@partial(jax.jit, static_argnames=("fb", "cap", "tiers_key", "mesh_holder",
+                                   "gather"))
+def _hybrid_search_step(data, lens, dict_size, *, fb, cap, tiers_key,
+                        mesh_holder, gather=False):
+    """Sharded half of the FLAGSHIP encode: every device runs the
+    multi-tier candidate search + device-side flatten on its local block
+    shard (ops/device_matcher.find_match_lists + pack_match_lists); the
+    packed fixed-shape results either stay block-sharded (single-host
+    default — the host reads each shard once) or all_gather for
+    multi-host coordinators, exactly like the other mesh steps."""
+    from ..ops.device_matcher import find_match_lists, pack_match_lists
+
+    mesh = mesh_holder.mesh
+    tiers = dict(tiers_key)
+
+    def local(data_l, lens_l):
+        def one(d, n):
+            cl, cd, counts = find_match_lists(d, n, dict_size, fb, **tiers)
+            return pack_match_lists(cl, cd, counts, cap)
+
+        fl, fd, ce = jax.vmap(one)(data_l, lens_l)
+        if not gather:
+            return fl, fd, ce
+        return (jax.lax.all_gather(fl, BLOCK_AXIS, tiled=True),
+                jax.lax.all_gather(fd, BLOCK_AXIS, tiled=True),
+                jax.lax.all_gather(ce, BLOCK_AXIS, tiled=True))
+
+    out_specs = ((P(None, None),) * 3 if gather
+                 else (P(BLOCK_AXIS, None),) * 3)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=out_specs,
+        check_vma=False,
+    )(data, lens)
+
+
+def encode_blocks_mesh_hybrid(
+    data: bytes,
+    params: LzmaParams | None = None,
+    block_size: int = 1 << 18,
+    mesh: Mesh | None = None,
+    fb: int | None = None,
+    tiers: dict | None = None,
+    num_threads: int = 0,
+    gather: bool | None = None,
+) -> bytes:
+    """The flagship TPU encode over a device mesh: block-data-parallel
+    candidate search on every device (hybrid-optimal pipeline,
+    ops/hybrid.encode_blocks_hybrid_optimal semantics) + host-parallel
+    optimal parse/serialize of the local results.  Ratio is identical to
+    the single-device hybrid-optimal encoder (same lists, same parse).
+    """
+    from ..ops.hybrid import DEFAULT_TIERS, _flatten_packed
+    from ..runtime import native
+
+    params = (params or LzmaParams()).validated_for_encode()
+    if params.write_eos:
+        raise ValueError("block container uses known sizes; EOS not supported")
+    mesh = mesh or make_mesh()
+    d = mesh.devices.size
+    blocks = blk.split_blocks(data, block_size)
+    if not blocks:
+        return blk.build_container(params, block_size, 0, [])
+    fb = int(fb if fb is not None else params.fast_bytes)
+    tiers = dict(DEFAULT_TIERS) if tiers is None else dict(tiers)
+    tiers.setdefault("k4", DEFAULT_TIERS["k4"])
+    tiers.setdefault("k8", DEFAULT_TIERS["k8"])
+    n = len(blocks)
+    bs = block_size
+    lanes = _pad_lanes(n, d)
+    arr = np.zeros((lanes, bs), dtype=np.uint8)
+    lens = np.zeros(lanes, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    if gather is None:
+        gather = jax.process_count() > 1
+    fl, fd, ce = _hybrid_search_step(
+        jnp.asarray(arr), jnp.asarray(lens),
+        jnp.int32(min(params.dict_size, bs)),
+        fb=fb, cap=3 * bs, tiers_key=tuple(sorted(tiers.items())),
+        mesh_holder=_MeshHolder(mesh), gather=gather)
+    flat_l, flat_d, flat_off, pos_base = _flatten_packed(
+        np.asarray(fl)[:n], np.asarray(fd)[:n], np.asarray(ce)[:n], lens[:n])
+    payload, sizes = native.encode_candidate_blocks(
+        arr[:n].reshape(-1), bs, params.lc, params.lp, params.pb,
+        min(params.dict_size, 1 << 29), fb, flat_l, flat_d, flat_off,
+        pos_base, num_threads=num_threads,
+        total_len=(n - 1) * bs + int(lens[n - 1]),
+    )
+    import struct
+
+    head = blk.pack_header(params, bs, len(data), n, 0, 0, 0)
+    return head + struct.pack(f"<{n}I", *sizes) + payload
+
+
 class _MeshHolder:
     """Hashable wrapper so a Mesh can ride a static jit arg."""
 

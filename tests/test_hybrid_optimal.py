@@ -179,3 +179,55 @@ def test_hybrid_optimal_honors_fb_above_64():
         warnings.simplefilter("error")  # no clamp warning may fire
         blob = encode_blocks_hybrid_optimal(data, p, block_size=1 << 14)
     assert native.decode_blocks(blob) == data
+
+
+def test_pack_match_lists_equivalence_and_overflow():
+    """Device-side flatten (pack_match_lists) must reproduce the
+    host-side flatten byte-for-byte at a generous cap, and degrade by
+    CLAMPING counts (consistent offsets, valid streams) when the pair
+    budget overflows."""
+    import jax.numpy as jnp
+
+    from lzma_tpu.bench.datagen import generate_bench_data
+    from lzma_tpu.ops.hybrid import (DEFAULT_TIERS, _flatten_lists,
+                                     _flatten_packed, _match_lists_lanes,
+                                     _match_lists_lanes_packed)
+
+    bs = 1 << 12
+    data = generate_bench_data(bs * 3)
+    arr = np.frombuffer(data, np.uint8).reshape(3, bs)
+    lens = np.full(3, bs, np.int32)
+    cl, cd, counts = _match_lists_lanes(
+        jnp.asarray(arr), jnp.asarray(lens), jnp.int32(bs), 32,
+        **DEFAULT_TIERS)
+    ref = _flatten_lists(np.asarray(cl), np.asarray(cd),
+                         np.asarray(counts), lens)
+    fl, fd, ce = _match_lists_lanes_packed(
+        jnp.asarray(arr), jnp.asarray(lens), jnp.int32(bs), 32, 3 * bs,
+        **DEFAULT_TIERS)
+    got = _flatten_packed(np.asarray(fl), np.asarray(fd), np.asarray(ce),
+                          lens)
+    for r, g, name in zip(ref, got, ("lens", "dists", "offs", "base")):
+        assert np.array_equal(r, g), name
+
+    # tiny cap: counts clamp, offsets stay consistent with the buffers,
+    # and the resulting container still round-trips
+    cap = bs // 4
+    fl2, fd2, ce2 = _match_lists_lanes_packed(
+        jnp.asarray(arr), jnp.asarray(lens), jnp.int32(bs), 32, cap,
+        **DEFAULT_TIERS)
+    ce2 = np.asarray(ce2)
+    assert (ce2.sum(axis=1) <= cap).all()
+    l2, d2, o2, b2 = _flatten_packed(np.asarray(fl2), np.asarray(fd2),
+                                     ce2, lens)
+    payload, sizes = native.encode_candidate_blocks(
+        arr.reshape(-1), bs, 3, 0, 2, bs, 32, l2, d2, o2, b2,
+        num_threads=1, total_len=len(data))
+    off = 0
+    out = b""
+    for i, sz in enumerate(sizes):
+        out += native.decode_stream(payload[off:off + sz],
+                                    LzmaParams(dict_size=bs, fast_bytes=32),
+                                    bs)
+        off += sz
+    assert out == data

@@ -140,3 +140,29 @@ def test_mesh_gather_true_single_process(mesh):
     assert blob_g == blob_s
     assert decode_blocks_mesh(blob_g, mesh=mesh, gather=True) == data
     assert decode_blocks_mesh(blob_g, mesh=mesh, gather=False) == data
+
+
+def test_mesh_hybrid_optimal_flagship(mesh):
+    """The flagship encode over the mesh: sharded candidate search +
+    host optimal parse.  Must produce the IDENTICAL container to the
+    single-device hybrid-optimal encoder (same lists, same parse), and
+    decode everywhere."""
+    pytest.importorskip("jax")
+    from lzma_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("needs the native runtime")
+    from lzma_tpu.ops.hybrid import encode_blocks_hybrid_optimal
+    from lzma_tpu.parallel.mesh import encode_blocks_mesh_hybrid
+
+    data = _data(40_000, seed=11)
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    blob_m = encode_blocks_mesh_hybrid(data, p, block_size=1 << 12,
+                                       mesh=mesh)
+    blob_1 = encode_blocks_hybrid_optimal(data, p, block_size=1 << 12)
+    assert blob_m == blob_1
+    assert blk.decode_blocks(blob_m) == data
+    # gather=True (the multi-host path) must produce the same container
+    blob_g = encode_blocks_mesh_hybrid(data, p, block_size=1 << 12,
+                                       mesh=mesh, gather=True)
+    assert blob_g == blob_m

@@ -260,10 +260,21 @@ def _dispatch(cmd: "CommandLine") -> int:
             def dec_fn(comp, out_size):
                 return _tpu.decode_stream(comp, bench_params, out_size)
 
+        elif cmd.backend == "hybrid":
+            # hybrid-optimal: device candidate search + host optimal
+            # parse for the encode half; decode rates the native coder
+            from .ops.hybrid import encode_stream_hybrid_optimal
+            from .runtime import native as _native
+
+            _native._lib()  # hybrid serializes host-side; fail loud
+
+            def enc_fn(d):
+                return encode_stream_hybrid_optimal(d, bench_params)
+
+            def dec_fn(comp, out_size):
+                return _native.decode_stream(comp, bench_params, out_size)
+
         elif cmd.backend != "scalar":
-            # e.g. -backendhybrid: an encode-only pipeline cannot be
-            # rated by the round-trip benchmark — refuse rather than
-            # silently rating the scalar codec
             print(f"error: unsupported backend for b: {cmd.backend}")
             return 1
 

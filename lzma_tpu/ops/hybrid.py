@@ -377,3 +377,35 @@ def encode_blocks_hybrid_optimal(
     head = blk.pack_header(params, bs, len(data), n, preset_len,
                            len(dictionary), len(dict_stream))
     return head + struct.pack(f"<{n}I", *sizes) + dict_stream + payload
+
+
+def encode_stream_hybrid_optimal(
+    data: bytes,
+    params: LzmaParams | None = None,
+    fb: int | None = None,
+    tiers: dict | None = None,
+) -> bytes:
+    """One raw LZMA stream via the hybrid-optimal pipeline (single lane:
+    device candidate search + host optimal parse).  Decodes with any
+    backend's decode_stream; used by the CLI benchmark to rate the
+    hybrid backend with LzmaBench round-trip semantics."""
+    params = (params or LzmaParams()).validated_for_encode()
+    if params.write_eos:
+        raise ValueError("raw hybrid streams use known sizes; EOS not supported")
+    fb = int(fb if fb is not None else params.fast_bytes)
+    tiers = dict(DEFAULT_TIERS) if tiers is None else dict(tiers)
+    tiers.setdefault("k4", DEFAULT_TIERS["k4"])
+    tiers.setdefault("k8", DEFAULT_TIERS["k8"])
+    n = len(data)
+    width = max(n, 16)
+    arr = np.zeros((1, width), dtype=np.uint8)
+    arr[0, :n] = np.frombuffer(data, dtype=np.uint8)
+    lens = np.array([n], dtype=np.int32)
+    fl, fd, ce = _match_lists_grouped(
+        arr, lens, jnp.int32(min(params.dict_size, width)), fb, tiers)
+    flat_l, flat_d, flat_off, pos_base = _flatten_packed(fl, fd, ce, lens)
+    payload, sizes = native.encode_candidate_blocks(
+        arr.reshape(-1)[:width], width, params.lc, params.lp, params.pb,
+        min(params.dict_size, 1 << 29), fb, flat_l, flat_d, flat_off,
+        pos_base, num_threads=1, total_len=n)
+    return payload

@@ -185,12 +185,28 @@ def main():
             )
             dj = jnp.asarray(arr)
             lens_j = jnp.full((lanes_n,), bs, dtype=jnp.int32)
-            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 4)
-            jax.block_until_ready(outs)
-            t0 = time.perf_counter()
-            outs = _tokenize_lanes(dj, lens_j, jnp.int32(bs), 32, 4)
-            jax.block_until_ready(outs)
-            tok_rate = bs * lanes_n / (time.perf_counter() - t0) / 1e6
+
+            # median-of-3 with ON-DEVICE input perturbation — the
+            # warmup-then-one-timed-call pattern is unreliable on this
+            # rig's relay in both directions (result cache / program
+            # residency; MEASUREMENTS.md methodology rule)
+            @jax.jit
+            def _tweak(d, t):
+                return d.at[0, 0].set((t & 0x7F).astype(jnp.uint8))
+
+            def tok_run(trial):
+                outs = _tokenize_lanes(
+                    _tweak(dj, jnp.int32(trial)), lens_j, jnp.int32(bs),
+                    32, 4)
+                jax.block_until_ready(outs)
+
+            tok_run(0)
+            tok_ts = []
+            for trial in range(1, 4):
+                t0 = time.perf_counter()
+                tok_run(trial)
+                tok_ts.append(time.perf_counter() - t0)
+            tok_rate = bs * lanes_n / sorted(tok_ts)[1] / 1e6
             log(f"device match-find+parse (resident): {tok_rate:7.0f} MB/s on-chip")
             REPORT["device_search_mbs"] = round(tok_rate, 1)
 
@@ -428,7 +444,7 @@ def main():
             # The candidate search runs in a CPU-jax SUBPROCESS: the
             # compression ratio is backend-independent (asserted by the
             # equivalence tests), the on-chip search rate is measured
-            # separately (3.8 GB/s, MEASUREMENTS.md), and this rig's
+            # separately (~2.5 GB/s, MEASUREMENTS.md), and this rig's
             # tunnel moves device->host buffers at ~130 KB/s — the
             # candidate lists would take many minutes to read back even
             # packed (the chip-side probe: kernel 1 ms, D2H 453 s).
@@ -475,7 +491,7 @@ print(json.dumps({
                 f"ratio {r_h:.3f} vs native bt4-opt {r_bt:.3f} "
                 f"(size {(d['h']-d['bt'])/d['bt']*100:+.2f}%); host-side "
                 f"parse+serialize A/B: tools/hybrid_opt_ab.py "
-                f"(search measured on-chip at 3.8 GB/s separately)"
+                f"(search measured on-chip at ~2.5 GB/s separately)"
             )
             REPORT["hybrid_opt_ratio"] = round(r_h, 3)
             REPORT["hybrid_opt_vs_bt4_size_pct"] = round(

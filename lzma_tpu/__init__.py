@@ -69,7 +69,12 @@ def compress(data: bytes, params: LzmaParams | None = None,
             data, LzmaParams(**kw) if kw else None, block_size=block_size)
         kw = {}
     params = params or (LzmaParams(**kw) if kw else None)
+    if backend not in (None, "native", "scalar", "hybrid"):
+        raise ValueError(f"unknown backend: {backend!r}")
     native = _native_or_none()
+    if backend == "native" and native is None:
+        raise ValueError('backend="native" requested but the native '
+                         "runtime is not available")
     if container == "lztb":
         if train_dict:
             if dictionary:
@@ -91,8 +96,6 @@ def compress(data: bytes, params: LzmaParams | None = None,
                 num_threads=num_threads, preset_len=preset_len,
                 dictionary=dictionary,
             )
-        if backend not in (None, "native", "scalar"):
-            raise ValueError(f"unknown backend: {backend!r}")
         if native is not None and backend != "scalar":
             return native.encode_blocks(
                 data, params, block_size=block_size, num_threads=num_threads,
@@ -117,7 +120,7 @@ def compress(data: bytes, params: LzmaParams | None = None,
             'pass container="lztb"'
         )
     params = params or LzmaParams()
-    if native is not None:
+    if native is not None and backend != "scalar":
         return native.encode_alone(data, params)
     return encode_alone(data, params)
 

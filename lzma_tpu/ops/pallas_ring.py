@@ -120,6 +120,9 @@ def decode_pallas_ring(comp, comp_lens, out_sizes, dict_size: int, lc: int,
     # with unroll, one while iteration can overshoot f_step by unroll-1
     # sub-steps; keep the per-interval emission bound intact
     f_step -= (unroll - 1) * 1
+    assert f_step >= 1, (
+        f"unroll={unroll} leaves no flush-interval budget at W={W} "
+        f"(f_step={f_step}); lower unroll or grow the ring")
     assert MO % W == 0 and \
         (f_step + unroll - 1) * (4 if copy4 else 1) <= W - 4
 

@@ -294,7 +294,29 @@ def _hybrid_search_step(data, lens, dict_size, *, fb, cap, tiers_key,
             cl, cd, counts = find_match_lists(d, n, dict_size, fb, **tiers)
             return pack_match_lists(cl, cd, counts, cap)
 
-        fl, fd, ce = jax.vmap(one)(data_l, lens_l)
+        # Memory-bounded grouping (ADVICE r3 medium): one oversized
+        # deep-tier dispatch crashes the TPU worker (observed at
+        # 17 x 2^18 lanes), so the local lane batch is chunked to the
+        # same ~2 MB-of-lane-data bound as ops/hybrid._match_lists_grouped.
+        # lax.map lowers to a sequential loop, so only ONE group's search
+        # intermediates are live at a time; idle zero lanes pad the last
+        # group to a single stable shape.
+        L, width = data_l.shape
+        group = max(1, (2 << 20) // max(width, 1))
+        if L <= group:
+            fl, fd, ce = jax.vmap(one)(data_l, lens_l)
+        else:
+            ng = -(-L // group)
+            pad = ng * group - L
+            dp = jnp.concatenate(
+                [data_l, jnp.zeros((pad, width), data_l.dtype)], axis=0)
+            lp = jnp.concatenate([lens_l, jnp.zeros(pad, lens_l.dtype)])
+            fl, fd, ce = jax.lax.map(
+                lambda g: jax.vmap(one)(g[0], g[1]),
+                (dp.reshape(ng, group, width), lp.reshape(ng, group)))
+            fl = fl.reshape(ng * group, -1)[:L]
+            fd = fd.reshape(ng * group, -1)[:L]
+            ce = ce.reshape(ng * group, -1)[:L]
         if not gather:
             return fl, fd, ce
         return (jax.lax.all_gather(fl, BLOCK_AXIS, tiled=True),

@@ -58,26 +58,16 @@ K_REP = 2
 #: XLA / Pallas / host-retry paths always tokenize identically.
 DEFAULT_NUM_CANDIDATES = 4
 
-#: The device tokenizer's lazy parse evaluates match lengths inside a
-#: static 64-byte comparison window (device_matcher.tokenize), so fast
-#: bytes beyond 64 cannot change its decisions.  Requests above the cap
-#: are honored at 64 with an explicit warning instead of a silent rewrite
-#: (the native/scalar backends honor the full 5..273 range).
-DEVICE_FB_CAP = 64
-
-
 def clamp_fb(fast_bytes: int) -> int:
+    """The device tokenizer honors the reference's full fast-bytes range
+    5..273 (Encoder.java:1148-1154): fb is a STATIC bound on the lane
+    tokenizer's candidate-compare loop (device_matcher.find_best_matches
+    runs fb compare rounds, then the K-free extension to the 273 cap), so
+    any requested depth compiles — the historical 64 cap (round 1-3) is
+    gone.  Kept as the one validation point for every device entry."""
     fb = int(fast_bytes)
-    if fb > DEVICE_FB_CAP:
-        import warnings
-
-        warnings.warn(
-            f"device backend caps fast_bytes at {DEVICE_FB_CAP} (requested"
-            f" {fb}): the lane tokenizer's match window is static; use the"
-            " native backend for fb>64 parse strength",
-            stacklevel=3,
-        )
-        return DEVICE_FB_CAP
+    if not 5 <= fb <= 273:
+        raise ValueError(f"fast_bytes must be in 5..273, got {fb}")
     return fb
 
 MAXB = 50          # bits-with-context per token, upper bound
@@ -584,7 +574,7 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
     if not blocks:
         return []
     params = params.validated_for_encode()
-    fb = int(fb if fb is not None else clamp_fb(params.fast_bytes))
+    fb = clamp_fb(fb if fb is not None else params.fast_bytes)
     n_lanes = len(blocks)
     max_n = max(max(len(b) for b in blocks), 16)
     max_n = 1 << (max_n - 1).bit_length()  # pow2 bucket: stable jit shapes

@@ -67,7 +67,7 @@ def encode_blocks_hybrid(
         return blk.build_container(params, block_size, 0, [])
     from .device_encoder import clamp_fb
 
-    fb = int(fb if fb is not None else clamp_fb(params.fast_bytes))
+    fb = clamp_fb(fb if fb is not None else params.fast_bytes)
     n = len(blocks)
     bs = block_size
     arr = np.zeros((n, bs), dtype=np.uint8)

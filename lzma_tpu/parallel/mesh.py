@@ -445,7 +445,7 @@ def encode_blocks_mesh(
     n = len(blocks)
     from ..ops.device_encoder import clamp_fb
 
-    fb = int(fb if fb is not None else clamp_fb(params.fast_bytes))
+    fb = clamp_fb(fb if fb is not None else params.fast_bytes)
     # single-host: skip the payload all_gather entirely (results stay
     # block-sharded; the host reads each shard once).  Multi-host needs
     # the replication so the coordinator can read every block.  The

@@ -66,6 +66,43 @@ def test_device_encode_param_sweep(lc, lp, pb):
         assert decode_stream(s, p, out_size=len(d)) == d
 
 
+@pytest.mark.parametrize("fb", [5, 128, 273])
+def test_device_encode_full_fb_range(fb):
+    """The device tokenizer honors the reference's full fast-bytes range
+    5..273 (Encoder.java:1148-1154) — including the CLI default fb128
+    that rounds 1-3 capped at 64.  liblzma is the validity oracle."""
+    p = LzmaParams(dict_size=1 << 14, fast_bytes=fb)
+    datas = [_corpus(i, 2500) for i in range(4)]
+    streams = encode_batch(datas, p)
+    for d, s in zip(datas, streams):
+        blob = p.encode_props() + len(d).to_bytes(8, "little") + s
+        assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == d
+
+
+def test_device_fb_validation():
+    with pytest.raises(ValueError):
+        encode_batch([b"x" * 100], LzmaParams(dict_size=1 << 12), fb=4)
+    with pytest.raises(ValueError):
+        encode_batch([b"x" * 100], LzmaParams(dict_size=1 << 12), fb=274)
+
+
+def test_device_deep_fb_improves_long_matches():
+    """fb>64 must actually change parse decisions: on data whose best
+    matches are ~200 bytes long but whose 64-byte prefixes are ambiguous
+    between a near and a far source, deeper compare depth finds the
+    longer match (the reason the cap mattered)."""
+    rng = np.random.default_rng(7)
+    unit = rng.integers(0, 256, 220, dtype=np.uint8).tobytes()
+    decoy = unit[:64] + rng.integers(0, 256, 156, dtype=np.uint8).tobytes()
+    data = unit + decoy + b"." * 16 + unit + decoy + b"," * 16 + unit
+    p64 = LzmaParams(dict_size=1 << 14, fast_bytes=64)
+    p273 = LzmaParams(dict_size=1 << 14, fast_bytes=273)
+    (s64,) = encode_batch([data], p64, fb=64)
+    (s273,) = encode_batch([data], p273, fb=273)
+    assert decode_stream(s273, p273, out_size=len(data)) == data
+    assert len(s273) <= len(s64)
+
+
 def test_device_encode_edge_sizes():
     p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
     datas = [b"z", b"ab", b"aaaa", bytes(range(200))]

@@ -22,6 +22,39 @@
 #include <thread>
 #include <atomic>
 #include <algorithm>
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
+
+namespace {
+// Hint the kernel to back a large allocation with huge pages BEFORE the
+// pages are first touched (reserve -> madvise -> fault-in): the match
+// finder's son[]/hash[] are multi-MB arrays walked in random order, so
+// dTLB misses are a first-order cost of the tree search on big
+// dictionaries.  No-op when THP is unavailable; harmless when the
+// region is small.
+inline void hint_huge(void* p, size_t bytes) {
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+  if (bytes < (2u << 20) || p == nullptr) return;
+  uintptr_t a = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
+  uintptr_t e = ((uintptr_t)p + bytes) & ~(uintptr_t)4095;
+  if (e > a) madvise((void*)a, e - a, MADV_HUGEPAGE);
+#else
+  (void)p;
+  (void)bytes;
+#endif
+}
+
+template <typename T>
+inline void assign_huge(std::vector<T>& v, size_t n, T fill) {
+  if (n > v.capacity()) {
+    std::vector<T>().swap(v);
+    v.reserve(n);
+    hint_huge(v.data(), n * sizeof(T));
+  }
+  v.assign(n, fill);
+}
+}  // namespace
 
 namespace {
 
@@ -398,7 +431,7 @@ class MatchFinder {
       hs |= 0xFFFF;
       if (hs > (1u << 24)) hs >>= 1;
       hash_mask = hs;
-      hash.assign((size_t)hs + 1, 0);
+      assign_huge(hash, (size_t)hs + 1, 0);
     } else {
       num_direct_bytes = 0;
       min_match_check = 4;
@@ -409,10 +442,10 @@ class MatchFinder {
       hs |= 0xFFFF;
       if (hs > (1u << 24)) hs >>= 1;
       hash_mask = hs;
-      hash.assign((size_t)hs + 1 + fix_hash_size, 0);
+      assign_huge(hash, (size_t)hs + 1 + fix_hash_size, 0);
     }
-    son.assign(k == HC4 || k == FAST4 ? (size_t)cyclic_size
-                                      : (size_t)cyclic_size * 2, 0);
+    assign_huge(son, k == HC4 || k == FAST4 ? (size_t)cyclic_size
+                                            : (size_t)cyclic_size * 2, 0);
   }
 
   // 4-byte multiplicative hash for the FAST4 chain (Fibonacci constant).
@@ -431,8 +464,8 @@ class MatchFinder {
     // delegate computed hash sizing/cut from a zero-length flat view, then
     // rebuild the window geometry for streaming
     cyclic_size = dict + 1;
-    son.assign(kind == HC4 || kind == FAST4 ? (size_t)cyclic_size
-                                            : (size_t)cyclic_size * 2, 0);
+    assign_huge(son, kind == HC4 || kind == FAST4 ? (size_t)cyclic_size
+                                                  : (size_t)cyclic_size * 2, 0);
     stream_mode = true;
     eof = false;
     rcb = cb;
@@ -440,7 +473,8 @@ class MatchFinder {
     keep_before = cyclic_size + kNumOpts + 512;
     keep_after = match_max_len + 1024;
     size_t chunk = 1 << 20;
-    owned.assign((size_t)keep_before + (size_t)keep_after + chunk, 0);
+    assign_huge(owned, (size_t)keep_before + (size_t)keep_after + chunk,
+                (uint8_t)0);
     win_start = 0;
     n = 0;
     buf = owned.data();
@@ -851,11 +885,15 @@ class MatchFinder {
 };
 
 // ------------------------------------------------------------- encoder
+// Node price lives OUTSIDE this struct (Encoder::opt_price): the DP's
+// hot loops scan/relax prices across hundreds of future nodes per
+// position, and a dense 4-byte price array keeps that traffic at one
+// cache line per 16 nodes instead of one 44-byte struct stride each —
+// the cold path fields below are only touched on an actual improvement.
 struct Optimal {
   int state;
   bool prev1_is_char, prev2;
   int pos_prev2, back_prev2;
-  uint32_t price;
   int pos_prev, back_prev;
   int32_t backs0, backs1, backs2, backs3;
   void make_char() { back_prev = -1; prev1_is_char = false; }
@@ -893,6 +931,11 @@ class Encoder {
   int match_price_count = 0, align_price_count = 0;
   int pos_state_mask;
   std::vector<Optimal> opt;
+  std::vector<uint32_t> opt_price;
+  // Scratch for the vectorized relax passes: relax_range() records which
+  // lengths improved; the caller then walks only the (sparse) marks to
+  // write the cold path fields.  Indexed by LENGTH (<= kMatchMaxLen).
+  uint8_t relax_marks[kMatchMaxLen + 16];
   uint32_t pos_slot_prices[kNumLenToPosStates << kNumPosSlotBits];
   uint32_t dist_prices[kNumLenToPosStates * kNumFullDistances];
   uint32_t align_prices[kAlignTableSize];
@@ -902,7 +945,7 @@ class Encoder {
   int dist_table_size;
 
   explicit Encoder(const EncParams& p)
-      : L(p.lc, p.lp, p.pb), P(p), opt(kNumOpts) {
+      : L(p.lc, p.lp, p.pb), P(p), opt(kNumOpts), opt_price(kNumOpts) {
     pos_state_mask = L.pos_state_mask();
     len_table_size = P.fb + 1 - kMatchMinLen;
     int log = 0;
@@ -1055,6 +1098,74 @@ class Encoder {
     align_price_count = 0;
   }
 
+  // Minimum sweep length for the vectorized relax: below this the
+  // two-pass (select-sweep + mark-walk) form costs more than the
+  // predictable scalar loop (measured on the CAND profile driver at
+  // fb=32, where typical sweeps are 4-8 lengths: all-vector was ~8%
+  // SLOWER end-to-end).  Long sweeps — fb>=128 parses, long rep runs —
+  // are where the 16-lane AVX sweep pays.
+  static constexpr int kRelaxVecMin = 24;
+
+  // Branch-free relax of opt_price[cur + l] for l in [lo, hi] against
+  // base + tab[l - 2], marking improvements.  With no early exit and a
+  // select instead of a store-branch the compiler vectorizes the sweep
+  // (8-16 lengths per instruction); the cold Optimal fields are written
+  // afterwards only where a mark landed.  Exact: each length touches a
+  // distinct node and the predicate (strict <) is unchanged, so the
+  // result is bit-identical to the scalar loop.
+  inline void relax_range(int cur, int lo, int hi, uint32_t base,
+                          const uint32_t* tab) {
+    uint32_t* op = &opt_price[cur];
+    uint8_t* mk = relax_marks;
+    for (int l = lo; l <= hi; l++) {
+      uint32_t calp = base + tab[l - 2];
+      uint32_t prev = op[l];
+      bool imp = calp < prev;
+      op[l] = imp ? calp : prev;
+      mk[l] = (uint8_t)imp;
+    }
+  }
+  // Walk the improved lengths from a relax_range pass, skipping runs of
+  // 8 unimproved lengths with one word test (improvements are sparse
+  // once the DP warms up).
+  template <class F>
+  inline void for_marked(int lo, int hi, F&& f) {
+    int l = lo;
+    while (l <= hi) {
+      if (l + 8 <= hi + 1) {
+        uint64_t w;
+        std::memcpy(&w, relax_marks + l, 8);
+        if (w == 0) {
+          l += 8;
+          continue;
+        }
+      }
+      if (relax_marks[l]) f(l);
+      ++l;
+    }
+  }
+
+  // Relax lengths [lo, hi]: vector two-pass for long sweeps, the plain
+  // scalar compare-store loop below kRelaxVecMin.  `improve(l)` writes
+  // the cold path fields for an improved length.
+  template <class F>
+  inline void relax_sweep(int cur, int lo, int hi, uint32_t base,
+                          const uint32_t* tab, F&& improve) {
+    if (hi - lo >= kRelaxVecMin) {
+      relax_range(cur, lo, hi, base, tab);
+      for_marked(lo, hi, improve);
+      return;
+    }
+    uint32_t* op = &opt_price[cur];
+    for (int l = lo; l <= hi; l++) {
+      uint32_t calp = base + tab[l - 2];
+      if (calp < op[l]) {
+        op[l] = calp;
+        improve(l);
+      }
+    }
+  }
+
   inline uint32_t rep_len1_price(int st, int ps) {
     return price0(probs[L.is_rep_g0 + st]) +
            price0(probs[L.is_rep0_long + (st << kNumPosStatesBitsMax) + ps]);
@@ -1184,7 +1295,7 @@ class Encoder {
     opt[0].state = state;
     int ps = (int)(position & pos_state_mask);
     int im = L.is_match + (state << kNumPosStatesBitsMax) + ps;
-    opt[1].price = price0(probs[im]) +
+    opt_price[1] = price0(probs[im]) +
                    literal_price(L.lit_sub(position, prev_byte), state >= 7,
                                  match_byte, current_byte);
     opt[1].make_char();
@@ -1192,8 +1303,8 @@ class Encoder {
     uint32_t rep_match_price = match_price + price1(probs[L.is_rep + state]);
     if (match_byte == current_byte) {
       uint32_t srp = rep_match_price + rep_len1_price(state, ps);
-      if (srp < opt[1].price) {
-        opt[1].price = srp;
+      if (srp < opt_price[1]) {
+        opt_price[1] = srp;
         opt[1].make_short_rep();
       }
     }
@@ -1204,43 +1315,69 @@ class Encoder {
     opt[0].backs1 = reps[1];
     opt[0].backs2 = reps[2];
     opt[0].backs3 = reps[3];
-    for (int len = len_end; len >= 2; len--) opt[len].price = kInfinityPrice;
+    for (int len = len_end; len >= 2; len--) opt_price[len] = kInfinityPrice;
 
-    for (int i = 0; i < kNumRepDistances; i++) {
-      int rep_len = rep_lens[i];
-      if (rep_len < 2) continue;
-      uint32_t price = rep_match_price + pure_rep_price(i, state, ps);
-      do {
-        uint32_t calp = price + len_price(true, rep_len - 2, ps);
-        Optimal& o = opt[rep_len];
-        if (calp < o.price) {
-          o.price = calp;
+    {
+      const uint32_t* rlp = &rep_len_prices[ps * kNumLenSymbols];
+      for (int i = 0; i < kNumRepDistances; i++) {
+        int rep_len = rep_lens[i];
+        if (rep_len < 2) continue;
+        uint32_t price = rep_match_price + pure_rep_price(i, state, ps);
+        relax_sweep(0, 2, rep_len, price, rlp, [&](int l) {
+          Optimal& o = opt[l];
           o.pos_prev = 0;
           o.back_prev = i;
           o.prev1_is_char = false;
-        }
-      } while (--rep_len >= 2);
+        });
+      }
     }
 
     uint32_t normal_match_price = match_price + price0(probs[L.is_rep + state]);
     int len = rep_lens[0] >= 2 ? rep_lens[0] + 1 : 2;
     if (len <= len_main) {
+      const uint32_t* lp = &len_prices[ps * kNumLenSymbols];
       int offs = 0;
       while (len > md[offs * 2]) offs++;
-      for (;; len++) {
+      // per-pair segments, vectorized like the cur-loop match relax
+      for (int seg_lo = len;;) {
         int32_t distance = md[offs * 2 + 1];
-        uint32_t calp = normal_match_price + pos_len_price(distance, len, ps);
-        Optimal& o = opt[len];
-        if (calp < o.price) {
-          o.price = calp;
-          o.pos_prev = 0;
-          o.back_prev = distance + kNumRepDistances;
-          o.prev1_is_char = false;
+        int seg_hi = md[offs * 2];
+        int l = seg_lo;
+        for (; l <= seg_hi && l < 5; l++) {
+          int lps = len_to_pos_state(l);
+          uint32_t dp_s =
+              (uint32_t)distance < kNumFullDistances
+                  ? dist_prices[lps * kNumFullDistances + distance]
+                  : pos_slot_prices[(lps << kNumPosSlotBits) +
+                                    get_pos_slot2(distance)] +
+                        align_prices[distance & kAlignMask];
+          uint32_t calp = normal_match_price + dp_s + lp[l - 2];
+          if (calp < opt_price[l]) {
+            opt_price[l] = calp;
+            Optimal& o = opt[l];
+            o.pos_prev = 0;
+            o.back_prev = distance + kNumRepDistances;
+            o.prev1_is_char = false;
+          }
         }
-        if (len == md[offs * 2]) {
-          offs++;
-          if (offs == pairs) break;
+        if (l <= seg_hi) {
+          uint32_t base =
+              normal_match_price +
+              ((uint32_t)distance < kNumFullDistances
+                   ? dist_prices[3 * kNumFullDistances + distance]
+                   : pos_slot_prices[(3 << kNumPosSlotBits) +
+                                     get_pos_slot2(distance)] +
+                         align_prices[distance & kAlignMask]);
+          relax_sweep(0, l, seg_hi, base, lp, [&](int li) {
+            Optimal& o = opt[li];
+            o.pos_prev = 0;
+            o.back_prev = distance + kNumRepDistances;
+            o.prev1_is_char = false;
+          });
         }
+        offs++;
+        if (offs == pairs) break;
+        seg_lo = seg_hi + 1;
       }
     }
 
@@ -1303,7 +1440,7 @@ class Encoder {
       opt[cur].backs1 = reps[1];
       opt[cur].backs2 = reps[2];
       opt[cur].backs3 = reps[3];
-      uint32_t cur_price = opt[cur].price;
+      uint32_t cur_price = opt_price[cur];
 
       current_byte = mf->get_byte(-1);
       match_byte = mf->get_byte(-reps[0] - 2);
@@ -1315,8 +1452,8 @@ class Encoder {
                         match_byte, current_byte);
       Optimal& next_opt = opt[cur + 1];
       bool next_is_char = false;
-      if (cur_and_1 < next_opt.price) {
-        next_opt.price = cur_and_1;
+      if (cur_and_1 < opt_price[cur + 1]) {
+        opt_price[cur + 1] = cur_and_1;
         next_opt.pos_prev = cur;
         next_opt.make_char();
         next_is_char = true;
@@ -1326,8 +1463,8 @@ class Encoder {
       if (match_byte == current_byte &&
           !(next_opt.pos_prev < cur && next_opt.back_prev == 0)) {
         uint32_t srp = rep_match_price + rep_len1_price(st, ps);
-        if (srp <= next_opt.price) {
-          next_opt.price = srp;
+        if (srp <= opt_price[cur + 1]) {
+          opt_price[cur + 1] = srp;
           next_opt.pos_prev = cur;
           next_opt.make_short_rep();
           next_is_char = true;
@@ -1350,11 +1487,11 @@ class Encoder {
               price1(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next]) +
               price1(probs[L.is_rep + st2]);
           int offset = cur + 1 + len_test2;
-          while (len_end < offset) opt[++len_end].price = kInfinityPrice;
+          while (len_end < offset) opt_price[++len_end] = kInfinityPrice;
           uint32_t calp = nrmp + rep_price(0, len_test2, st2, ps_next);
-          Optimal& o = opt[offset];
-          if (calp < o.price) {
-            o.price = calp;
+          if (calp < opt_price[offset]) {
+            opt_price[offset] = calp;
+            Optimal& o = opt[offset];
             o.pos_prev = cur + 1;
             o.back_prev = 0;
             o.prev1_is_char = true;
@@ -1364,23 +1501,20 @@ class Encoder {
       }
 
       int start_len = 2;
+      const uint32_t* rlp = &rep_len_prices[ps * kNumLenSymbols];
       for (int rep_index = 0; rep_index < kNumRepDistances; rep_index++) {
         int len_test = mf->match_len(-1, reps[rep_index], num_avail);
         if (len_test < 2) continue;
         int len_test_temp = len_test;
         // hoist the length-invariant part (Encoder.java:565 does the same)
         uint32_t rep_base_price = rep_match_price + pure_rep_price(rep_index, st, ps);
-        do {
-          while (len_end < cur + len_test) opt[++len_end].price = kInfinityPrice;
-          uint32_t calp = rep_base_price + len_price(true, len_test - kMatchMinLen, ps);
-          Optimal& o = opt[cur + len_test];
-          if (calp < o.price) {
-            o.price = calp;
-            o.pos_prev = cur;
-            o.back_prev = rep_index;
-            o.prev1_is_char = false;
-          }
-        } while (--len_test >= 2);
+        while (len_end < cur + len_test) opt_price[++len_end] = kInfinityPrice;
+        relax_sweep(cur, 2, len_test, rep_base_price, rlp, [&](int l) {
+          Optimal& o = opt[cur + l];
+          o.pos_prev = cur;
+          o.back_prev = rep_index;
+          o.prev1_is_char = false;
+        });
         len_test = len_test_temp;
         if (rep_index == 0) start_len = len_test + 1;
 
@@ -1402,11 +1536,11 @@ class Encoder {
             uint32_t nmp = calcp + price1(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next2]);
             uint32_t nrmp = nmp + price1(probs[L.is_rep + st2]);
             int offset = len_test + 1 + len_test2;
-            while (len_end < cur + offset) opt[++len_end].price = kInfinityPrice;
+            while (len_end < cur + offset) opt_price[++len_end] = kInfinityPrice;
             uint32_t calp = nrmp + rep_price(0, len_test2, st2, ps_next2);
-            Optimal& o = opt[cur + offset];
-            if (calp < o.price) {
-              o.price = calp;
+            if (calp < opt_price[cur + offset]) {
+              opt_price[cur + offset] = calp;
+              Optimal& o = opt[cur + offset];
               o.pos_prev = cur + len_test + 1;
               o.back_prev = 0;
               o.prev1_is_char = true;
@@ -1427,22 +1561,73 @@ class Encoder {
       }
       if (new_len >= start_len) {
         normal_match_price = match_price + price0(probs[L.is_rep + st]);
-        while (len_end < cur + new_len) opt[++len_end].price = kInfinityPrice;
+        while (len_end < cur + new_len) opt_price[++len_end] = kInfinityPrice;
+        const uint32_t* lp = &len_prices[ps * kNumLenSymbols];
         int offs = 0;
         while (start_len > md[offs * 2]) offs++;
-        for (int len_test = start_len;; len_test++) {
+        // Per-pair segments: lengths (prev bound, md[offs*2]] all use the
+        // pair's distance, and the distance price is length-invariant
+        // once len_to_pos_state saturates (len >= 5) — so the bulk of
+        // each segment is one vectorized relax sweep; only lens 2..4 and
+        // the segment-boundary two-step lookahead stay scalar.  (Inside
+        // the DP the md list always ends exactly at new_len: the fb
+        // extension in read_match_distances only fires at len == fb,
+        // which exits the DP before reaching here.)
+        for (int seg_lo = start_len;;) {
           int32_t cur_back = md[offs * 2 + 1];
-          uint32_t calp = normal_match_price + pos_len_price(cur_back, len_test, ps);
-          {
-            Optimal& o = opt[cur + len_test];
-            if (calp < o.price) {
-              o.price = calp;
+          int seg_hi = md[offs * 2];
+          int l = seg_lo;
+          for (; l <= seg_hi && l < 5; l++) {
+            int lps = len_to_pos_state(l);
+            uint32_t dp_s =
+                (uint32_t)cur_back < kNumFullDistances
+                    ? dist_prices[lps * kNumFullDistances + cur_back]
+                    : pos_slot_prices[(lps << kNumPosSlotBits) +
+                                      get_pos_slot2(cur_back)] +
+                          align_prices[cur_back & kAlignMask];
+            uint32_t calp = normal_match_price + dp_s + lp[l - 2];
+            if (calp < opt_price[cur + l]) {
+              opt_price[cur + l] = calp;
+              Optimal& o = opt[cur + l];
               o.pos_prev = cur;
               o.back_prev = cur_back + kNumRepDistances;
               o.prev1_is_char = false;
             }
           }
-          if (len_test == md[offs * 2]) {
+          uint32_t seg_base = 0;
+          if (l <= seg_hi || seg_hi >= 5) {
+            seg_base =
+                normal_match_price +
+                ((uint32_t)cur_back < kNumFullDistances
+                     ? dist_prices[3 * kNumFullDistances + cur_back]
+                     : pos_slot_prices[(3 << kNumPosSlotBits) +
+                                       get_pos_slot2(cur_back)] +
+                           align_prices[cur_back & kAlignMask]);
+          }
+          if (l <= seg_hi) {
+            relax_sweep(cur, l, seg_hi, seg_base, lp, [&](int li) {
+              Optimal& o = opt[cur + li];
+              o.pos_prev = cur;
+              o.back_prev = cur_back + kNumRepDistances;
+              o.prev1_is_char = false;
+            });
+          }
+          {
+            int len_test = seg_hi;
+            // price of the pair's full length — base for the lookahead
+            // (recomputed; identical to the relaxed value)
+            uint32_t calp;
+            if (len_test >= 5) {
+              calp = seg_base + lp[len_test - 2];
+            } else {
+              int lps = len_to_pos_state(len_test);
+              calp = normal_match_price + lp[len_test - 2] +
+                     ((uint32_t)cur_back < kNumFullDistances
+                          ? dist_prices[lps * kNumFullDistances + cur_back]
+                          : pos_slot_prices[(lps << kNumPosSlotBits) +
+                                            get_pos_slot2(cur_back)] +
+                                align_prices[cur_back & kAlignMask]);
+            }
             if (len_test < num_avail_full) {
               int t = std::min(num_avail_full - 1 - len_test, P.fb);
               int len_test2 = mf->match_len(len_test, cur_back, t);
@@ -1461,11 +1646,11 @@ class Encoder {
                 uint32_t nmp = calcp + price1(probs[L.is_match + (st2 << kNumPosStatesBitsMax) + ps_next2]);
                 uint32_t nrmp = nmp + price1(probs[L.is_rep + st2]);
                 int offset = len_test + 1 + len_test2;
-                while (len_end < cur + offset) opt[++len_end].price = kInfinityPrice;
+                while (len_end < cur + offset) opt_price[++len_end] = kInfinityPrice;
                 uint32_t calp2 = nrmp + rep_price(0, len_test2, st2, ps_next2);
-                Optimal& o = opt[cur + offset];
-                if (calp2 < o.price) {
-                  o.price = calp2;
+                if (calp2 < opt_price[cur + offset]) {
+                  opt_price[cur + offset] = calp2;
+                  Optimal& o = opt[cur + offset];
                   o.pos_prev = cur + len_test + 1;
                   o.back_prev = 0;
                   o.prev1_is_char = true;
@@ -1475,9 +1660,10 @@ class Encoder {
                 }
               }
             }
-            offs++;
-            if (offs == pairs) break;
           }
+          offs++;
+          if (offs == pairs) break;
+          seg_lo = seg_hi + 1;
         }
       }
     }

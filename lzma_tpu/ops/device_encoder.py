@@ -124,9 +124,13 @@ def classify_tokens(data, t_pos, t_len, t_dist, t_valid):
         n1 = jnp.where(is_match | is_r1 | is_r2 | is_r3, r0, r1)
         n2 = jnp.where(is_match | is_r2 | is_r3, r1, r2)
         n3 = jnp.where(is_match | is_r3, r2, r3)
+        # shortRep (len-1 rep0) has its own state transition (Base.java:30)
+        is_srep = is_rep & (ln < 2)
         new_state = jnp.where(
             is_lit, _next_lit(state),
-            jnp.where(is_rep, _next_longrep(state), _next_match(state))
+            jnp.where(is_srep, jnp.where(state < 7, 9, 11),
+                      jnp.where(is_rep, _next_longrep(state),
+                                _next_match(state)))
         )
         out = (kind, rep_idx, state, match_mode, match_byte, prev_byte, lit_byte)
         state = jnp.where(valid, new_state, state)
@@ -180,6 +184,9 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     l_sym = jnp.maximum(t_len - 2, 0)
     dlen = jnp.where(l_sym < 8, 4, jnp.where(l_sym < 16, 5, 10))
     rbits = jnp.where(rep_idx < 2, 2, 3)
+    # shortRep (len-1 rep0): is_match, is_rep, g0=0, rep0_long=0 — no
+    # length or distance bits (Encoder.java:952-957)
+    srep = is_rep & (t_len < 2)
 
     # the EOS marker's wire distance is 0xFFFFFFFF == int32 -1: slot 63,
     # footer 30; base_val wraps negative in int32 and the subtraction
@@ -207,6 +214,7 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     nbits = jnp.where(
         is_lit, 9, jnp.where(is_rep, len_s + dlen, tail_s + tail_bits)
     )
+    nbits = jnp.where(srep, 4, nbits)
     nbits = jnp.where(valid, nbits, 0)
 
     # flat destination offsets
@@ -278,7 +286,8 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
             L.is_rep0_long + (state << L.pos_bits) + pos_state,
             L.is_rep_g1 + state,
         )
-        b1v = jnp.where(rep_idx == 0, 1, jnp.where(rep_idx == 1, 0, 1))
+        b1v = jnp.where(rep_idx == 0, jnp.where(srep, 0, 1),
+                        jnp.where(rep_idx == 1, 0, 1))
         c = jnp.where(kk == 0, L.is_rep_g0 + state, jnp.where(kk == 1, c1, L.is_rep_g2 + state))
         b = jnp.where(
             kk == 0,

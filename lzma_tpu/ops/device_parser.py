@@ -1,0 +1,678 @@
+"""Lane-parallel on-device optimal-parse DP (SURVEY §7 step 5).
+
+The reference's getOptimum (Encoder.java:364-811) is a serial
+dynamic program whose prices come from live adaptive probabilities.
+The TPU formulation keeps only the position order serial — ONE
+lax.fori_loop over block positions — and moves everything else into
+vector work across lanes:
+
+  pass A   lazy tokenize + bit lowering (the existing GB/s pipeline:
+           device_matcher.tokenize -> classify_tokens -> lower_tokens)
+           yields each block's OWN (ctx, bit) stream — the block's
+           empirical statistics per probability slot
+  pass B   empirical probabilities -> price planes and every price
+           table the DP needs (per-position literal cost, length
+           tables, per-candidate distance cost), fully vectorized over
+           lanes x positions.  This replaces the reference's adaptive
+           price refresh (FillDistancesPrices / UpdateTable,
+           Encoder.java:1087-1125): instead of chasing the coder's
+           probabilities through time, the parse prices against the
+           block's realized bit statistics — a fixed point of the same
+           quantity the adaptation converges to
+  pass C   the DP scan: at each position the relaxation over
+           (candidate pair x length) is one vectorized window-min
+           across every lane at once; nodes carry the reference
+           Optimal fields (state, rep0) finalized on the scan frontier
+           exactly like Encoder.java:1261-1305
+  pass D   path extraction by pointer doubling + prefix-sum compaction
+           (no serial walk), token layout as in device_matcher._compact
+
+The host then range-codes the winning token stream with the exact
+adaptive coder (runtime TokenEncoder) — prices only steer the parse,
+so the approximation never threatens stream validity, and rep-priced
+coding of any token whose distance matches the live rep set is
+automatic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.layout import (
+    LITERAL_CODER_SIZE,
+    POS_SLOT_TREE_SIZE,
+    ProbLayout,
+)
+from ..core.prices import BIT_MODEL_TOTAL, PRICE_TABLE
+
+INF = jnp.int32(0x0FFFFFFF)
+REP_FLAG = jnp.int32(1 << 30)
+DIST_MASK = jnp.int32((1 << 30) - 1)
+
+#: candidate pairs fed to the DP per position (ascending lengths, each at
+#: its minimal distance; the longest list entry is always kept)
+DEFAULT_M_DP = 4
+
+
+# ------------------------------------------------------------- pass B
+def empirical_probs(ctx, bits, totals, arena_size: int):
+    """Per-slot probability estimates from a lowered (ctx, bit) stream.
+
+    ctx, bits: (L, B) int32; totals: (L,).  Returns (L, S) int32 probs in
+    the coder's 11-bit scale, clamped to the adaptive coder's reachable
+    band; unseen slots keep the 1024 init (RangeBase.java:9-13)."""
+    L, B = ctx.shape
+    lanes2 = jnp.arange(L)[:, None]
+    j = jnp.arange(B, dtype=jnp.int32)[None, :]
+    valid = (j < totals[:, None]) & (ctx >= 0)
+    cix = jnp.where(valid, ctx, arena_size)
+    n = jnp.zeros((L, arena_size + 1), jnp.int32).at[lanes2, cix].add(
+        valid.astype(jnp.int32))[:, :arena_size]
+    n1 = jnp.zeros((L, arena_size + 1), jnp.int32).at[lanes2, cix].add(
+        jnp.where(valid, bits, 0))[:, :arena_size]
+    n0 = n - n1
+    p = jnp.where(n > 0, (BIT_MODEL_TOTAL * (2 * n0 + 1)) // (2 * n + 2), 1024)
+    return jnp.clip(p, 32, 2016)
+
+
+def _tree_price(EP0, EP1, tree_base, nbits_max, nbits, value):
+    """MSB-first bit-tree price, vectorized over any broadcastable shapes.
+
+    tree_base/nbits/value broadcast against each other (NO lane axis);
+    EP0/EP1 are the (L, S) per-lane price planes and the result gains a
+    leading lane axis.  `nbits` may vary per element (masked levels cost
+    0)."""
+    L = EP0.shape[0]
+    tree_base, nbits, value = jnp.broadcast_arrays(
+        jnp.asarray(tree_base), jnp.asarray(nbits), jnp.asarray(value))
+    lanes = jnp.arange(L).reshape((L,) + (1,) * value.ndim)
+    cost = jnp.zeros((L,) + value.shape, jnp.int32)
+    m = jnp.ones_like(value)
+    for j in range(nbits_max):
+        active = j < nbits
+        b = (value >> jnp.clip(nbits - 1 - j, 0, 31)) & 1
+        cx = tree_base + m
+        pr = jnp.where(b == 1, EP1[lanes, cx], EP0[lanes, cx])
+        cost = cost + jnp.where(active, pr, 0)
+        m = jnp.where(active, (m << 1) | b, m)
+    return cost
+
+
+def _rev_tree_price(EP0, EP1, tree_base, nbits_max, nbits, value):
+    """LSB-first (reverse) bit-tree price, same conventions as _tree_price."""
+    L = EP0.shape[0]
+    tree_base, nbits, value = jnp.broadcast_arrays(
+        jnp.asarray(tree_base), jnp.asarray(nbits), jnp.asarray(value))
+    lanes = jnp.arange(L).reshape((L,) + (1,) * value.ndim)
+    cost = jnp.zeros((L,) + value.shape, jnp.int32)
+    m = jnp.ones_like(value)
+    v = value
+    for j in range(nbits_max):
+        active = j < nbits
+        b = v & 1
+        cx = tree_base + m
+        pr = jnp.where(b == 1, EP1[lanes, cx], EP0[lanes, cx])
+        cost = cost + jnp.where(active, pr, 0)
+        m = jnp.where(active, (m << 1) | b, m)
+        v = jnp.where(active, v >> 1, v)
+    return cost
+
+
+def build_price_model(data, probs, lc: int, lp: int, pb: int, fb: int,
+                      r0pos=None):
+    """All DP price tables from per-lane empirical probabilities.
+
+    data: (L, N) u8; probs: (L, S); r0pos: (L, N) rep0-by-position trace
+    (enables matched-mode literal pricing for after-match states).
+    Returns a dict of jnp arrays (see dp_parse).  Everything here is
+    embarrassingly parallel — the TPU analogue of FillDistancesPrices /
+    FillAlignPrices / UpdateTable."""
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
+    PT = jnp.asarray(PRICE_TABLE)
+    EP0 = PT[probs >> 2]
+    EP1 = PT[(BIT_MODEL_TOTAL - probs) >> 2]
+    L, N = data.shape
+    lanes2 = jnp.arange(L)[:, None]
+    n_ps = 1 << pb
+
+    # ---- literal cost per position (normal mode) ----
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    prev = jnp.pad(data[:, :-1], ((0, 0), (1, 0))).astype(jnp.int32)
+    sub = layout.literal + (
+        ((pos & ((1 << lp) - 1)) << lc) + (prev >> (8 - lc))
+    ) * LITERAL_CODER_SIZE
+    byte = data.astype(jnp.int32)
+    m = jnp.ones_like(byte)
+    lit_cost = jnp.zeros((L, N), jnp.int32)
+    for k in range(8):
+        b = (byte >> (7 - k)) & 1
+        cx = sub + m
+        lit_cost = lit_cost + jnp.where(b == 1, EP1[lanes2, cx], EP0[lanes2, cx])
+        m = (m << 1) | b
+
+    # ---- length tables (L, n_ps, 272), match + rep ----
+    def len_table(base):
+        lsym = jnp.broadcast_to(jnp.arange(272, dtype=jnp.int32)[None, :],
+                                (n_ps, 272))
+        ps = jnp.arange(n_ps, dtype=jnp.int32)[:, None]
+        band0 = lsym < 8
+        band1 = (lsym >= 8) & (lsym < 16)
+        c0 = EP0[:, base + layout.len_choice][:, None, None]
+        c1 = EP1[:, base + layout.len_choice][:, None, None]
+        c20 = EP0[:, base + layout.len_choice2][:, None, None]
+        c21 = EP1[:, base + layout.len_choice2][:, None, None]
+        head = jnp.where(band0[None], c0,
+                         jnp.where(band1[None], c1 + c20, c1 + c21))
+        v = jnp.where(band0, lsym, jnp.where(band1, lsym - 8, lsym - 16))
+        nb = jnp.where(band0 | band1, 3, 8)
+        tree = jnp.where(band0, base + layout.len_low + (ps << 3),
+                         jnp.where(band1, base + layout.len_mid + (ps << 3),
+                                   base + layout.len_high))
+        return head + _tree_price(EP0, EP1, tree, 8, nb, v)
+
+    lt_match = len_table(layout.len_coder)
+    lt_rep = len_table(layout.rep_len_coder)
+
+    # ---- pos_slot prices (L, 4, 64) ----
+    slot_v = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None, :], (4, 64))
+    tree = layout.pos_slot + jnp.arange(4, dtype=jnp.int32)[:, None] * POS_SLOT_TREE_SIZE
+    ps_price = _tree_price(EP0, EP1, tree, 6, jnp.full_like(slot_v, 6), slot_v)
+
+    # ---- full-distance table d < 128 (L, 4, 128) ----
+    d128 = jnp.arange(128, dtype=jnp.int32)
+    nb128 = 31 - jax.lax.clz(jnp.maximum(d128, 1))
+    slot128 = jnp.where(d128 < 4, d128,
+                        (nb128 << 1) | ((d128 >> jnp.maximum(nb128 - 1, 0)) & 1))
+    footer128 = jnp.maximum((slot128 >> 1) - 1, 0)
+    base_val128 = (2 | (slot128 & 1)) << footer128
+    reduced128 = d128 - base_val128
+    spec_base = layout.spec_pos + base_val128 - slot128 - 1
+    spec_nb = jnp.where(slot128 >= 4, footer128, 0)
+    spec_price = _rev_tree_price(EP0, EP1, spec_base, 5, spec_nb, reduced128)
+    dfull = ps_price[:, :, slot128] + spec_price[:, None, :]     # (L, 4, 128)
+
+    # ---- align prices (L, 16) ----
+    a16 = jnp.arange(16, dtype=jnp.int32)
+    align_price = _rev_tree_price(
+        EP0, EP1, jnp.full_like(a16, layout.align), 4, jnp.full_like(a16, 4), a16)
+
+    # ---- flag tables ----
+    lanes3 = jnp.arange(L)[:, None, None]
+    st = jnp.arange(12, dtype=jnp.int32)[None, :, None]
+    psv = jnp.arange(n_ps, dtype=jnp.int32)[None, None, :]
+    im_ctx = layout.is_match + (st << layout.pos_bits) + psv
+    im0 = EP0[lanes3, im_ctx]                                    # (L, 12, n_ps)
+    im1 = EP1[lanes3, im_ctx]
+    r0l_ctx = layout.is_rep0_long + (st << layout.pos_bits) + psv
+    r0l0 = EP0[lanes3, r0l_ctx]
+    r0l1 = EP1[lanes3, r0l_ctx]
+    s12 = jnp.arange(12)
+    ir0 = EP0[:, layout.is_rep + s12]
+    ir1 = EP1[:, layout.is_rep + s12]
+    g00 = EP0[:, layout.is_rep_g0 + s12]
+    g01 = EP1[:, layout.is_rep_g0 + s12]
+    g10 = EP0[:, layout.is_rep_g1 + s12]
+    g11 = EP1[:, layout.is_rep_g1 + s12]
+    g20 = EP0[:, layout.is_rep_g2 + s12]
+    g21 = EP1[:, layout.is_rep_g2 + s12]
+
+    # rep-selector price per rep index (L, 4, 12): the is_rep_g0/g1/g2
+    # bit chain of each index (Decoder.java:232-259 as the tree spec)
+    rep_sel = jnp.stack([
+        g00,                  # rep0 (the is_rep0_long bit is per-ps, added separately)
+        g01 + g10,            # rep1
+        g01 + g11 + g20,      # rep2
+        g01 + g11 + g21,      # rep3
+    ], axis=1)
+
+    mlit_cost = (matched_lit_cost(data, (EP0, EP1), r0pos, layout, lc, lp)
+                 if r0pos is not None else lit_cost)
+
+    return dict(
+        lit_cost=lit_cost, mlit_cost=mlit_cost, lt_match=lt_match,
+        lt_rep=lt_rep, ps_price=ps_price, dfull=dfull,
+        align_price=align_price, im0=im0, im1=im1, ir0=ir0, ir1=ir1,
+        rep_sel=rep_sel, r0l0=r0l0, r0l1=r0l1,
+    )
+
+
+def _pair_dist_cost(model, dd, valid):
+    """Distance-part price for candidate pairs at each lps (L, N, M, 4).
+
+    dd: (L, N, M) wire distances.  For d < 128 the exact spec-tree price
+    (dfull); above, pos_slot + direct bits at 64 units each + align tree
+    (pos_len_price semantics, Encoder.java:1081-1090 as spec)."""
+    L = dd.shape[0]
+    lanes4 = jnp.arange(L)[:, None, None, None]
+    d = jnp.maximum(dd, 0)
+    nb = 31 - jax.lax.clz(jnp.maximum(d, 1))
+    slot = jnp.where(d < 4, d, (nb << 1) | ((d >> jnp.maximum(nb - 1, 0)) & 1))
+    footer = jnp.maximum((slot >> 1) - 1, 0)
+    lps = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
+    lanes3 = jnp.arange(L)[:, None, None]
+    big = (model["ps_price"][lanes4, lps, slot[:, :, :, None]]
+           + ((footer - 4) << 6)[:, :, :, None]
+           + model["align_price"][lanes3, d & 15][:, :, :, None])
+    small = model["dfull"][lanes4, lps, jnp.minimum(d, 127)[:, :, :, None]]
+    cost = jnp.where((d < 128)[:, :, :, None], small, big)
+    return jnp.where(valid[:, :, :, None], cost, INF)
+
+
+def _next_lit(s):
+    return jnp.where(s < 4, 0, jnp.where(s < 10, s - 3, s - 6))
+
+
+def _next_match(s):
+    return jnp.where(s < 7, 7, 10)
+
+
+def _next_longrep(s):
+    return jnp.where(s < 7, 8, 11)
+
+
+# ------------------------------------------------------------- pass C
+#: node kinds recorded in the rkind plane
+RK_LIT = -1
+RK_MATCH = 4
+RK_SHORTREP = 5
+
+
+@partial(jax.jit, static_argnames=("fb", "pb", "full_len_only"))
+def dp_parse(data, lens, ld, dd, model, fb: int, pb: int,
+             full_len_only: bool = False, r0pos=None, replen=None):
+    """The lane-parallel optimal-parse scan.
+
+    data (L, N) u8, lens (L,), ld/dd (L, N, M) candidate (len, dist)
+    pairs (ascending, invalid = 0/-1), model from build_price_model.
+    Returns (price, from_, choice, rkind) planes, each (L, N + fb + 1).
+
+    Node fields follow the reference Optimal (state + the 4-entry rep
+    MTF set, finalized on the scan frontier from the best predecessor —
+    Encoder.java:1261-1305); edges: literal, shortRep, candidate matches
+    at every length 2..len (or full length only), with rep pricing for
+    any pair whose distance sits in the node's rep set (the same
+    first-index-wins detection the TokenEncoder applies)."""
+    L, N = data.shape
+    M = ld.shape[2]
+    W = fb - 1                       # lengths 2..fb
+    NP = N + W + 2                   # window slack past the last node
+    pmask = (1 << pb) - 1
+
+    dcost = _pair_dist_cost(model, dd, (ld >= 2) & (dd >= 0))  # (L, N, M, 4)
+    lvec = jnp.arange(2, fb + 1, dtype=jnp.int32)              # (W,)
+    lps_idx = jnp.minimum(lvec - 2, 3)
+
+    price = jnp.full((L, NP), INF, jnp.int32).at[:, 0].set(0)
+    from_ = jnp.zeros((L, NP), jnp.int32)
+    choice = jnp.full((L, NP), -1, jnp.int32)
+    rkind = jnp.full((L, NP), RK_LIT, jnp.int32)
+    state = jnp.zeros((L, NP), jnp.int32)
+    reps = jnp.zeros((L, NP, 4), jnp.int32)
+
+    lt_match = model["lt_match"]     # (L, n_ps, 272)
+    lt_rep = model["lt_rep"]
+    lit_cost = model["lit_cost"]
+    im0, im1 = model["im0"], model["im1"]          # (L, 12, n_ps)
+    ir0, ir1 = model["ir0"], model["ir1"]          # (L, 12)
+    rep_sel = model["rep_sel"]                     # (L, 4, 12)
+    r0l0, r0l1 = model["r0l0"], model["r0l1"]      # (L, 12, n_ps)
+
+    def col(a, i):
+        return jax.lax.dynamic_slice(a, (0, i), (L, 1))[:, 0]
+
+    def setcol(a, i, v):
+        return jax.lax.dynamic_update_slice(a, v[:, None], (0, i))
+
+    def step(i, carry):
+        price, from_, choice, rkind, state, reps = carry
+        ps = i & pmask
+
+        # --- finalize node i (state, rep set) from its best predecessor ---
+        p_i = col(price, i)
+        f_i = col(from_, i)
+        c_i = col(choice, i)
+        k_i = col(rkind, i)
+        st_prev = jnp.take_along_axis(state, f_i[:, None], axis=1)[:, 0]
+        r_prev = jnp.take_along_axis(
+            reps, f_i[:, None, None], axis=1)[:, 0, :]          # (L, 4)
+        is_lit_e = k_i == RK_LIT
+        is_sr_e = k_i == RK_SHORTREP
+        is_rep_e = (k_i >= 0) & (k_i < 4)
+        st_i = jnp.where(
+            is_lit_e, _next_lit(st_prev),
+            jnp.where(is_sr_e, jnp.where(st_prev < 7, 9, 11),
+                      jnp.where(is_rep_e, _next_longrep(st_prev),
+                                _next_match(st_prev))))
+        # rep MTF (Encoder.java:969-973, 1001-1003): literal/shortRep
+        # keep the set; rep k moves reps[k] to front; match pushes dist
+        kk = jnp.clip(k_i, 0, 3)
+        picked = jnp.take_along_axis(r_prev, kk[:, None], axis=1)[:, 0]
+        n0 = jnp.where(is_rep_e, picked,
+                       jnp.where(k_i == RK_MATCH, c_i, r_prev[:, 0]))
+        n1 = jnp.where((is_rep_e & (kk >= 1)) | (k_i == RK_MATCH),
+                       r_prev[:, 0], r_prev[:, 1])
+        n2 = jnp.where((is_rep_e & (kk >= 2)) | (k_i == RK_MATCH),
+                       r_prev[:, 1], r_prev[:, 2])
+        n3 = jnp.where((is_rep_e & (kk >= 3)) | (k_i == RK_MATCH),
+                       r_prev[:, 2], r_prev[:, 3])
+        r_i = jnp.stack([n0, n1, n2, n3], axis=1)               # (L, 4)
+        st_i = jnp.where(i == 0, 0, st_i)
+        r_i = jnp.where(i == 0, 0, r_i)
+        state = setcol(state, i, st_i)
+        reps = jax.lax.dynamic_update_slice(reps, r_i[:, None, :], (0, i, 0))
+
+        live = i < lens                                         # (L,)
+        # flag prices at (state_i, ps)
+        def at_st(tab_ps):                                       # (L, 12) -> (L,)
+            return jnp.take_along_axis(tab_ps, st_i[:, None], axis=1)[:, 0]
+
+        im0_ps = jax.lax.dynamic_slice(im0, (0, 0, ps), (L, 12, 1))[:, :, 0]
+        im1_ps = jax.lax.dynamic_slice(im1, (0, 0, ps), (L, 12, 1))[:, :, 0]
+        r0l0_ps = jax.lax.dynamic_slice(r0l0, (0, 0, ps), (L, 12, 1))[:, :, 0]
+        r0l1_ps = jax.lax.dynamic_slice(r0l1, (0, 0, ps), (L, 12, 1))[:, :, 0]
+        f_im0, f_im1 = at_st(im0_ps), at_st(im1_ps)
+        f_r0l0, f_r0l1 = at_st(r0l0_ps), at_st(r0l1_ps)
+        f_ir0, f_ir1 = at_st(ir0), at_st(ir1)
+        f_sel = jnp.take_along_axis(
+            rep_sel, st_i[:, None, None], axis=2)[:, :, 0]       # (L, 4)
+
+        # --- literal / shortRep edges i -> i+1 ---
+        # after-match states price the literal in matched mode (the
+        # model's match byte comes from the rep0-by-position trace)
+        lcost = jnp.where(st_i >= 7, col(model["mlit_cost"], i),
+                          col(lit_cost, i))
+        cand_l = p_i + f_im0 + lcost
+        # shortRep: one byte equal to the byte rep0+1 back
+        byte_i = col(data.astype(jnp.int32), jnp.minimum(i, N - 1))
+        mb_ix = jnp.clip(i - r_i[:, 0] - 1, 0, N - 1)
+        mbyte = jnp.take_along_axis(
+            data.astype(jnp.int32), mb_ix[:, None], axis=1)[:, 0]
+        sr_ok = (byte_i == mbyte) & (r_i[:, 0] < i)
+        cand_sr = jnp.where(sr_ok,
+                            p_i + f_im1 + f_ir1 + f_sel[:, 0] + f_r0l0, INF)
+        use_sr = cand_sr < cand_l
+        cand1 = jnp.minimum(cand_l, cand_sr)
+        old = col(price, i + 1)
+        imp = live & (cand1 < old)
+        price = setcol(price, i + 1, jnp.where(imp, cand1, old))
+        from_ = setcol(from_, i + 1, jnp.where(imp, i, col(from_, i + 1)))
+        choice = setcol(choice, i + 1,
+                        jnp.where(imp, jnp.where(use_sr, r_i[:, 0], -1),
+                                  col(choice, i + 1)))
+        rkind = setcol(rkind, i + 1,
+                       jnp.where(imp, jnp.where(use_sr, RK_SHORTREP, RK_LIT),
+                                 col(rkind, i + 1)))
+
+        # --- match / rep window relax over lengths 2..fb ---
+        ld_i = jax.lax.dynamic_slice(ld, (0, i, 0), (L, 1, M))[:, 0, :]
+        dd_i = jax.lax.dynamic_slice(dd, (0, i, 0), (L, 1, M))[:, 0, :]
+        dc_i = jax.lax.dynamic_slice(dcost, (0, i, 0, 0), (L, 1, M, 4))[:, 0]
+        ld_i = jnp.minimum(ld_i, jnp.maximum(lens[:, None] - i, 0))
+        pv = (ld_i >= 2) & (dd_i >= 0) & live[:, None]
+        # first-index-wins rep detection, mirroring TokenEncoder.match
+        eq = dd_i[:, :, None] == r_i[:, None, :]                 # (L, M, 4)
+        any_eq = jnp.any(eq, axis=2)
+        ridx = jnp.argmax(eq, axis=2)                            # (L, M)
+        is_rep_pair = pv & any_eq
+
+        ltm = jax.lax.dynamic_slice(lt_match, (0, ps, 0), (L, 1, 272))[:, 0, :W]
+        ltr = jax.lax.dynamic_slice(lt_rep, (0, ps, 0), (L, 1, 272))[:, 0, :W]
+        mbase = p_i + f_im1 + f_ir0                              # (L,)
+        rep_base = (p_i + f_im1 + f_ir1)[:, None] + f_sel        # (L, 4)
+        rep_base = rep_base.at[:, 0].add(f_r0l1)
+        pair_rep_base = jnp.take_along_axis(rep_base, ridx, axis=1)  # (L, M)
+
+        dc_l = jnp.take(dc_i, lps_idx, axis=2)                   # (L, M, W)
+        mcost = mbase[:, None, None] + dc_l + ltm[:, None, :]
+        rcost = pair_rep_base[:, :, None] + ltr[:, None, :]
+        cost = jnp.where(is_rep_pair[:, :, None], rcost, mcost)
+        lmask = lvec[None, None, :] <= ld_i[:, :, None]
+        if full_len_only:
+            lmask = lmask & (lvec[None, None, :] == ld_i[:, :, None])
+        cost = jnp.where(lmask & pv[:, :, None], cost, INF)
+
+        # rep0-continuation edge: the candidate tiers miss short (2-3
+        # byte) rep0 matches entirely (their seeds are 4+ bytes), so the
+        # rep0 match length comes from the dedicated per-position LCP
+        # trace — valid whenever the node's actual rep0 equals the
+        # traced distance (it almost always does: both are "the last
+        # match's distance")
+        if r0pos is not None:
+            r0p_i = col(r0pos, jnp.minimum(i, N - 1))
+            rl_i = col(replen, jnp.minimum(i, N - 1))
+            rep0_ok = live & (r_i[:, 0] == r0p_i) & (rl_i >= 2)
+            c_r0 = jnp.where(
+                rep0_ok[:, None] & (lvec[None, :] <= rl_i[:, None]),
+                (p_i + f_im1 + f_ir1 + f_sel[:, 0] + f_r0l1)[:, None] + ltr,
+                INF)
+            cost = jnp.concatenate([cost, c_r0[:, None, :]], axis=1)
+            dd_i = jnp.concatenate([dd_i, r0p_i[:, None]], axis=1)
+            is_rep_pair = jnp.concatenate(
+                [is_rep_pair, rep0_ok[:, None]], axis=1)
+            ridx = jnp.concatenate(
+                [ridx, jnp.zeros((L, 1), ridx.dtype)], axis=1)
+
+        best = jnp.min(cost, axis=1)                             # (L, W)
+        bidx = jnp.argmin(cost, axis=1)                          # (L, W)
+
+        def pick(a):
+            return jnp.take_along_axis(
+                jnp.broadcast_to(a[:, :, None], cost.shape),
+                bidx[:, None, :], axis=1)[:, 0, :]
+
+        bdist = pick(dd_i)
+        bkind = jnp.where(pick(is_rep_pair.astype(jnp.int32)) > 0,
+                          pick(ridx), RK_MATCH)
+
+        win = jax.lax.dynamic_slice(price, (0, i + 2), (L, W))
+        impw = best < win
+        price = jax.lax.dynamic_update_slice(
+            price, jnp.where(impw, best, win), (0, i + 2))
+        winf = jax.lax.dynamic_slice(from_, (0, i + 2), (L, W))
+        from_ = jax.lax.dynamic_update_slice(
+            from_, jnp.where(impw, i, winf), (0, i + 2))
+        winc = jax.lax.dynamic_slice(choice, (0, i + 2), (L, W))
+        choice = jax.lax.dynamic_update_slice(
+            choice, jnp.where(impw, jnp.maximum(bdist, 0), winc), (0, i + 2))
+        wink = jax.lax.dynamic_slice(rkind, (0, i + 2), (L, W))
+        rkind = jax.lax.dynamic_update_slice(
+            rkind, jnp.where(impw, bkind, wink), (0, i + 2))
+        return (price, from_, choice, rkind, state, reps)
+
+    price, from_, choice, rkind, state, reps = jax.lax.fori_loop(
+        0, N, step, (price, from_, choice, rkind, state, reps))
+    return price, from_, choice, rkind
+
+
+# ------------------------------------------------------------- pass D
+@jax.jit
+def extract_tokens(from_, choice, lens):
+    """Backward path -> compacted (pos, len, dist) token stream.
+
+    Pointer doubling marks the DP path from node lens[lane] back to 0
+    (log2 N rounds, no serial walk); each on-path node i > 0 carries the
+    edge (from_[i] -> i) whose token is (from_[i], i - from_[i], dist).
+    Returns (t_pos, t_len, t_dist, t_valid, ntok), layouts identical to
+    device_matcher.tokenize."""
+    L, NP = from_.shape
+    lanes = jnp.arange(L)
+    lanes2 = lanes[:, None]
+    reach = jnp.zeros((L, NP), jnp.int32).at[lanes, lens].set(1)
+    h = from_
+    steps = max(1, int(NP - 1).bit_length())
+    def round_(k, carry):
+        h, reach = carry
+        hop = jnp.where(reach > 0, h, 0)
+        reach = reach.at[lanes2, hop].max(reach)
+        h = jnp.take_along_axis(h, h, axis=1)
+        return (h, reach)
+    h, reach = jax.lax.fori_loop(0, steps, round_, (h, reach))
+
+    node = jnp.arange(NP, dtype=jnp.int32)[None, :]
+    mark = (reach > 0) & (node > 0) & (node <= lens[:, None])
+    tpos = from_
+    tlen = node - from_
+    # choice: -1 literal, else the wire distance (len-1 nodes with a
+    # distance are shortReps — the TokenEncoder codes them as such)
+    tdist = choice
+
+    idx = jnp.cumsum(mark.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(mark, idx, NP)
+    t_pos = jnp.zeros((L, NP), jnp.int32).at[lanes2, tgt].set(tpos, mode="drop")
+    t_len = jnp.ones((L, NP), jnp.int32).at[lanes2, tgt].set(tlen, mode="drop")
+    t_dist = jnp.full((L, NP), -1, jnp.int32).at[lanes2, tgt].set(
+        tdist, mode="drop")
+    ntok = jnp.sum(mark.astype(jnp.int32), axis=1)
+    t_valid = jnp.arange(NP)[None, :] < ntok[:, None]
+    return t_pos, t_len, t_dist, t_valid, ntok
+
+
+def rep0_trace(t_pos, t_dist, t_valid, N: int):
+    """rep0 in effect at every position, from a token stream.
+
+    Scatter each match token's distance at its position, then forward-
+    fill (last-match-before-or-at i) via a running max over marked
+    indices — no serial walk.  Positions before the first match carry
+    the initial rep0 = 0."""
+    L, T = t_pos.shape
+    lanes2 = jnp.arange(L)[:, None]
+    is_match = t_valid & (t_dist >= 0)
+    tgt = jnp.where(is_match, jnp.minimum(t_pos, N - 1), N)
+    dist_at = jnp.zeros((L, N + 1), jnp.int32).at[lanes2, tgt].set(
+        t_dist, mode="drop")[:, :N]
+    marked = jnp.zeros((L, N + 1), jnp.int32).at[lanes2, tgt].set(
+        1, mode="drop")[:, :N]
+    posv = jnp.arange(N, dtype=jnp.int32)[None, :]
+    last = jax.lax.cummax(jnp.where(marked > 0, posv, -1), axis=1)
+    r0 = jnp.take_along_axis(dist_at, jnp.maximum(last, 0), axis=1)
+    return jnp.where(last >= 0, r0, 0)
+
+
+def _rep_match_lens(data, lens, r0pos, fb: int):
+    """LCP of data[i:] with the rep0 source at every position (L, N),
+    capped at fb — the vectorized GetMatchLen for one distance per
+    position (InWindow.java:120-134 as spec)."""
+    L, N = data.shape
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    src = pos - r0pos - 1
+    valid = src >= 0
+
+    def body(t, carry):
+        length, alive = carry
+        a = jnp.take_along_axis(data, jnp.minimum(pos + t, N - 1), axis=1)
+        b = jnp.take_along_axis(data, jnp.clip(src + t, 0, N - 1), axis=1)
+        ok = alive & (a == b) & (pos + t < lens[:, None])
+        return (length + ok.astype(jnp.int32), ok)
+
+    length, _ = jax.lax.fori_loop(
+        0, fb, body, (jnp.zeros((L, N), jnp.int32), valid))
+    return length
+
+
+def matched_lit_cost(data, probs_ep, r0pos, layout, lc: int, lp: int):
+    """Matched-mode literal price per position (L, N), with the match
+    byte taken from the rep0-by-position trace (LiteralEncoder.encode-
+    Matched semantics, LiteralEncoder.java:26-40)."""
+    EP0, EP1 = probs_ep
+    L, N = data.shape
+    lanes2 = jnp.arange(L)[:, None]
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    prev = jnp.pad(data[:, :-1], ((0, 0), (1, 0))).astype(jnp.int32)
+    sub = layout.literal + (
+        ((pos & ((1 << lp) - 1)) << lc) + (prev >> (8 - lc))
+    ) * LITERAL_CODER_SIZE
+    byte = data.astype(jnp.int32)
+    mb_ix = jnp.clip(pos - r0pos - 1, 0, N - 1)
+    mbyte = jnp.take_along_axis(data.astype(jnp.int32), mb_ix, axis=1)
+    x = byte ^ mbyte
+    m = jnp.ones_like(byte)
+    cost = jnp.zeros((L, N), jnp.int32)
+    for k in range(8):
+        b = (byte >> (7 - k)) & 1
+        mbit = (mbyte >> (7 - k)) & 1
+        prefix_eq = (x >> (8 - k)) == 0
+        cx = sub + jnp.where(prefix_eq, ((1 + mbit) << 8) + m, m)
+        cost = cost + jnp.where(b == 1, EP1[lanes2, cx], EP0[lanes2, cx])
+        m = (m << 1) | b
+    return cost
+
+
+# ------------------------------------------------------------- pipeline
+def _select_dp_pairs(cl, cd, counts, m_dp: int):
+    """First m_dp ascending pairs per position, always keeping the
+    longest list entry (overwrites slot m_dp-1 when the list is deeper)."""
+    L, N, M = cl.shape
+    if M <= m_dp:
+        pad = m_dp - M
+        return (jnp.pad(cl, ((0, 0), (0, 0), (0, pad))),
+                jnp.pad(jnp.where(cl >= 2, cd, -1),
+                        ((0, 0), (0, 0), (0, pad)), constant_values=-1))
+    last = jnp.maximum(counts - 1, 0)[:, :, None]
+    ld = cl[:, :, :m_dp]
+    dd = jnp.where(cl[:, :, :m_dp] >= 2, cd[:, :, :m_dp], -1)
+    tail_l = jnp.take_along_axis(cl, last, axis=2)[:, :, 0]
+    tail_d = jnp.take_along_axis(cd, last, axis=2)[:, :, 0]
+    deeper = (counts > m_dp)
+    ld = ld.at[:, :, m_dp - 1].set(
+        jnp.where(deeper, tail_l, ld[:, :, m_dp - 1]))
+    dd = dd.at[:, :, m_dp - 1].set(
+        jnp.where(deeper, tail_d, dd[:, :, m_dp - 1]))
+    return ld, dd
+
+
+@partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "m_dp",
+                                   "full_len_only", "tiers_key", "n_iter"))
+def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
+                     m_dp=DEFAULT_M_DP, full_len_only=False,
+                     tiers_key=(("k4", 4), ("k8", 2)), n_iter=1):
+    """Full device pipeline: candidate lists -> empirical prices -> DP ->
+    tokens.  data (L, N) u8, lens (L,).  Returns (t_pos, t_len, t_dist,
+    t_valid, ntok) — same contract as device_matcher.tokenize, ready for
+    the host TokenEncoder or the device lowering.
+
+    `n_iter` > 1 re-derives the bit statistics from the DP's OWN token
+    stream and reparses — the parse/price fixed-point iteration.  The
+    lazy seed parse rarely lands rep-coded matches, so its is_rep /
+    rep-length statistics underprice nothing; one extra round lets the
+    model see the optimal parse's own symbol mix (the analogue of the
+    reference's price adaptation tracking its own output)."""
+    from .device_encoder import classify_tokens, lower_tokens
+    from .device_matcher import find_match_lists, tokenize
+
+    L, N = data.shape
+    tiers = dict(tiers_key)
+    layout = ProbLayout(lc, lp, pb, pos_bits=pb)
+    max_bits = 10 * N + 128
+
+    # candidate lists for the DP edges (shared across iterations)
+    cl, cd, counts = jax.vmap(
+        lambda d, n: find_match_lists(d, n, dict_size, fb, **tiers)
+    )(data, lens)
+    ld, dd = _select_dp_pairs(cl, cd, counts, m_dp)
+
+    # pass A seed: lazy parse
+    tp, tl, td, tv, _ = jax.vmap(
+        lambda d, n: tokenize(d, n, dict_size, fb, 4)
+    )(data, lens)
+
+    for _ in range(max(1, n_iter)):
+        meta = classify_tokens(data, tp, tl, td, tv)
+        ctx, bits, totals = lower_tokens(data, meta, tp, tl, td, tv,
+                                         lc, lp, pb, max_bits)
+        probs = empirical_probs(ctx, bits, totals, layout.size)
+        r0pos = rep0_trace(tp, td, tv, N)
+        replen = _rep_match_lens(data, lens, r0pos, fb)
+        model = build_price_model(data, probs, lc, lp, pb, fb, r0pos=r0pos)
+        price, from_, choice, rkind = dp_parse(data, lens, ld, dd, model,
+                                               fb, pb, full_len_only,
+                                               r0pos=r0pos, replen=replen)
+        tp, tl, td, tv, ntok = extract_tokens(from_, choice, lens)
+        # extract_tokens pads to NP = N + fb + 1 columns; the lowering
+        # budget is per-position, so trim back to N token slots (a block
+        # never holds more than N tokens)
+        tp, tl, td, tv = tp[:, :N], tl[:, :N], td[:, :N], tv[:, :N]
+    return tp, tl, td, tv, ntok

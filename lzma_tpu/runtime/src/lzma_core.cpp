@@ -2058,6 +2058,12 @@ class TokenEncoder {
   }
 
   void match(uint32_t pos, int length, int32_t dist) {
+    if (length == 1 && dist != rep[0]) {
+      // a len-1 token is only expressible as shortRep (dist == rep0);
+      // any other distance degrades to a literal — same bytes, valid
+      literal(pos);
+      return;
+    }
     int ps = (int)(pos & pos_state_mask);
     rc.encode_bit(probs.data(), L.is_match + (state << kNumPosStatesBitsMax) + ps, 1);
     int rep_idx = dist == rep[0] ? 0
@@ -2066,6 +2072,15 @@ class TokenEncoder {
                   : dist == rep[3] ? 3 : -1;
     if (rep_idx >= 0) {
       rc.encode_bit(probs.data(), L.is_rep + state, 1);
+      if (rep_idx == 0 && length == 1) {
+        // shortRep: a single byte repeated from rep0 (Encoder.java:952-957)
+        rc.encode_bit(probs.data(), L.is_rep_g0 + state, 0);
+        rc.encode_bit(probs.data(),
+                      L.is_rep0_long + (state << kNumPosStatesBitsMax) + ps, 0);
+        state = next_srep(state);
+        prev_byte = data[pos];
+        return;
+      }
       if (rep_idx == 0) {
         rc.encode_bit(probs.data(), L.is_rep_g0 + state, 0);
         rc.encode_bit(probs.data(),

@@ -49,9 +49,9 @@ from ..core.layout import (
 )
 from ..core.prices import BIT_MODEL_TOTAL, PRICE_TABLE
 
-INF = jnp.int32(0x0FFFFFFF)
-REP_FLAG = jnp.int32(1 << 30)
-DIST_MASK = jnp.int32((1 << 30) - 1)
+INF = 0x0FFFFFFF  # python int: jnp scalars would be captured tracers in pallas
+REP_FLAG = 1 << 30
+DIST_MASK = (1 << 30) - 1
 
 #: candidate pairs fed to the DP per position (ascending lengths, each at
 #: its minimal distance; the longest list entry is always kept)
@@ -306,6 +306,17 @@ def dp_parse(data, lens, ld, dd, model, fb: int, pb: int,
     lvec = jnp.arange(2, fb + 1, dtype=jnp.int32)              # (W,)
     lps_idx = jnp.minimum(lvec - 2, 3)
 
+    # shortRep byte equality against the rep0 TRACE distance (see
+    # dp_parse_band — both implementations share this gating so they
+    # stay token-identical)
+    if r0pos is not None:
+        posv = jnp.arange(N, dtype=jnp.int32)[None, :]
+        srcv = posv - r0pos - 1
+        sbyte = jnp.take_along_axis(data, jnp.clip(srcv, 0, N - 1), axis=1)
+        sr_eq = ((data == sbyte) & (srcv >= 0)).astype(jnp.int32)
+    else:
+        sr_eq = jnp.zeros((L, N), jnp.int32)
+
     price = jnp.full((L, NP), INF, jnp.int32).at[:, 0].set(0)
     from_ = jnp.zeros((L, NP), jnp.int32)
     choice = jnp.full((L, NP), -1, jnp.int32)
@@ -386,12 +397,11 @@ def dp_parse(data, lens, ld, dd, model, fb: int, pb: int,
         lcost = jnp.where(st_i >= 7, col(model["mlit_cost"], i),
                           col(lit_cost, i))
         cand_l = p_i + f_im0 + lcost
-        # shortRep: one byte equal to the byte rep0+1 back
-        byte_i = col(data.astype(jnp.int32), jnp.minimum(i, N - 1))
-        mb_ix = jnp.clip(i - r_i[:, 0] - 1, 0, N - 1)
-        mbyte = jnp.take_along_axis(
-            data.astype(jnp.int32), mb_ix[:, None], axis=1)[:, 0]
-        sr_ok = (byte_i == mbyte) & (r_i[:, 0] < i)
+        # shortRep gated on node-rep0 == trace-rep0 (see dp_parse_band)
+        if r0pos is not None:
+            sr_ok = (col(sr_eq, i) > 0) & (r_i[:, 0] == col(r0pos, i))
+        else:
+            sr_ok = jnp.zeros((L,), bool)
         cand_sr = jnp.where(sr_ok,
                             p_i + f_im1 + f_ir1 + f_sel[:, 0] + f_r0l0, INF)
         use_sr = cand_sr < cand_l
@@ -486,6 +496,581 @@ def dp_parse(data, lens, ld, dd, model, fb: int, pb: int,
     price, from_, choice, rkind, state, reps = jax.lax.fori_loop(
         0, N, step, (price, from_, choice, rkind, state, reps))
     return price, from_, choice, rkind
+
+
+@partial(jax.jit, static_argnames=("fb", "pb", "full_len_only"))
+def dp_parse_band(data, lens, ld, dd, model, fb: int, pb: int,
+                  full_len_only: bool = False, r0pos=None, replen=None):
+    """dp_parse restructured for the TPU memory hierarchy.
+
+    The DP is BANDED: every read/write at step i lands within fb columns
+    of i.  The naive formulation (dp_parse) dynamic-slices ~25 (L, N)
+    HBM planes per step — each a serialized HBM round trip, measured
+    ~150 us/step through this rig.  Here the live state is two small
+    rolling bands (future window + finalized history, O(L x fb) each),
+    the per-position tables are packed into ONE (N, L, C) array the loop
+    reads once per step, one packed (from, choice) row is written back
+    per step, and EVERY in-loop gather/select is a one-hot masked
+    contraction (fusable vector math — a data-dependent gather is a
+    fusion barrier on TPU, and Mosaic's take_along_axis is broken
+    anyway, MEASUREMENTS.md round-2 finding 4).  Identical output to
+    dp_parse."""
+    L, N = data.shape
+    M = ld.shape[2]
+    W = fb - 1                        # relax lengths 2..fb
+    B = fb + 1                        # future band: cols 0..fb == nodes i..i+fb
+    H = fb                            # history band: nodes i-1..i-fb
+    pmask = (1 << pb) - 1
+    n_ps = 1 << pb
+
+    dcost = _pair_dist_cost(model, dd, (ld >= 2) & (dd >= 0))   # (L, N, M, 4)
+    lvec = jnp.arange(2, fb + 1, dtype=jnp.int32)               # (W,)
+    lps_idx = jnp.minimum(lvec - 2, 3)
+
+    # shortRep byte equality precomputed against the rep0 TRACE distance
+    # (in-loop it gates on node-rep0 == trace-rep0, so the test is exact
+    # whenever it fires) — removes the only in-loop data gather
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    zcol = jnp.zeros((L, N), jnp.int32)
+    if r0pos is not None:
+        src = pos - r0pos - 1
+        sbyte = jnp.take_along_axis(data, jnp.clip(src, 0, N - 1), axis=1)
+        sr_eq = ((data == sbyte) & (src >= 0)).astype(jnp.int32)
+        r0p, rlp = r0pos, replen
+    else:
+        sr_eq = zcol
+        r0p = rlp = zcol
+
+    # ---- packed per-position input: (N, L, C) ----
+    packed = jnp.concatenate([
+        jnp.moveaxis(ld, 1, 0).reshape(N, L, M),
+        jnp.moveaxis(dd, 1, 0).reshape(N, L, M),
+        jnp.moveaxis(dcost, 1, 0).reshape(N, L, M * 4),
+        jnp.moveaxis(model["lit_cost"], 1, 0)[:, :, None],
+        jnp.moveaxis(model["mlit_cost"], 1, 0)[:, :, None],
+        jnp.moveaxis(r0p, 1, 0)[:, :, None],
+        jnp.moveaxis(rlp, 1, 0)[:, :, None],
+        jnp.moveaxis(sr_eq, 1, 0)[:, :, None],
+    ], axis=2)                                                   # (N, L, C)
+    C = packed.shape[2]
+
+    # ---- ps-indexed tables with ps leading (one-hot contracted in-loop) ----
+    ltm_ps = jnp.moveaxis(model["lt_match"][:, :, :W], 1, 0)     # (n_ps, L, W)
+    ltr_ps = jnp.moveaxis(model["lt_rep"][:, :, :W], 1, 0)
+    im0_ps = jnp.moveaxis(model["im0"], 2, 0)                    # (n_ps, L, 12)
+    im1_ps = jnp.moveaxis(model["im1"], 2, 0)
+    r0l0_ps = jnp.moveaxis(model["r0l0"], 2, 0)
+    r0l1_ps = jnp.moveaxis(model["r0l1"], 2, 0)
+    ir0, ir1 = model["ir0"], model["ir1"]                        # (L, 12)
+    rep_sel = model["rep_sel"]                                   # (L, 4, 12)
+
+    # ---- bands ----
+    bp = jnp.full((L, B), INF, jnp.int32).at[:, 0].set(0)        # price
+    bf = jnp.zeros((L, B), jnp.int32)                            # from offset d=i-f (0 at node 0)
+    bc = jnp.full((L, B), -1, jnp.int32)                         # choice dist
+    bk = jnp.full((L, B), RK_LIT, jnp.int32)                     # kind
+    hstate = jnp.zeros((L, H), jnp.int32)                        # node i-1-h
+    hreps = jnp.zeros((L, H, 4), jnp.int32)
+    out = jnp.zeros((N + 1, L, 2), jnp.int32)                    # (from_abs, choice)
+
+    def step(i, carry):
+        bp, bf, bc, bk, hstate, hreps, out = carry
+        row = jax.lax.dynamic_slice(packed, (i, 0, 0), (1, L, C))[0]
+        ld_i = row[:, 0:M]
+        dd_i = row[:, M:2 * M]
+        dc_i = row[:, 2 * M:6 * M].reshape(L, M, 4)
+        lit_i = row[:, 6 * M]
+        mlit_i = row[:, 6 * M + 1]
+        r0p_i = row[:, 6 * M + 2]
+        rl_i = row[:, 6 * M + 3]
+        sr_eq_i = row[:, 6 * M + 4]
+
+        # posState one-hot: the only ps-dependent op is a tiny contraction
+        ohps = (jnp.arange(n_ps, dtype=jnp.int32) == (i & pmask)).astype(
+            jnp.int32)                                           # (n_ps,)
+
+        def by_ps(tab):                                          # (n_ps, L, X) -> (L, X)
+            return jnp.tensordot(ohps, tab, axes=1)
+
+        # --- finalize node i from its predecessor (history band) ---
+        p_i, d_i, c_i, k_i = bp[:, 0], bf[:, 0], bc[:, 0], bk[:, 0]
+        ohh = (jnp.arange(H, dtype=jnp.int32)[None, :]
+               == jnp.clip(d_i - 1, 0, H - 1)[:, None]).astype(jnp.int32)
+        st_prev = jnp.sum(hstate * ohh, axis=1)
+        r_prev = jnp.sum(hreps * ohh[:, :, None], axis=1)        # (L, 4)
+        is_lit_e = k_i == RK_LIT
+        is_sr_e = k_i == RK_SHORTREP
+        is_rep_e = (k_i >= 0) & (k_i < 4)
+        st_i = jnp.where(
+            is_lit_e, _next_lit(st_prev),
+            jnp.where(is_sr_e, jnp.where(st_prev < 7, 9, 11),
+                      jnp.where(is_rep_e, _next_longrep(st_prev),
+                                _next_match(st_prev))))
+        kk = jnp.clip(k_i, 0, 3)
+        ohk = (jnp.arange(4, dtype=jnp.int32)[None, :]
+               == kk[:, None]).astype(jnp.int32)                 # (L, 4)
+        picked = jnp.sum(r_prev * ohk, axis=1)
+        n0 = jnp.where(is_rep_e, picked,
+                       jnp.where(k_i == RK_MATCH, c_i, r_prev[:, 0]))
+        n1 = jnp.where((is_rep_e & (kk >= 1)) | (k_i == RK_MATCH),
+                       r_prev[:, 0], r_prev[:, 1])
+        n2 = jnp.where((is_rep_e & (kk >= 2)) | (k_i == RK_MATCH),
+                       r_prev[:, 1], r_prev[:, 2])
+        n3 = jnp.where((is_rep_e & (kk >= 3)) | (k_i == RK_MATCH),
+                       r_prev[:, 2], r_prev[:, 3])
+        st_i = jnp.where(i == 0, 0, st_i)
+        r_i = jnp.where(i == 0, 0,
+                        jnp.stack([n0, n1, n2, n3], axis=1))
+
+        # emit node i (absolute from, choice)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.stack([i - d_i, c_i], axis=1)[None], (i, 0, 0))
+
+        live = i < lens
+        # flag prices at (state_i, ps): one-hot over the 12 states
+        ohst = (jnp.arange(12, dtype=jnp.int32)[None, :]
+                == st_i[:, None]).astype(jnp.int32)              # (L, 12)
+
+        def at_st(tab):                                          # (L, 12) -> (L,)
+            return jnp.sum(tab * ohst, axis=1)
+
+        f_im0 = at_st(by_ps(im0_ps))
+        f_im1 = at_st(by_ps(im1_ps))
+        f_r0l0 = at_st(by_ps(r0l0_ps))
+        f_r0l1 = at_st(by_ps(r0l1_ps))
+        f_ir0, f_ir1 = at_st(ir0), at_st(ir1)
+        f_sel = jnp.sum(rep_sel * ohst[:, None, :], axis=2)      # (L, 4)
+
+        # --- literal / shortRep edges -> band col 1 ---
+        lcost = jnp.where(st_i >= 7, mlit_i, lit_i)
+        cand_l = p_i + f_im0 + lcost
+        # shortRep gated on node-rep0 == trace-rep0, where the
+        # precomputed byte equality is exact
+        sr_ok = (sr_eq_i > 0) & (r_i[:, 0] == r0p_i)
+        cand_sr = jnp.where(sr_ok,
+                            p_i + f_im1 + f_ir1 + f_sel[:, 0] + f_r0l0, INF)
+        use_sr = cand_sr < cand_l
+        cand1 = jnp.minimum(cand_l, cand_sr)
+        imp = live & (cand1 < bp[:, 1])
+        bp = bp.at[:, 1].set(jnp.where(imp, cand1, bp[:, 1]))
+        bf = bf.at[:, 1].set(jnp.where(imp, 1, bf[:, 1]))
+        bc = bc.at[:, 1].set(jnp.where(
+            imp, jnp.where(use_sr, r_i[:, 0], -1), bc[:, 1]))
+        bk = bk.at[:, 1].set(jnp.where(
+            imp, jnp.where(use_sr, RK_SHORTREP, RK_LIT), bk[:, 1]))
+
+        # --- match / rep window relax over cols 2..fb ---
+        ld_c = jnp.minimum(ld_i, jnp.maximum(lens[:, None] - i, 0))
+        pv = (ld_c >= 2) & (dd_i >= 0) & live[:, None]
+        eq = dd_i[:, :, None] == r_i[:, None, :]
+        any_eq = jnp.any(eq, axis=2)
+        ridx = jnp.argmax(eq, axis=2)
+        is_rep_pair = pv & any_eq
+
+        ltm = by_ps(ltm_ps)
+        ltr = by_ps(ltr_ps)
+        mbase = p_i + f_im1 + f_ir0
+        rep_base = (p_i + f_im1 + f_ir1)[:, None] + f_sel
+        rep_base = rep_base.at[:, 0].add(f_r0l1)
+        # select the matching rep index's base per pair via the eq mask
+        # (first-index-wins: mask eq to the argmax index)
+        ohr = (jnp.cumsum(eq.astype(jnp.int32), axis=2)
+               * eq.astype(jnp.int32)) == 1                      # (L, M, 4)
+        pair_rep_base = jnp.sum(rep_base[:, None, :] * ohr, axis=2)
+
+        dc_l = jnp.take(dc_i, lps_idx, axis=2)                   # (L, M, W)
+        mcost = mbase[:, None, None] + dc_l + ltm[:, None, :]
+        rcost = pair_rep_base[:, :, None] + ltr[:, None, :]
+        cost = jnp.where(is_rep_pair[:, :, None], rcost, mcost)
+        lmask = lvec[None, None, :] <= ld_c[:, :, None]
+        if full_len_only:
+            lmask = lmask & (lvec[None, None, :] == ld_c[:, :, None])
+        cost = jnp.where(lmask & pv[:, :, None], cost, INF)
+
+        if r0pos is not None:
+            rl_c = jnp.minimum(rl_i, jnp.maximum(lens - i, 0))
+            rep0_ok = live & (r_i[:, 0] == r0p_i) & (rl_c >= 2)
+            c_r0 = jnp.where(
+                rep0_ok[:, None] & (lvec[None, :] <= rl_c[:, None]),
+                (p_i + f_im1 + f_ir1 + f_sel[:, 0] + f_r0l1)[:, None] + ltr,
+                INF)
+            cost = jnp.concatenate([cost, c_r0[:, None, :]], axis=1)
+            dd_x = jnp.concatenate([dd_i, r0p_i[:, None]], axis=1)
+            rep_x = jnp.concatenate([is_rep_pair, rep0_ok[:, None]], axis=1)
+            ridx_x = jnp.concatenate(
+                [ridx, jnp.zeros((L, 1), ridx.dtype)], axis=1)
+        else:
+            dd_x, rep_x, ridx_x = dd_i, is_rep_pair, ridx
+
+        best = jnp.min(cost, axis=1)                             # (L, W)
+        bidx = jnp.argmin(cost, axis=1)
+        ohb = (jnp.arange(cost.shape[1], dtype=jnp.int32)[None, :, None]
+               == bidx[:, None, :]).astype(jnp.int32)            # (L, M', W)
+
+        def pick(a):
+            return jnp.sum(a[:, :, None] * ohb, axis=1)
+
+        bdist = pick(dd_x)
+        bkind = jnp.where(pick(rep_x.astype(jnp.int32)) > 0,
+                          pick(ridx_x), RK_MATCH)
+
+        win = bp[:, 2:2 + W]
+        impw = best < win
+        bp = bp.at[:, 2:2 + W].set(jnp.where(impw, best, win))
+        bf = bf.at[:, 2:2 + W].set(jnp.where(
+            impw, lvec[None, :], bf[:, 2:2 + W]))
+        bc = bc.at[:, 2:2 + W].set(jnp.where(
+            impw, jnp.maximum(bdist, 0), bc[:, 2:2 + W]))
+        bk = bk.at[:, 2:2 + W].set(jnp.where(impw, bkind, bk[:, 2:2 + W]))
+
+        # --- advance: node i leaves the future band, enters history ---
+        bp = jnp.roll(bp, -1, axis=1).at[:, B - 1].set(INF)
+        bf = jnp.roll(bf, -1, axis=1).at[:, B - 1].set(0)
+        bc = jnp.roll(bc, -1, axis=1).at[:, B - 1].set(-1)
+        bk = jnp.roll(bk, -1, axis=1).at[:, B - 1].set(RK_LIT)
+        hstate = jnp.roll(hstate, 1, axis=1).at[:, 0].set(st_i)
+        hreps = jnp.roll(hreps, 1, axis=1).at[:, 0, :].set(r_i)
+        return (bp, bf, bc, bk, hstate, hreps, out)
+
+    bp, bf, bc, bk, hstate, hreps, out = jax.lax.fori_loop(
+        0, N, step, (bp, bf, bc, bk, hstate, hreps, out))
+    # node N (the end node for full lanes) sits at band col 0 now
+    out = out.at[N, :, 0].set(N - bf[:, 0])
+    out = out.at[N, :, 1].set(bc[:, 0])
+    from_abs = jnp.moveaxis(out[:, :, 0], 0, 1)                  # (L, N+1)
+    choice = jnp.moveaxis(out[:, :, 1], 0, 1)
+    return from_abs, choice
+
+
+def _pack_inputs(data, ld, dd, dcost, model, r0pos, replen, fb):
+    """Per-position DP inputs packed lanes-last: (N, C, L) int32.
+
+    Row layout: ld (M), dd (M), dcost (M*4, m-major), lit, mlit, r0p,
+    rl, sr_eq — one contiguous read per DP step."""
+    L, N = model["lit_cost"].shape
+    M = ld.shape[2]
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    zcol = jnp.zeros((L, N), jnp.int32)
+    if r0pos is not None:
+        src = pos - r0pos - 1
+        sbyte = jnp.take_along_axis(data, jnp.clip(src, 0, N - 1), axis=1)
+        sr_eq = ((data == sbyte) & (src >= 0)).astype(jnp.int32)
+        r0p, rlp = r0pos, replen
+    else:
+        sr_eq = zcol
+        r0p = rlp = zcol
+    parts = [
+        jnp.moveaxis(ld, 1, 0).reshape(N, L, M),
+        jnp.moveaxis(dd, 1, 0).reshape(N, L, M),
+        jnp.moveaxis(dcost, 1, 0).reshape(N, L, M * 4),
+        jnp.moveaxis(model["lit_cost"], 1, 0)[:, :, None],
+        jnp.moveaxis(model["mlit_cost"], 1, 0)[:, :, None],
+        jnp.moveaxis(r0p, 1, 0)[:, :, None],
+        jnp.moveaxis(rlp, 1, 0)[:, :, None],
+        jnp.moveaxis(sr_eq, 1, 0)[:, :, None],
+    ]
+    return jnp.moveaxis(jnp.concatenate(parts, axis=2), 1, 2)    # (N, C, L)
+
+
+def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
+                    full_len_only: bool = False, r0pos=None, replen=None,
+                    chunk: int = 256, interpret: bool = False):
+    """The DP scan as ONE Pallas kernel (the production pass C).
+
+    The XLA while-loop forms (dp_parse / dp_parse_band) cost ~100 us per
+    position on this TPU runtime — per-iteration loop overhead, same
+    magnitude as the retired XLA range-coder FSMs.  Here the whole scan
+    is a single Mosaic kernel: the rolling bands live in VMEM scratch
+    persisting across a sequential grid over position chunks, each grid
+    step streams one (chunk, C, L) packed-input block in and one
+    (chunk, 2, L) result block out, and every select is explicit masked
+    math (no gathers, no cumsum/argmin — small unrolled loops instead:
+    Mosaic lowers none of those reliably).  Output is identical to
+    dp_parse / dp_parse_band.
+
+    Layouts are lanes-LAST ((…, L)) so the VPU vectorizes across lanes
+    — the same convention as ops/pallas_ring.py."""
+    from jax.experimental import pallas as pl
+
+    L, N = data.shape
+    M = ld.shape[2]
+    MX = M + (1 if r0pos is not None else 0)   # pairs + rep0-continuation
+    W = fb - 1
+    B = fb + 1
+    H = fb
+    pmask = (1 << pb) - 1
+    n_ps = 1 << pb
+
+    dcost = _pair_dist_cost(model, dd, (ld >= 2) & (dd >= 0))
+    packed = _pack_inputs(data, ld, dd, dcost, model, r0pos, replen, fb)
+    C = packed.shape[1]
+    NP = N
+    grid = N                       # one position per sequential grid step
+
+    ltm_ps = jnp.transpose(model["lt_match"][:, :, :W], (1, 2, 0))  # (n_ps, W, L)
+    ltr_ps = jnp.transpose(model["lt_rep"][:, :, :W], (1, 2, 0))
+    im0_ps = jnp.transpose(model["im0"], (2, 1, 0))              # (n_ps, 12, L)
+    im1_ps = jnp.transpose(model["im1"], (2, 1, 0))
+    r0l0_ps = jnp.transpose(model["r0l0"], (2, 1, 0))
+    r0l1_ps = jnp.transpose(model["r0l1"], (2, 1, 0))
+    ir0_t = model["ir0"].T                                       # (12, L)
+    ir1_t = model["ir1"].T
+    sel_t = jnp.transpose(model["rep_sel"], (1, 2, 0))           # (4, 12, L)
+    lens_t = lens[None, :].astype(jnp.int32)                     # (1, L)
+
+    def kernel(inp_ref, ltm_ref, ltr_ref, im0_ref, im1_ref, r0l0_ref,
+               r0l1_ref, ir0_ref, ir1_ref, sel_ref, lens_ref,
+               out_ref, tail_ref,
+               bp_ref, bf_ref, bc_ref, bk_ref, hst_ref, hrp_ref):
+        c = pl.program_id(0)
+        # index vectors built in-kernel (captured tracers are rejected)
+        s12 = jax.lax.broadcasted_iota(jnp.int32, (12, 1), 0)
+        lvec_c = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0) + 2
+        hvec = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+
+        @pl.when(c == 0)
+        def _init():
+            bp_ref[...] = jnp.concatenate(
+                [jnp.zeros((1, L), jnp.int32),
+                 jnp.full((B - 1, L), INF, jnp.int32)], axis=0)
+            bf_ref[...] = jnp.zeros((B, L), jnp.int32)
+            bc_ref[...] = jnp.full((B, L), -1, jnp.int32)
+            bk_ref[...] = jnp.full((B, L), RK_LIT, jnp.int32)
+            hst_ref[...] = jnp.zeros((H, L), jnp.int32)
+            hrp_ref[...] = jnp.zeros((4, H, L), jnp.int32)
+
+        lens_l = lens_ref[0]                                     # (L,)
+
+        # one position per grid step: the block row is STATIC index 0
+        # (a traced row index would lower to a full one-hot select over
+        # the chunk), and Mosaic double-buffers the 1-row block DMA
+        if True:
+            i = c
+            row = inp_ref[0]
+            ld_i = row[0:M]                                      # (M, L)
+            dd_i = row[M:2 * M]
+            dc_i = row[2 * M:6 * M].reshape(M, 4, L)
+            lit_i = row[6 * M]
+            mlit_i = row[6 * M + 1]
+            r0p_i = row[6 * M + 2]
+            rl_i = row[6 * M + 3]
+            sr_eq_i = row[6 * M + 4]
+
+            bp = bp_ref[...]
+            bf = bf_ref[...]
+            bc = bc_ref[...]
+            bk = bk_ref[...]
+            hst = hst_ref[...]
+            hrp = hrp_ref[...]
+
+            ps = i & pmask
+
+            # --- finalize node i ---
+            p_i, d_i, c_i, k_i = bp[0], bf[0], bc[0], bk[0]      # (L,)
+            ohh = (hvec == jnp.clip(d_i - 1, 0, H - 1)[None, :]).astype(
+                jnp.int32)                                       # (H, L)
+            st_prev = jnp.sum(hst * ohh, axis=0)
+            r_prev = jnp.sum(hrp * ohh[None], axis=1)            # (4, L)
+            is_lit_e = k_i == RK_LIT
+            is_sr_e = k_i == RK_SHORTREP
+            is_rep_e = (k_i >= 0) & (k_i < 4)
+            st_i = jnp.where(
+                is_lit_e, _next_lit(st_prev),
+                jnp.where(is_sr_e, jnp.where(st_prev < 7, 9, 11),
+                          jnp.where(is_rep_e, _next_longrep(st_prev),
+                                    _next_match(st_prev))))
+            kk = jnp.clip(k_i, 0, 3)
+            picked = jnp.zeros((L,), jnp.int32)
+            for m in range(4):
+                picked = jnp.where(kk == m, r_prev[m], picked)
+            n0 = jnp.where(is_rep_e, picked,
+                           jnp.where(k_i == RK_MATCH, c_i, r_prev[0]))
+            n1 = jnp.where((is_rep_e & (kk >= 1)) | (k_i == RK_MATCH),
+                           r_prev[0], r_prev[1])
+            n2 = jnp.where((is_rep_e & (kk >= 2)) | (k_i == RK_MATCH),
+                           r_prev[1], r_prev[2])
+            n3 = jnp.where((is_rep_e & (kk >= 3)) | (k_i == RK_MATCH),
+                           r_prev[2], r_prev[3])
+            at0 = i == 0
+            st_i = jnp.where(at0, 0, st_i)
+            r_i = jnp.where(at0, 0, jnp.stack([n0, n1, n2, n3]))  # (4, L)
+
+            # emit node i
+            out_ref[...] = jnp.stack([i - d_i, c_i])[None]
+
+            live = i < lens_l
+            ohst = (s12 == st_i[None, :]).astype(jnp.int32)      # (12, L)
+            ohps = [ps == q for q in range(n_ps)]
+
+            def by_ps(ref):
+                acc = jnp.zeros(ref.shape[1:], jnp.int32)
+                for q in range(n_ps):
+                    acc = jnp.where(ohps[q], ref[q], acc)
+                return acc
+
+            def at_st(tab):                                      # (12, L) -> (L,)
+                return jnp.sum(tab * ohst, axis=0)
+
+            f_im0 = at_st(by_ps(im0_ref))
+            f_im1 = at_st(by_ps(im1_ref))
+            f_r0l0 = at_st(by_ps(r0l0_ref))
+            f_r0l1 = at_st(by_ps(r0l1_ref))
+            f_ir0 = at_st(ir0_ref[...])
+            f_ir1 = at_st(ir1_ref[...])
+            f_sel = jnp.sum(sel_ref[...] * ohst[None], axis=1)   # (4, L)
+
+            # --- literal / shortRep -> col 1 ---
+            lcost = jnp.where(st_i >= 7, mlit_i, lit_i)
+            cand_l = p_i + f_im0 + lcost
+            sr_ok = (sr_eq_i > 0) & (r_i[0] == r0p_i)
+            cand_sr = jnp.where(
+                sr_ok, p_i + f_im1 + f_ir1 + f_sel[0] + f_r0l0, INF)
+            use_sr = cand_sr < cand_l
+            cand1 = jnp.minimum(cand_l, cand_sr)
+            imp = live & (cand1 < bp[1])
+            c1_p = jnp.where(imp, cand1, bp[1])
+            c1_f = jnp.where(imp, 1, bf[1])
+            c1_c = jnp.where(imp, jnp.where(use_sr, r_i[0], -1), bc[1])
+            c1_k = jnp.where(imp, jnp.where(use_sr, RK_SHORTREP, RK_LIT),
+                             bk[1])
+
+            # --- match / rep relax, explicit min over MX sources ---
+            ld_c = jnp.minimum(ld_i, jnp.maximum(lens_l - i, 0)[None, :])
+            pv = (ld_c >= 2) & (dd_i >= 0) & live[None, :]
+            mbase = p_i + f_im1 + f_ir0
+            rep_head = p_i + f_im1 + f_ir1
+            rep_base = [rep_head + f_sel[0] + f_r0l1,
+                        rep_head + f_sel[1],
+                        rep_head + f_sel[2],
+                        rep_head + f_sel[3]]
+            ltm = by_ps(ltm_ref)                                 # (W, L)
+            ltr = by_ps(ltr_ref)
+
+            best = jnp.full((W, L), INF, jnp.int32)
+            bdist = jnp.zeros((W, L), jnp.int32)
+            bkind = jnp.full((W, L), RK_MATCH, jnp.int32)
+            for m in range(M):
+                # first-index-wins rep detection
+                eq0 = dd_i[m] == r_i[0]
+                eq1 = dd_i[m] == r_i[1]
+                eq2 = dd_i[m] == r_i[2]
+                eq3 = dd_i[m] == r_i[3]
+                any_eq = eq0 | eq1 | eq2 | eq3
+                rix = jnp.where(eq0, 0, jnp.where(eq1, 1,
+                                jnp.where(eq2, 2, 3)))
+                rb = rep_base[0] * 0
+                for q in range(4):
+                    rb = jnp.where(rix == q, rep_base[q], rb)
+                # distance part per relax length (lps saturates at l>=5)
+                dparts = [dc_i[m, 0], dc_i[m, 1], dc_i[m, 2]]
+                dc_l = jnp.concatenate(
+                    [jnp.stack(dparts),
+                     jnp.broadcast_to(dc_i[m, 3][None], (W - 3, L))],
+                    axis=0) if W > 3 else jnp.stack(dparts[:W])
+                costm = jnp.where(any_eq[None, :],
+                                  rb[None, :] + ltr,
+                                  mbase[None, :] + dc_l + ltm)
+                lm = lvec_c <= ld_c[m][None, :]
+                if full_len_only:
+                    lm = lm & (lvec_c == ld_c[m][None, :])
+                costm = jnp.where(lm & pv[m][None, :], costm, INF)
+                better = costm < best
+                best = jnp.where(better, costm, best)
+                bdist = jnp.where(better, dd_i[m][None, :], bdist)
+                bkind = jnp.where(
+                    better,
+                    jnp.where(any_eq[None, :], rix[None, :], RK_MATCH),
+                    bkind)
+            if r0pos is not None:
+                rl_c = jnp.minimum(rl_i, jnp.maximum(lens_l - i, 0))
+                rep0_ok = live & (r_i[0] == r0p_i) & (rl_c >= 2)
+                cost0 = jnp.where(
+                    rep0_ok[None, :] & (lvec_c <= rl_c[None, :]),
+                    rep_base[0][None, :] + ltr, INF)
+                better = cost0 < best
+                best = jnp.where(better, cost0, best)
+                bdist = jnp.where(better, r0p_i[None, :], bdist)
+                bkind = jnp.where(better, 0, bkind)
+
+            win = bp[2:2 + W]
+            impw = best < win
+            w_p = jnp.where(impw, best, win)
+            w_f = jnp.where(impw, jnp.broadcast_to(lvec_c, (W, L)),
+                            bf[2:2 + W])
+            w_c = jnp.where(impw, jnp.maximum(bdist, 0), bc[2:2 + W])
+            w_k = jnp.where(impw, bkind, bk[2:2 + W])
+
+            # --- write back: relax results fused with the 1-col shift
+            # (col0 retires; fresh INF col enters) — pure concatenation,
+            # no .at[] (scatter does not lower in Mosaic) ---
+            bp_ref[...] = jnp.concatenate(
+                [c1_p[None], w_p, jnp.full((1, L), INF, jnp.int32)], axis=0)
+            bf_ref[...] = jnp.concatenate(
+                [c1_f[None], w_f, jnp.zeros((1, L), jnp.int32)], axis=0)
+            bc_ref[...] = jnp.concatenate(
+                [c1_c[None], w_c, jnp.full((1, L), -1, jnp.int32)], axis=0)
+            bk_ref[...] = jnp.concatenate(
+                [c1_k[None], w_k, jnp.full((1, L), RK_LIT, jnp.int32)],
+                axis=0)
+            hst_ref[...] = jnp.concatenate([st_i[None], hst[:-1]], axis=0)
+            hrp_ref[...] = jnp.concatenate(
+                [r_i[:, None, :], hrp[:, :-1, :]], axis=1)
+
+        @pl.when(c == grid - 1)
+        def _tail():
+            # node NP == band col 0 after the last step; NP == N when N is
+            # chunk-aligned, else node N was already emitted in its chunk
+            tail_ref[...] = jnp.stack([NP - bf_ref[0], bc_ref[0]])
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    out, tail = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, C, L), lambda c: (c, 0, 0)),
+            pl.BlockSpec((n_ps, W, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, W, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((12, L), lambda c: (0, 0)),
+            pl.BlockSpec((12, L), lambda c: (0, 0)),
+            pl.BlockSpec((4, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((1, L), lambda c: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, L), lambda c: (c, 0, 0)),
+            pl.BlockSpec((2, L), lambda c: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, 2, L), jnp.int32),
+            jax.ShapeDtypeStruct((2, L), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, L), jnp.int32),       # bp
+            pltpu.VMEM((B, L), jnp.int32),       # bf
+            pltpu.VMEM((B, L), jnp.int32),       # bc
+            pltpu.VMEM((B, L), jnp.int32),       # bk
+            pltpu.VMEM((H, L), jnp.int32),       # hstate
+            pltpu.VMEM((4, H, L), jnp.int32),    # hreps
+        ],
+        interpret=interpret,
+    )(packed, ltm_ps, ltr_ps, im0_ps, im1_ps, r0l0_ps, r0l1_ps,
+      ir0_t, ir1_t, sel_t, lens_t)
+
+    # assemble (L, N+1) from/choice planes; node N comes from the tail
+    # when N is chunk-aligned (otherwise it was emitted in its chunk)
+    from_abs = jnp.moveaxis(out[:, 0, :], 0, 1)                  # (L, NP)
+    choice = jnp.moveaxis(out[:, 1, :], 0, 1)
+    if NP == N:
+        from_abs = jnp.concatenate([from_abs, tail[0][:, None]], axis=1)
+        choice = jnp.concatenate([choice, tail[1][:, None]], axis=1)
+    else:
+        from_abs = from_abs[:, :N + 1]
+        choice = choice[:, :N + 1]
+    return from_abs, choice
 
 
 # ------------------------------------------------------------- pass D
@@ -625,10 +1210,12 @@ def _select_dp_pairs(cl, cd, counts, m_dp: int):
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "m_dp",
-                                   "full_len_only", "tiers_key", "n_iter"))
+                                   "full_len_only", "tiers_key", "n_iter",
+                                   "band"))
 def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
                      m_dp=DEFAULT_M_DP, full_len_only=False,
-                     tiers_key=(("k4", 4), ("k8", 2)), n_iter=1):
+                     tiers_key=(("k4", 4), ("k8", 2)), n_iter=1,
+                     band=True):
     """Full device pipeline: candidate lists -> empirical prices -> DP ->
     tokens.  data (L, N) u8, lens (L,).  Returns (t_pos, t_len, t_dist,
     t_valid, ntok) — same contract as device_matcher.tokenize, ready for
@@ -667,9 +1254,19 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
         r0pos = rep0_trace(tp, td, tv, N)
         replen = _rep_match_lens(data, lens, r0pos, fb)
         model = build_price_model(data, probs, lc, lp, pb, fb, r0pos=r0pos)
-        price, from_, choice, rkind = dp_parse(data, lens, ld, dd, model,
-                                               fb, pb, full_len_only,
-                                               r0pos=r0pos, replen=replen)
+        if band == "pallas" or band == "pallas_interpret":
+            from_, choice = dp_parse_pallas(
+                data, lens, ld, dd, model, fb, pb, full_len_only,
+                r0pos=r0pos, replen=replen,
+                interpret=(band == "pallas_interpret"))
+        elif band:
+            from_, choice = dp_parse_band(data, lens, ld, dd, model, fb, pb,
+                                          full_len_only, r0pos=r0pos,
+                                          replen=replen)
+        else:
+            price, from_, choice, rkind = dp_parse(data, lens, ld, dd, model,
+                                                   fb, pb, full_len_only,
+                                                   r0pos=r0pos, replen=replen)
         tp, tl, td, tv, ntok = extract_tokens(from_, choice, lens)
         # extract_tokens pads to NP = N + fb + 1 columns; the lowering
         # budget is per-position, so trim back to N token slots (a block

@@ -92,6 +92,7 @@ def encode_blocks(
     use_pallas: bool = False,
     preset_len: int = 0,
     dictionary: bytes = b"",
+    parse: str = "lazy",
 ) -> bytes:
     """Lane-parallel block encode to an LZTB container.
 
@@ -101,6 +102,9 @@ def encode_blocks(
     window primed with block 0's prefix.  `dictionary` writes LZTB v3:
     the trained dictionary is stored as its own compressed stream and
     primes EVERY lane.
+    parse="optimal" tokenizes with the lane-parallel optimal-parse DP
+    (ops/device_parser) — within ~1% of native bt4-opt compression;
+    preset-primed lanes keep the lazy parse.
     """
     params = (params or LzmaParams()).validated_for_encode()
     if params.write_eos:
@@ -117,13 +121,15 @@ def encode_blocks(
         streams = encode_batch(blocks, params, use_pallas=use_pallas,
                                preset=dictionary)
         (dict_stream,) = encode_batch([dictionary], params,
-                                      use_pallas=use_pallas)
+                                      use_pallas=use_pallas, parse=parse)
     elif preset_len:
-        streams = encode_batch(blocks[:1], params, use_pallas=use_pallas)
+        streams = encode_batch(blocks[:1], params, use_pallas=use_pallas,
+                               parse=parse)
         streams += encode_batch(blocks[1:], params, use_pallas=use_pallas,
                                 preset=data[:preset_len])
     else:
-        streams = encode_batch(blocks, params, use_pallas=use_pallas) if blocks else []
+        streams = (encode_batch(blocks, params, use_pallas=use_pallas,
+                                parse=parse) if blocks else [])
     return blk.build_container(params, block_size, len(data), streams,
                                preset_len, dict_stream, len(dictionary))
 

@@ -478,12 +478,18 @@ def _append_eos_tokens(t_pos, t_len, t_dist, t_valid, ntok, lens):
 
 
 def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
-                 preset, write_eos=False):
+                 preset, write_eos=False, parse="lazy"):
     """Phases A-C for a lane batch: (optional preset priming) + tokenize +
     classify + bit lowering.  The ONE implementation both serializer
     backends consume — any change to preset or bit-budget handling lands
     in the XLA and Pallas encode paths together.  Returns
-    (ctx, bits, totals, max_out)."""
+    (ctx, bits, totals, max_out).
+
+    parse="optimal" runs the lane-parallel optimal-parse DP
+    (ops/device_parser.tokenize_optimal — empirical prices + banded DP
+    scan) instead of the lazy tokenizer: within ~1% of native bt4-opt
+    compression at the frozen-corpus measurement (MEASUREMENTS.md round
+    4).  Preset priming is lazy-only for now."""
     N, max_n = data.shape
     if preset is not None and preset.shape[0]:
         plen = preset.shape[0]
@@ -494,9 +500,16 @@ def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
         lens = lens + plen
     else:
         plen = 0
-    tok = jax.vmap(
-        lambda d, n: tokenize(d, n, dict_size, fb, num_candidates, start=plen)
-    )(data, lens)
+    if parse == "optimal" and plen == 0:
+        from .device_parser import DP_TIERS, tokenize_optimal
+
+        tok = tokenize_optimal(data, lens, dict_size, lc=lc, lp=lp, pb=pb,
+                               fb=fb, tiers_key=DP_TIERS, n_iter=2)
+    else:
+        tok = jax.vmap(
+            lambda d, n: tokenize(d, n, dict_size, fb, num_candidates,
+                                  start=plen)
+        )(data, lens)
     t_pos, t_len, t_dist, t_valid, ntok = tok
     if write_eos:
         t_pos, t_len, t_dist, t_valid = _append_eos_tokens(
@@ -514,11 +527,12 @@ def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
 #: round-trips (seconds through a remote tunnel, ~10ms on a local host)
 _lower_lanes_jit = partial(
     jax.jit,
-    static_argnames=("lc", "lp", "pb", "fb", "num_candidates", "write_eos"))(
+    static_argnames=("lc", "lp", "pb", "fb", "num_candidates", "write_eos",
+                     "parse"))(
         lambda data, lens, dict_size, *, lc, lp, pb, fb, num_candidates,
-        preset=None, write_eos=False: _lower_lanes(
+        preset=None, write_eos=False, parse="lazy": _lower_lanes(
             data, lens, dict_size, lc, lp, pb, fb, num_candidates, preset,
-            write_eos))
+            write_eos, parse))
 
 
 def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
@@ -548,10 +562,10 @@ def encode_lanes_pallas(data, lens, dict_size, *, lc, lp, pb, fb,
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "num_candidates",
-                                   "write_eos"))
+                                   "write_eos", "parse"))
 def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
                  num_candidates=DEFAULT_NUM_CANDIDATES, preset=None,
-                 write_eos=False):
+                 write_eos=False, parse="lazy"):
     """Pure jittable lane-parallel encode: the flagship device pipeline.
 
     data: (N, max_n) u8, lens: (N,) i32.  `preset` ((P,) u8 or None)
@@ -563,7 +577,7 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
     """
     ctx, bits, totals, max_out = _lower_lanes(
         data, lens, dict_size, lc, lp, pb, fb, num_candidates, preset,
-        write_eos
+        write_eos, parse
     )
     layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     return serialize(ctx, bits, totals, layout.size, max_out)
@@ -572,7 +586,7 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
 def encode_batch(blocks, params: LzmaParams, fb=None,
                  num_candidates: int = DEFAULT_NUM_CANDIDATES,
                  use_pallas: bool = False, preset: bytes = b"",
-                 write_eos: bool = False):
+                 write_eos: bool = False, parse: str = "lazy"):
     """Encode independent blocks lane-parallel on device.
 
     blocks: list of bytes.  `preset` primes every lane's window with the
@@ -606,7 +620,7 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
             jnp.asarray(data), jnp.asarray(lens), dict_j,
             lc=params.lc, lp=params.lp, pb=params.pb, fb=fb,
             num_candidates=num_candidates, preset=preset_j,
-            write_eos=write_eos,
+            write_eos=write_eos, parse=parse,
         )
         layout = ProbLayout(params.lc, params.lp, params.pb, pos_bits=params.pb)
         try:
@@ -635,6 +649,7 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
             num_candidates=num_candidates,
             preset=preset_j,
             write_eos=write_eos,
+            parse=parse,
         )
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)

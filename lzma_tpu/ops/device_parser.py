@@ -57,6 +57,10 @@ DIST_MASK = (1 << 30) - 1
 #: its minimal distance; the longest list entry is always kept)
 DEFAULT_M_DP = 4
 
+#: the hybrid-optimal deep tier ladder (ops/hybrid.DEFAULT_TIERS) as a
+#: static tiers_key for the DP pipeline
+DP_TIERS = (("k4", 12), ("k6", 4), ("k8", 6), ("k16", 3), ("k32", 2))
+
 
 # ------------------------------------------------------------- pass B
 def empirical_probs(ctx, bits, totals, arena_size: int):
@@ -1215,7 +1219,7 @@ def _select_dp_pairs(cl, cd, counts, m_dp: int):
 def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
                      m_dp=DEFAULT_M_DP, full_len_only=False,
                      tiers_key=(("k4", 4), ("k8", 2)), n_iter=1,
-                     band=True):
+                     band=None):
     """Full device pipeline: candidate lists -> empirical prices -> DP ->
     tokens.  data (L, N) u8, lens (L,).  Returns (t_pos, t_len, t_dist,
     t_valid, ntok) — same contract as device_matcher.tokenize, ready for
@@ -1230,6 +1234,9 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     from .device_encoder import classify_tokens, lower_tokens
     from .device_matcher import find_match_lists, tokenize
 
+    if band is None:
+        # the Mosaic kernel on TPU; the fused XLA band form elsewhere
+        band = "pallas" if jax.default_backend() == "tpu" else True
     L, N = data.shape
     tiers = dict(tiers_key)
     layout = ProbLayout(lc, lp, pb, pos_bits=pb)

@@ -1,0 +1,100 @@
+"""Lane-parallel optimal-parse DP (ops/device_parser): correctness of the
+token streams, backend equivalence, and the ratio claim vs the lazy parse."""
+
+import lzma
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lzma_tpu.format.properties import LzmaParams
+from lzma_tpu.ops.device_encoder import encode_batch
+from lzma_tpu.ops.device_parser import tokenize_optimal
+
+
+def _corpus(i, n=3000):
+    rng = np.random.default_rng(100 + i)
+    if i % 3 == 0:
+        return (b"optimal parse lane dp optimal parse bits " * 200)[:n]
+    if i % 3 == 1:
+        out = bytearray(rng.integers(0, 256, 50, dtype=np.uint8).tobytes())
+        while len(out) < n:
+            if rng.integers(0, 2):
+                s = int(rng.integers(0, len(out)))
+                out.extend(out[s : s + int(rng.integers(2, 40))])
+            else:
+                out.append(int(rng.integers(0, 256)))
+        return bytes(out[:n])
+    return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+
+
+def _tok(arr, lens, N, **kw):
+    base = dict(lc=3, lp=0, pb=2, fb=32, n_iter=2)
+    base.update(kw)
+    return tokenize_optimal(jnp.asarray(arr), jnp.asarray(lens),
+                            jnp.int32(N), **base)
+
+
+def test_token_stream_covers_blocks():
+    N, L = 2048, 4
+    arr = np.stack([np.frombuffer(_corpus(i, N), np.uint8) for i in range(L)])
+    lens = np.full(L, N, np.int32)
+    tp, tl, td, tv, ntok = map(np.asarray, _tok(arr, lens, N))
+    for i in range(L):
+        pos = 0
+        for j in range(int(ntok[i])):
+            assert tp[i, j] == pos
+            assert tl[i, j] >= 1
+            if td[i, j] >= 0:
+                assert td[i, j] < pos  # distance reaches real history
+            pos += tl[i, j]
+        assert pos == N
+
+
+def test_band_matches_naive_dp():
+    """The banded scan and the naive plane scan are the same algorithm —
+    token-identical (the Pallas kernel is asserted against the band form
+    in interpret mode)."""
+    N, L = 1536, 3
+    arr = np.stack([np.frombuffer(_corpus(i, N), np.uint8) for i in range(L)])
+    lens = np.array([N, N, N - 400], np.int32)
+    a = _tok(arr, lens, N, band=False)
+    b = _tok(arr, lens, N, band=True)
+    c = _tok(arr, lens, N, band="pallas_interpret")
+    for x, y, z in zip(a, b, c):
+        x, y, z = map(np.asarray, (x, y, z))
+        w = min(x.shape[-1], y.shape[-1], z.shape[-1]) if x.ndim > 1 else None
+        if w is not None:
+            x, y, z = x[:, :w], y[:, :w], z[:, :w]
+        assert np.array_equal(x, y)
+        assert np.array_equal(x, z)
+
+
+def test_device_optimal_encode_liblzma_decodes():
+    """Streams built from DP tokens (incl. shortRep) must satisfy the
+    strongest validity oracle."""
+    p = LzmaParams(lc=3, lp=0, pb=2, dict_size=1 << 13, fast_bytes=32)
+    datas = [_corpus(i, 4000) for i in range(3)]
+    streams = encode_batch(datas, p, parse="optimal")
+    for d, s in zip(datas, streams):
+        blob = p.encode_props() + len(d).to_bytes(8, "little") + s
+        assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == d
+
+
+def test_optimal_beats_lazy_ratio():
+    p = LzmaParams(dict_size=1 << 13, fast_bytes=32)
+    datas = [_corpus(i, 6000) for i in range(3)]
+    lazy = encode_batch(datas, p)
+    opt = encode_batch(datas, p, parse="optimal")
+    assert sum(map(len, opt)) < sum(map(len, lazy))
+
+
+def test_optimal_parse_ragged_and_eos():
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16, write_eos=True)
+    datas = [b"z" * 700, _corpus(1, 1300), b"ab" * 400]
+    streams = encode_batch(datas, p, parse="optimal", write_eos=True)
+    for d, s in zip(datas, streams):
+        blob = p.encode_props() + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") + s
+        assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == d

@@ -46,6 +46,20 @@ def timed(fn, *args, repeat=1, **kw):
     return out, best
 
 
+def timed_med(fn, *args, repeat=3, **kw):
+    """Median-of-N wall time with the min/max band (VERDICT r3 item 5:
+    the committed numbers carry their run-to-run spread, like the kernel
+    figures have since round 3)."""
+    ts = []
+    out = None
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return out, ts[len(ts) // 2], ts[0], ts[-1]
+
+
 def main():
     from lzma_tpu.bench.datagen import generate_bench_data
     from lzma_tpu.format.properties import LzmaParams
@@ -108,16 +122,19 @@ def main():
         log(f"xz baseline skipped: {e!r}")
 
     # ---------------- native backend ----------------
+    bands = {}
     try:
         from lzma_tpu.runtime import native
 
         p = LzmaParams(dict_size=1 << 20, fast_bytes=32, match_finder="bt4")
-        blob, t_enc = timed(
-            native.encode_blocks, data, p, block_size=1 << 20, num_threads=0, repeat=3
-        )
-        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=3)
+        blob, t_enc, te_lo, te_hi = timed_med(
+            native.encode_blocks, data, p, block_size=1 << 20, num_threads=0)
+        out, t_dec, td_lo, td_hi = timed_med(
+            native.decode_blocks, blob, num_threads=0)
         assert crc32(out) == digest
         rt = corpus_size / (t_enc + t_dec) / 1e6
+        bands["native"] = (corpus_size / (te_hi + td_hi) / 1e6,
+                          corpus_size / (te_lo + td_lo) / 1e6)
         log(
             f"native bt4-opt: enc {corpus_size/t_enc/1e6:6.1f} MB/s  "
             f"dec {corpus_size/t_dec/1e6:6.1f} MB/s  rt {rt:6.1f} MB/s  "
@@ -129,17 +146,21 @@ def main():
         # fast4 greedy fb=8: the measured speed/ratio knee of the fast
         # profile (finder + fb + chain-depth sweeps in MEASUREMENTS.md)
         p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=8, match_finder="fast4")
-        blob, t_enc = timed(
+        blob, t_enc, te_lo, te_hi = timed_med(
             native.encode_blocks, data, p_fast, block_size=1 << 20,
-            num_threads=0, optimal=False, repeat=3,
+            num_threads=0, optimal=False,
         )
-        out, t_dec = timed(native.decode_blocks, blob, num_threads=0, repeat=3)
+        out, t_dec, td_lo, td_hi = timed_med(
+            native.decode_blocks, blob, num_threads=0)
         assert crc32(out) == digest
         rt = corpus_size / (t_enc + t_dec) / 1e6
+        bands["native_fast"] = (corpus_size / (te_hi + td_hi) / 1e6,
+                               corpus_size / (te_lo + td_lo) / 1e6)
         log(
             f"native fast4  : enc {corpus_size/t_enc/1e6:6.1f} MB/s  "
             f"dec {corpus_size/t_dec/1e6:6.1f} MB/s  rt {rt:6.1f} MB/s  "
-            f"ratio {corpus_size/len(blob):.2f}"
+            f"ratio {corpus_size/len(blob):.2f} "
+            f"(rt band {bands['native_fast'][0]:.1f}-{bands['native_fast'][1]:.1f})"
         )
         results["native_fast"] = rt
         ratios["native_fast"] = corpus_size / len(blob)
@@ -175,21 +196,38 @@ def main():
             backend = jax.default_backend()
             log(f"jax backend: {backend} devices={jax.devices()}")
 
-            # on-device compute rate: sort-based match finding + greedy parse
-            # with data resident on the chip (the device-resident use case)
+            # READBACK PROTOCOL (MEASUREMENTS.md hazard v2, round 4): on
+            # this rig jax.block_until_ready can return at dispatch-ack
+            # while the program still executes remotely, and un-awaited
+            # dispatches queue.  Every timed region below therefore (a)
+            # drains the queue with a scalar readback BEFORE the timer
+            # and (b) ends with a data-dependent scalar readback.  The
+            # r1-r3 "GB/s" device-search figures predate this protocol
+            # and were dispatch-ack artifacts.
+            def _drain(x):
+                return float(jnp.sum(x[..., :1].astype(jnp.float32)))
+
+            def median3_rb(run, repeat=3):
+                ts = []
+                for trial in range(1, repeat + 1):
+                    t0 = time.perf_counter()
+                    run(trial)
+                    ts.append(time.perf_counter() - t0)
+                ts.sort()
+                return ts[len(ts) // 2], ts[0], ts[-1]
+
+            # on-device compute rate: sort-based match finding + greedy
+            # parse, data resident (small sample: the honest rate is
+            # gather-bound, MEASUREMENTS.md round-4 table)
             from lzma_tpu.ops.hybrid import _tokenize_lanes
 
-            bs, lanes_n = 1 << 16, 32
+            bs, lanes_n = 1 << 16, 8
             arr = np.frombuffer(data[: bs * lanes_n], dtype=np.uint8).reshape(
                 lanes_n, bs
             )
             dj = jnp.asarray(arr)
             lens_j = jnp.full((lanes_n,), bs, dtype=jnp.int32)
 
-            # median-of-3 with ON-DEVICE input perturbation — the
-            # warmup-then-one-timed-call pattern is unreliable on this
-            # rig's relay in both directions (result cache / program
-            # residency; MEASUREMENTS.md methodology rule)
             @jax.jit
             def _tweak(d, t):
                 return d.at[0, 0].set((t & 0x7F).astype(jnp.uint8))
@@ -198,17 +236,18 @@ def main():
                 outs = _tokenize_lanes(
                     _tweak(dj, jnp.int32(trial)), lens_j, jnp.int32(bs),
                     32, 4)
-                jax.block_until_ready(outs)
+                return _drain(outs[0])
 
             tok_run(0)
-            tok_ts = []
-            for trial in range(1, 4):
-                t0 = time.perf_counter()
-                tok_run(trial)
-                tok_ts.append(time.perf_counter() - t0)
-            tok_rate = bs * lanes_n / sorted(tok_ts)[1] / 1e6
-            log(f"device match-find+parse (resident): {tok_rate:7.0f} MB/s on-chip")
-            REPORT["device_search_mbs"] = round(tok_rate, 1)
+            med, lo, hi = median3_rb(tok_run)
+            tok_rate = bs * lanes_n / med / 1e6
+            log(f"device match-find+parse (resident, readback): "
+                f"{tok_rate:7.2f} MB/s on-chip "
+                f"(band {bs*lanes_n/hi/1e6:.2f}-{bs*lanes_n/lo/1e6:.2f})")
+            REPORT["device_search_mbs"] = round(tok_rate, 2)
+            REPORT["device_search_band"] = [
+                round(bs * lanes_n / hi / 1e6, 2),
+                round(bs * lanes_n / lo / 1e6, 2)]
 
             from lzma_tpu.ops import api as dev
 
@@ -223,22 +262,27 @@ def main():
             # host<->device transfers, which dominate behind this rig's
             # tunnel; the resident-kernel round trip below is the per-chip
             # capability the pod design multiplies.
+            # parse="optimal": the lane-parallel DP tokenizer (round 4)
+            # — device ratio ~bt4-opt class instead of the lazy parse's
             blob = dev.encode_blocks(dev_data, p, block_size=1 << 14,
-                                     use_pallas=True)  # warm/compile
+                                     use_pallas=True,
+                                     parse="optimal")  # warm/compile
             out = dev.decode_blocks(blob, use_pallas=True)
             assert crc32(out) == crc32(dev_data)
             blob, t_enc = timed(dev.encode_blocks, dev_data, p,
-                                block_size=1 << 14, use_pallas=True)
+                                block_size=1 << 14, use_pallas=True,
+                                parse="optimal")
             out, t_dec = timed(dev.decode_blocks, blob, use_pallas=True)
             assert crc32(out) == crc32(dev_data)
             rt = dev_size / (t_enc + t_dec) / 1e6
             log(
                 f"device ({backend}) : enc {dev_size/t_enc/1e6:6.1f} MB/s  "
-                f"dec {dev_size/t_dec/1e6:6.1f} MB/s (pallas)  rt {rt:6.1f} MB/s  "
-                f"ratio {dev_size/len(blob):.2f}"
+                f"dec {dev_size/t_dec/1e6:6.1f} MB/s (pallas, optimal parse)"
+                f"  rt {rt:6.1f} MB/s  ratio {dev_size/len(blob):.2f}"
             )
             results[f"device_{backend}"] = rt
             ratios[f"device_{backend}"] = dev_size / len(blob)
+            REPORT["device_ratio"] = round(dev_size / len(blob), 3)
 
             # data-resident Pallas kernel rates at the CHAMPION configs
             # (VERDICT r2 item 4), measured under the honest protocol
@@ -252,14 +296,6 @@ def main():
             from lzma_tpu.ops.device_encoder import _lower_lanes_jit
             from lzma_tpu.ops.pallas_ring import C_IN, decode_pallas_ring
             from lzma_tpu.ops.pallas_serializer import serialize_pallas
-
-            def median3(run):
-                ts = []
-                for trial in range(1, 4):
-                    t0 = time.perf_counter()
-                    run(trial)
-                    ts.append(time.perf_counter() - t0)
-                return sorted(ts)[1]
 
             interp = backend != "tpu"
             lanes_r, bs_r, dict_r = 128, 1 << 14, 1 << 12
@@ -294,7 +330,7 @@ def main():
                 o, ok, _ = decode_pallas_ring(
                     cj, lens_kj, sizes_kj, dict_r, 0, 0, 2, bs_r,
                     stage_input=True, interpret=interp)
-                jax.block_until_ready(o)
+                _drain(o)
                 return o, ok
 
             o, ok = dec_res()
@@ -302,13 +338,16 @@ def main():
                 lanes_r, bs_r)
             assert bool(jnp.all(ok)) and np.array_equal(np.asarray(o), arr_k)
             tot_r = lanes_r * bs_r
-            t_dec_r = median3(dec_res)
+            t_dec_r, tl_r, th_r = median3_rb(dec_res)
             kernel_dec = tot_r / t_dec_r / 1e6
             log(
                 f"device ring-decode champion (128x16KB staged+copy4 lc0, "
-                f"dict 4KB, on-chip): {kernel_dec:.2f} MB/s"
+                f"dict 4KB, on-chip, readback): {kernel_dec:.2f} MB/s "
+                f"(band {tot_r/th_r/1e6:.2f}-{tot_r/tl_r/1e6:.2f})"
             )
             REPORT["kernel_dec_mbs"] = round(kernel_dec, 2)
+            REPORT["kernel_dec_band"] = [round(tot_r / th_r / 1e6, 2),
+                                         round(tot_r / tl_r / 1e6, 2)]
 
             # ---- serializer champion: 256 lanes lc3 (the packed-pair
             # arena's VMEM savings unlock 256; MEASUREMENTS.md round-3
@@ -340,19 +379,22 @@ def main():
                 cx = _perturb(ctx_t, jnp.int32(trial))
                 out = serialize_pallas(cx, bits_t, tot_t, arena_r, mo_i,
                                        interpret=interp)
-                jax.block_until_ready(out[0])
+                _drain(out[0])
                 return out
 
             cstreams, clens, cons_r = ser_res()
             assert bool(jnp.all(cons_r == tot_t))
             tot_s = lanes_s * bs_r
-            t_ser = median3(ser_res)
+            t_ser, tl_s, th_s = median3_rb(ser_res)
             kernel_enc = tot_s / t_ser / 1e6
             log(
-                f"device rc-encode champion (256x16KB lc3, on-chip): "
-                f"{kernel_enc:.2f} MB/s"
+                f"device rc-encode champion (256x16KB lc3, on-chip, "
+                f"readback): {kernel_enc:.2f} MB/s "
+                f"(band {tot_s/th_s/1e6:.2f}-{tot_s/tl_s/1e6:.2f})"
             )
             REPORT["kernel_enc_mbs"] = round(kernel_enc, 2)
+            REPORT["kernel_enc_band"] = [round(tot_s / th_s / 1e6, 2),
+                                         round(tot_s / tl_s / 1e6, 2)]
 
             # cross-check: the serializer's bytes decode back to the input
             comp_r = cstreams[:lanes_l].astype(jnp.int32)
@@ -362,6 +404,34 @@ def main():
                 comp_p, clens[:lanes_l], jnp.full((lanes_l,), bs_r, jnp.int32),
                 dict_r, 3, 0, 2, bs_r, stage_input=True, interpret=interp)
             assert bool(jnp.all(ok2)) and np.array_equal(np.asarray(o2), arr_r)
+
+            # ---- optimal-parse DP pipeline (round 4): empirical prices
+            # + the Mosaic banded DP scan (ops/device_parser).  Small
+            # sample — the honest pipeline rate is bound by the
+            # gather-heavy search passes, not the DP kernel itself
+            from lzma_tpu.ops.device_parser import DP_TIERS, tokenize_optimal
+
+            lanes_d, bs_d = 8, 1 << 14
+            arr_d = jnp.asarray(np.frombuffer(
+                data[: lanes_d * bs_d], np.uint8).reshape(lanes_d, bs_d))
+            lens_d = jnp.full((lanes_d,), bs_d, jnp.int32)
+
+            def dp_run(trial):
+                a = _tweak(arr_d, jnp.int32(trial))
+                toks = tokenize_optimal(
+                    a, lens_d, jnp.int32(bs_d), lc=3, lp=0, pb=2, fb=32,
+                    tiers_key=DP_TIERS, n_iter=2,
+                    band=("pallas" if backend == "tpu" else True))
+                return _drain(toks[0])
+
+            dp_run(0)
+            med_d, lo_d, hi_d = median3_rb(dp_run)
+            tot_d = lanes_d * bs_d
+            dp_rate = tot_d / med_d / 1e6
+            log(f"device optimal-parse DP pipeline (8x16KB, readback): "
+                f"{dp_rate:.2f} MB/s "
+                f"(band {tot_d/hi_d/1e6:.2f}-{tot_d/lo_d/1e6:.2f})")
+            REPORT["device_dp_mbs"] = round(dp_rate, 2)
         except _Budget:
             log(f"device bench skipped: exceeded {budget}s budget (compile-bound)")
         except Exception as e:
@@ -443,11 +513,9 @@ def main():
         try:
             # The candidate search runs in a CPU-jax SUBPROCESS: the
             # compression ratio is backend-independent (asserted by the
-            # equivalence tests), the on-chip search rate is measured
-            # separately (~2.5 GB/s, MEASUREMENTS.md), and this rig's
-            # tunnel moves device->host buffers at ~130 KB/s — the
-            # candidate lists would take many minutes to read back even
-            # packed (the chip-side probe: kernel 1 ms, D2H 453 s).
+            # equivalence tests); the honest on-chip search rate is
+            # gather-bound (MEASUREMENTS.md round-4 hazard v2 table) and
+            # this rig's tunnel moves device->host buffers at ~130 KB/s.
             import subprocess
 
             script = r"""
@@ -469,9 +537,20 @@ assert native.decode_blocks(blob_h) == real
 t0 = time.perf_counter()
 blob_bt = native.encode_blocks(real, p, block_size=bs, num_threads=0)
 t_bt = time.perf_counter() - t0
+# device optimal-parse DP ratio on a frozen sample (round 4): the DP
+# tokens through the host coder; ratio is backend-independent
+from lzma_tpu.ops import api as dev_api
+samp = real[: 1 << 18]
+p_d = LzmaParams(dict_size=1 << 16, fast_bytes=32)
+blob_d = dev_api.encode_blocks(samp, p_d, block_size=1 << 16, parse="optimal")
+assert dev_api.decode_blocks(blob_d) == samp
+blob_dl = dev_api.encode_blocks(samp, p_d, block_size=1 << 16)
+blob_dn = native.encode_blocks(samp, p_d, block_size=1 << 16)
 print(json.dumps({
     "n": len(real), "h": len(blob_h), "bt": len(blob_bt),
     "t_h": t_h, "t_bt": t_bt,
+    "dn": len(samp), "d_opt": len(blob_d), "d_lazy": len(blob_dl),
+    "d_bt": len(blob_dn),
 }))
 """
             r = subprocess.run(
@@ -490,12 +569,21 @@ print(json.dumps({
                 f"hybrid-optimal (frozen {d['n']/1e6:.1f} MB, bs 256K): "
                 f"ratio {r_h:.3f} vs native bt4-opt {r_bt:.3f} "
                 f"(size {(d['h']-d['bt'])/d['bt']*100:+.2f}%); host-side "
-                f"parse+serialize A/B: tools/hybrid_opt_ab.py "
-                f"(search measured on-chip at ~2.5 GB/s separately)"
+                f"parse+serialize A/B: tools/hybrid_opt_ab.py"
             )
             REPORT["hybrid_opt_ratio"] = round(r_h, 3)
             REPORT["hybrid_opt_vs_bt4_size_pct"] = round(
                 (d["h"] - d["bt"]) / d["bt"] * 100, 2)
+            if "d_opt" in d:
+                log(
+                    f"device optimal-parse DP (frozen {d['dn']>>10} KB, bs "
+                    f"64K): ratio {d['dn']/d['d_opt']:.3f} (lazy "
+                    f"{d['dn']/d['d_lazy']:.3f}, native bt4-opt "
+                    f"{d['dn']/d['d_bt']:.3f})"
+                )
+                REPORT["device_dp_ratio"] = round(d["dn"] / d["d_opt"], 3)
+                REPORT["device_dp_vs_bt4_size_pct"] = round(
+                    (d["d_opt"] - d["d_bt"]) / d["d_bt"] * 100, 2)
         except _HBudget:
             log(f"hybrid-optimal bench skipped: exceeded {hbudget}s budget")
         except Exception as e:
@@ -514,6 +602,9 @@ print(json.dumps({
         "metric": f"synthetic-corpus block-parallel encode+decode round-trip ({best_key})",
         "value": round(value, 2),
         "unit": "MB/s",
+        # min/max rate band across the median-of-3 trials (VERDICT r3
+        # item 5 — the headline now carries its run-to-run spread)
+        "band": [round(b, 2) for b in bands.get(best_key, (value, value))],
         "vs_baseline": round(value / results["liblzma"], 3),
         # honesty fields (VERDICT r1 item 4): the headline backend's
         # compression ratio next to the baseline's, plus the

@@ -46,17 +46,30 @@ def decode_alone(data: bytes) -> bytes:
     if out_size == 0xFFFFFFFFFFFFFFFF:
         # EOS-terminated (unknown size): the lane FSM detects the end
         # marker (dist == -1, Decoder.java:277-283) under an expansion
-        # cap; streams whose output could exceed the cap — or that fail
-        # on-device — fall back to the native/scalar streaming decoders.
-        # Device-first only for modest caps: every new jit shape bucket
-        # compiles the whole FSM, so very large unknown-size buffers are
-        # cheaper on the native streaming decoder.
+        # cap that GROWS on overflow (VERDICT r3 item 6): the first
+        # attempt sizes for a typical expansion; a lane that reaches the
+        # cap without the marker raises CapExceededError and retries
+        # 4x bigger (each cap is a pow2 jit bucket) up to the LZMA
+        # expansion bound or the device ceiling — only genuinely corrupt
+        # or over-ceiling streams reach the native/scalar fallback.
+        import os
+
+        from .device_decoder import CapExceededError
+
         comp_len = len(data) - 13
-        cap = min(max(64 * comp_len, 1 << 16), 1 << 26)
-        if cap <= (1 << 20):
+        ceiling = min(273 * comp_len + 512,
+                      int(os.environ.get("LZMA_TPU_DEVICE_EOS_CEILING",
+                                         1 << 25)))
+        cap = min(max(16 * comp_len, 1 << 16), ceiling)
+        while True:
             try:
                 (d,) = decode_batch([data[13:]], params, [-cap])
                 return d
+            except CapExceededError:
+                if cap >= ceiling:
+                    break  # valid output cannot fit the ceiling: corrupt
+                           # or oversized — the streaming decoders decide
+                cap = min(cap * 4, ceiling)
             except Exception as e:
                 # loud degradation (VERDICT r2 item 6): a Mosaic/XLA
                 # regression on the device EOS path must be visible, not
@@ -68,6 +81,7 @@ def decode_alone(data: bytes) -> bytes:
                     " native/scalar streaming decoder",
                     stacklevel=2,
                 )
+                break
         try:
             from ..runtime import native
 

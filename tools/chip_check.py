@@ -155,6 +155,29 @@ def main():
         best = min(best, time.perf_counter() - t0)
     assert outs == payloads
     print(f"pallas decode 32x16KB: {sum(sizes) / best / 1e6:.2f} MB/s")
+
+    # EOS grow-on-overflow (VERDICT r3 item 6): a high-expansion
+    # unknown-size stream must decode through api.decode_alone's cap
+    # doubling on the device FSM (no native fallback)
+    import lzma as _lzma
+
+    from lzma_tpu.ops import api as dev_api
+
+    eos_data = b"grow" * 60000 + bytes(range(200))
+    eos_blob = _lzma.compress(eos_data, format=_lzma.FORMAT_ALONE, preset=1)
+    assert dev_api.decode_alone(eos_blob) == eos_data
+    print("device EOS grow-on-overflow: OK")
+
+    # optimal-parse DP tokens on-chip: Mosaic kernel vs host coder
+    from lzma_tpu.ops.device_encoder import encode_batch as _enc_batch
+
+    dp_payloads = [corpus(6000, seed=31 + i) for i in range(3)]
+    p_dp = LzmaParams(dict_size=1 << 13, fast_bytes=32)
+    dp_streams = _enc_batch(dp_payloads, p_dp, parse="optimal")
+    for d, s in zip(dp_payloads, dp_streams):
+        blob = p_dp.encode_props() + len(d).to_bytes(8, "little") + s
+        assert _lzma.decompress(blob, format=_lzma.FORMAT_ALONE) == d
+    print("device optimal-parse DP on-chip: OK")
     print("CHIP-CHECK-OK")
 
 

@@ -583,16 +583,55 @@ def encode_lanes(data, lens, dict_size, *, lc, lp, pb, fb,
     return serialize(ctx, bits, totals, layout.size, max_out)
 
 
+def _dump_device_trace(trace, data, lens, dict_j, fb, num_candidates,
+                       preset_j, parse):
+    """Re-run the (deterministic) tokenizer outside the fused encode and
+    print every lane's decision stream through CodecTrace.tokens."""
+    dj, lj = jnp.asarray(data), jnp.asarray(lens)
+    plen = 0
+    if preset_j is not None and preset_j.shape[0]:
+        plen = int(preset_j.shape[0])
+        dj = jnp.concatenate(
+            [jnp.broadcast_to(preset_j[None, :],
+                              (dj.shape[0], plen)).astype(dj.dtype), dj],
+            axis=1)
+        lj = lj + plen
+    if parse == "optimal" and plen == 0:
+        from .device_parser import DP_TIERS, tokenize_optimal
+
+        tok = tokenize_optimal(dj, lj, dict_j, lc=3, lp=0, pb=2, fb=fb,
+                               tiers_key=DP_TIERS, n_iter=2)
+    else:
+        tok = jax.vmap(
+            lambda d, n: tokenize(d, n, dict_j, fb, num_candidates,
+                                  start=plen)
+        )(dj, lj)
+    tp, tl, td, tv, ntok = tok
+    meta = classify_tokens(dj, tp, tl, td, tv)
+    kinds, rep_idx = np.asarray(meta[0]), np.asarray(meta[1])
+    tp, tl, td, ntok = map(np.asarray, (tp, tl, td, ntok))
+    for i in range(tp.shape[0]):
+        trace.tokens(i, tp[i] - plen, tl[i], td[i], kinds[i], rep_idx[i],
+                     int(ntok[i]))
+
+
 def encode_batch(blocks, params: LzmaParams, fb=None,
                  num_candidates: int = DEFAULT_NUM_CANDIDATES,
                  use_pallas: bool = False, preset: bytes = b"",
-                 write_eos: bool = False, parse: str = "lazy"):
+                 write_eos: bool = False, parse: str = "lazy", trace=None):
     """Encode independent blocks lane-parallel on device.
 
     blocks: list of bytes.  `preset` primes every lane's window with the
     same shared dictionary (LZTB v2 blocks 1..n).  Returns list of raw
     LZMA streams.  use_pallas routes range coding through the in-VMEM
     Pallas kernel (ops/pallas_serializer.py) with automatic XLA fallback.
+    `trace` (utils.trace.CodecTrace) dumps every lane's decision stream
+    in the scalar per-symbol format — the device analogue of the
+    reference's FINE logging (Encoder.java:871-1018): the token stream
+    is read back once and each (pos, len, dist) + classify metadata
+    prints as pos/kind/len lines (debug mode; the parse runs once more
+    outside the fused encode, deterministic so the dump matches the
+    coded stream exactly).
     """
     if not blocks:
         return []
@@ -609,6 +648,9 @@ def encode_batch(blocks, params: LzmaParams, fb=None,
     preset_j = (jnp.asarray(np.frombuffer(preset, dtype=np.uint8))
                 if preset else None)
     dict_j = jnp.int32(min(params.dict_size, max_n + len(preset)))
+    if trace is not None and getattr(trace, "enabled", False):
+        _dump_device_trace(trace, np.asarray(data), np.asarray(lens), dict_j,
+                           fb, num_candidates, preset_j, parse)
     if use_pallas:
         # phases A-C are literally the same pipeline (_lower_lanes_jit,
         # one executable); only phase D (position-agnostic) swaps in the

@@ -47,6 +47,29 @@ class CodecTrace:
         if self.enabled:
             self.log.debug("first byte %d as literal", byte)
 
+    def tokens(self, lane: int, t_pos, t_len, t_dist, kinds, rep_idx,
+               ntok: int) -> None:
+        """Device-path decision dump (VERDICT r3 item 2/7): the token
+        stream IS the decision stream, so each (pos, len, dist) token +
+        its classify metadata prints in exactly the per-symbol format of
+        `symbol()` — device and scalar traces read identically when the
+        parses agree.  kinds/rep_idx come from classify_tokens (the same
+        state machine the coder runs)."""
+        if not self.enabled:
+            return
+        self.log.debug("lane=%d tokens=%d", lane, ntok)
+        for j in range(ntok):
+            d = int(t_dist[j])
+            ln = int(t_len[j])
+            if d < 0:
+                kind = "literal"
+            elif int(kinds[j]) == 2:          # K_REP
+                k = int(rep_idx[j])
+                kind = f"rep{k}" if ln > 1 else "short-rep"
+            else:
+                kind = f"match dist={d + 1}"
+            self.log.debug("pos=%d %s len=%d", int(t_pos[j]), kind, ln)
+
 
 def trace_formatter() -> logging.Formatter:
     """Compact single-line formatter for codec traces."""

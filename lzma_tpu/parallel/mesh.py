@@ -45,9 +45,9 @@ def _pad_lanes(num: int, num_devices: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "mesh_holder",
-                                   "gather"))
+                                   "gather", "parse"))
 def _encode_step(data, lens, dict_size, *, lc, lp, pb, fb, mesh_holder,
-                 gather=True):
+                 gather=True, parse="lazy"):
     """One sharded encode step: local lane-parallel encode + ordered gather.
 
     gather=True replicates the ragged results to every device with an
@@ -61,7 +61,8 @@ def _encode_step(data, lens, dict_size, *, lc, lp, pb, fb, mesh_holder,
 
     def local(data_l, lens_l):
         comp, comp_lens = encode_lanes(
-            data_l, lens_l, dict_size, lc=lc, lp=lp, pb=pb, fb=fb
+            data_l, lens_l, dict_size, lc=lc, lp=lp, pb=pb, fb=fb,
+            parse=parse,
         )
         if not gather:
             return comp, comp_lens
@@ -419,6 +420,7 @@ def encode_blocks_mesh(
     dictionary: bytes = b"",
     use_pallas: bool = False,
     gather: bool | None = None,
+    parse: str = "lazy",
 ) -> bytes:
     """Data-parallel block encode over every device in the mesh.
 
@@ -514,7 +516,8 @@ def encode_blocks_mesh(
             )
         else:
             comp, comp_lens = _encode_step(
-                jnp.asarray(arr), jnp.asarray(lens), dict_size, **common,
+                jnp.asarray(arr), jnp.asarray(lens), dict_size, parse=parse,
+                **common,
             )
     comp = np.asarray(comp)
     comp_lens = np.asarray(comp_lens)

@@ -33,3 +33,26 @@ def fixture_bytes(limit=None):
 
 def has_reference():
     return os.path.exists(REFERENCE_FIXTURE)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable references between test modules.
+
+    The full suite accumulates ~350 XLA CPU executables in one process;
+    past that, a later compile can SEGFAULT inside
+    backend_compile_and_load (LLVM JIT code-memory exhaustion —
+    reproduced twice at tests/test_pallas_serializer.py with the
+    preceding modules loaded, never in any subset).  Per-module cache
+    clearing keeps the live-executable population bounded; modules
+    recompile what they reuse."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass

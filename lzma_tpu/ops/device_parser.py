@@ -778,7 +778,7 @@ def _pack_inputs(data, ld, dd, dcost, model, r0pos, replen, fb):
 
 def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
                     full_len_only: bool = False, r0pos=None, replen=None,
-                    chunk: int = 256, interpret: bool = False):
+                    chunk: int = 8, interpret: bool = False):
     """The DP scan as ONE Pallas kernel (the production pass C).
 
     The XLA while-loop forms (dp_parse / dp_parse_band) cost ~100 us per
@@ -808,8 +808,11 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
     dcost = _pair_dist_cost(model, dd, (ld >= 2) & (dd >= 0))
     packed = _pack_inputs(data, ld, dd, dcost, model, r0pos, replen, fb)
     C = packed.shape[1]
-    NP = N
-    grid = N                       # one position per sequential grid step
+    CK = max(1, chunk)
+    NP = -(-N // CK) * CK
+    if NP > N:
+        packed = jnp.pad(packed, ((0, NP - N), (0, 0), (0, 0)))
+    grid = NP // CK                # CK positions per sequential grid step
 
     ltm_ps = jnp.transpose(model["lt_match"][:, :, :W], (1, 2, 0))  # (n_ps, W, L)
     ltr_ps = jnp.transpose(model["lt_rep"][:, :, :W], (1, 2, 0))
@@ -845,12 +848,21 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
 
         lens_l = lens_ref[0]                                     # (L,)
 
-        # one position per grid step: the block row is STATIC index 0
-        # (a traced row index would lower to a full one-hot select over
-        # the chunk), and Mosaic double-buffers the 1-row block DMA
-        if True:
-            i = c
-            row = inp_ref[0]
+        bp = bp_ref[...]
+        bf = bf_ref[...]
+        bc = bc_ref[...]
+        bk = bk_ref[...]
+        hst = hst_ref[...]
+        hrp = hrp_ref[...]
+        outs = []
+        # CK positions per grid step, row indices STATICALLY unrolled (a
+        # traced row index lowers to a one-hot select over the block);
+        # the block DMA amortizes across the CK sub-steps and the band
+        # state flows through locals, touching scratch refs once per
+        # grid step
+        for j in range(CK):
+            i = c * CK + j
+            row = inp_ref[j]
             ld_i = row[0:M]                                      # (M, L)
             dd_i = row[M:2 * M]
             dc_i = row[2 * M:6 * M].reshape(M, 4, L)
@@ -859,13 +871,6 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
             r0p_i = row[6 * M + 2]
             rl_i = row[6 * M + 3]
             sr_eq_i = row[6 * M + 4]
-
-            bp = bp_ref[...]
-            bf = bf_ref[...]
-            bc = bc_ref[...]
-            bk = bk_ref[...]
-            hst = hst_ref[...]
-            hrp = hrp_ref[...]
 
             ps = i & pmask
 
@@ -900,7 +905,7 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
             r_i = jnp.where(at0, 0, jnp.stack([n0, n1, n2, n3]))  # (4, L)
 
             # emit node i
-            out_ref[...] = jnp.stack([i - d_i, c_i])[None]
+            outs.append(jnp.stack([i - d_i, c_i]))
 
             live = i < lens_l
             ohst = (s12 == st_i[None, :]).astype(jnp.int32)      # (12, L)
@@ -1004,21 +1009,29 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
             w_c = jnp.where(impw, jnp.maximum(bdist, 0), bc[2:2 + W])
             w_k = jnp.where(impw, bkind, bk[2:2 + W])
 
-            # --- write back: relax results fused with the 1-col shift
+            # --- advance: relax results fused with the 1-col shift
             # (col0 retires; fresh INF col enters) — pure concatenation,
             # no .at[] (scatter does not lower in Mosaic) ---
-            bp_ref[...] = jnp.concatenate(
+            bp = jnp.concatenate(
                 [c1_p[None], w_p, jnp.full((1, L), INF, jnp.int32)], axis=0)
-            bf_ref[...] = jnp.concatenate(
+            bf = jnp.concatenate(
                 [c1_f[None], w_f, jnp.zeros((1, L), jnp.int32)], axis=0)
-            bc_ref[...] = jnp.concatenate(
+            bc = jnp.concatenate(
                 [c1_c[None], w_c, jnp.full((1, L), -1, jnp.int32)], axis=0)
-            bk_ref[...] = jnp.concatenate(
+            bk = jnp.concatenate(
                 [c1_k[None], w_k, jnp.full((1, L), RK_LIT, jnp.int32)],
                 axis=0)
-            hst_ref[...] = jnp.concatenate([st_i[None], hst[:-1]], axis=0)
-            hrp_ref[...] = jnp.concatenate(
+            hst = jnp.concatenate([st_i[None], hst[:-1]], axis=0)
+            hrp = jnp.concatenate(
                 [r_i[:, None, :], hrp[:, :-1, :]], axis=1)
+
+        out_ref[...] = jnp.stack(outs)
+        bp_ref[...] = bp
+        bf_ref[...] = bf
+        bc_ref[...] = bc
+        bk_ref[...] = bk
+        hst_ref[...] = hst
+        hrp_ref[...] = hrp
 
         @pl.when(c == grid - 1)
         def _tail():
@@ -1032,7 +1045,7 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, C, L), lambda c: (c, 0, 0)),
+            pl.BlockSpec((CK, C, L), lambda c: (c, 0, 0)),
             pl.BlockSpec((n_ps, W, L), lambda c: (0, 0, 0)),
             pl.BlockSpec((n_ps, W, L), lambda c: (0, 0, 0)),
             pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
@@ -1045,7 +1058,7 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
             pl.BlockSpec((1, L), lambda c: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, L), lambda c: (c, 0, 0)),
+            pl.BlockSpec((CK, 2, L), lambda c: (c, 0, 0)),
             pl.BlockSpec((2, L), lambda c: (0, 0)),
         ],
         out_shape=[

@@ -955,41 +955,51 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
             ltm = by_ps(ltm_ref)                                 # (W, L)
             ltr = by_ps(ltr_ref)
 
+            # Tensorized over the M pairs — one (M, 4, L)/(W, M, L) op
+            # chain instead of a per-pair python loop.  Measured NEUTRAL
+            # on chip (18.0 vs 16.5 us/step, inside the ±8% band) — the
+            # step floor is neither DMA, nor lanes, nor op count; kept
+            # for the smaller op graph (MEASUREMENTS.md round 4)
+            eq = dd_i[:, None, :] == r_i[None, :, :]             # (M, 4, L)
+            any_eq = jnp.any(eq, axis=1)                         # (M, L)
+            rix = jnp.where(eq[:, 0], 0,
+                            jnp.where(eq[:, 1], 1,
+                                      jnp.where(eq[:, 2], 2, 3)))
+            rb_t = jnp.stack(rep_base)                           # (4, L)
+            rb = jnp.where(rix == 0, rb_t[0],
+                           jnp.where(rix == 1, rb_t[1],
+                                     jnp.where(rix == 2, rb_t[2], rb_t[3])))
+            # distance part per relax length (lps saturates at l>=5);
+            # built from 2D row slices — any 3D mid-axis slice/transpose
+            # lowers as a >2D gather, which Mosaic rejects
+            def dc_q(q):                                         # (M, L)
+                return jnp.stack([row[2 * M + 4 * m + q]
+                                  for m in range(M)])
+
+            dc_sat = dc_q(3)
+            dc_l = (jnp.concatenate(
+                [jnp.stack([dc_q(0), dc_q(1), dc_q(2)]),
+                 jnp.broadcast_to(dc_sat[None], (W - 3, M, L))],
+                axis=0) if W > 3
+                else jnp.stack([dc_q(q) for q in range(W)]))     # (W, M, L)
+            cost = jnp.where(any_eq[None, :, :],
+                             rb[None, :, :] + ltr[:, None, :],
+                             mbase[None, None, :] + dc_l
+                             + ltm[:, None, :])                  # (W, M, L)
+            lm = lvec_c[:, None, :] <= ld_c[None, :, :]
+            if full_len_only:
+                lm = lm & (lvec_c[:, None, :] == ld_c[None, :, :])
+            cost = jnp.where(lm & pv[None, :, :], cost, INF)
+            kind_t = jnp.where(any_eq, rix, RK_MATCH)            # (M, L)
+
             best = jnp.full((W, L), INF, jnp.int32)
             bdist = jnp.zeros((W, L), jnp.int32)
             bkind = jnp.full((W, L), RK_MATCH, jnp.int32)
             for m in range(M):
-                # first-index-wins rep detection
-                eq0 = dd_i[m] == r_i[0]
-                eq1 = dd_i[m] == r_i[1]
-                eq2 = dd_i[m] == r_i[2]
-                eq3 = dd_i[m] == r_i[3]
-                any_eq = eq0 | eq1 | eq2 | eq3
-                rix = jnp.where(eq0, 0, jnp.where(eq1, 1,
-                                jnp.where(eq2, 2, 3)))
-                rb = rep_base[0] * 0
-                for q in range(4):
-                    rb = jnp.where(rix == q, rep_base[q], rb)
-                # distance part per relax length (lps saturates at l>=5)
-                dparts = [dc_i[m, 0], dc_i[m, 1], dc_i[m, 2]]
-                dc_l = jnp.concatenate(
-                    [jnp.stack(dparts),
-                     jnp.broadcast_to(dc_i[m, 3][None], (W - 3, L))],
-                    axis=0) if W > 3 else jnp.stack(dparts[:W])
-                costm = jnp.where(any_eq[None, :],
-                                  rb[None, :] + ltr,
-                                  mbase[None, :] + dc_l + ltm)
-                lm = lvec_c <= ld_c[m][None, :]
-                if full_len_only:
-                    lm = lm & (lvec_c == ld_c[m][None, :])
-                costm = jnp.where(lm & pv[m][None, :], costm, INF)
-                better = costm < best
-                best = jnp.where(better, costm, best)
+                better = cost[:, m] < best
+                best = jnp.where(better, cost[:, m], best)
                 bdist = jnp.where(better, dd_i[m][None, :], bdist)
-                bkind = jnp.where(
-                    better,
-                    jnp.where(any_eq[None, :], rix[None, :], RK_MATCH),
-                    bkind)
+                bkind = jnp.where(better, kind_t[m][None, :], bkind)
             if r0pos is not None:
                 rl_c = jnp.minimum(rl_i, jnp.maximum(lens_l - i, 0))
                 rep0_ok = live & (r_i[0] == r0p_i) & (rl_c >= 2)

@@ -69,7 +69,7 @@ def compress(data: bytes, params: LzmaParams | None = None,
             data, LzmaParams(**kw) if kw else None, block_size=block_size)
         kw = {}
     params = params or (LzmaParams(**kw) if kw else None)
-    if backend not in (None, "native", "scalar", "hybrid"):
+    if backend not in (None, "native", "scalar", "hybrid", "device"):
         raise ValueError(f"unknown backend: {backend!r}")
     native = _native_or_none()
     if backend == "native" and native is None:
@@ -96,6 +96,17 @@ def compress(data: bytes, params: LzmaParams | None = None,
                 num_threads=num_threads, preset_len=preset_len,
                 dictionary=dictionary,
             )
+        if backend == "device":
+            # the all-device lane pipeline with the round-4 optimal-parse
+            # DP tokenizer (ops/device_parser) — ratio ~bt4-opt class;
+            # demonstration-grade throughput (DESIGN-NOTES.md physics)
+            from .ops import api as _dev
+
+            return _dev.encode_blocks(
+                data, params or LzmaParams(), block_size=block_size,
+                preset_len=preset_len, dictionary=dictionary,
+                parse="optimal",
+            )
         if native is not None and backend != "scalar":
             return native.encode_blocks(
                 data, params, block_size=block_size, num_threads=num_threads,
@@ -114,10 +125,10 @@ def compress(data: bytes, params: LzmaParams | None = None,
         raise ValueError(f"unknown container: {container!r}")
     if preset_len or dictionary or train_dict:
         raise ValueError("preset dictionaries apply to the LZTB container only")
-    if backend == "hybrid":
+    if backend in ("hybrid", "device"):
         raise ValueError(
-            'backend="hybrid" encodes the block-parallel LZTB container; '
-            'pass container="lztb"'
+            f'backend="{backend}" encodes the block-parallel LZTB '
+            'container; pass container="lztb"'
         )
     params = params or LzmaParams()
     if native is not None and backend != "scalar":

@@ -106,3 +106,20 @@ def test_highly_compressible_round_trip():
     assert len(data) / len(c) > 4096  # the case that used to be rejected
     assert dec(c) == data
     assert parse_container(c).total_size == len(data)
+
+
+def test_compress_device_backend():
+    """Top-level backend="device": the all-device lane pipeline with the
+    optimal-parse DP, LZTB container interchangeable with every decoder."""
+    import lzma_tpu as lt
+    from lzma_tpu.format.properties import LzmaParams
+
+    data = (b"device backend parse optimal " * 300)[:6000]
+    p = LzmaParams(dict_size=1 << 12, fast_bytes=16)
+    blob = lt.compress(data, p, container="lztb", block_size=1 << 12,
+                       backend="device")
+    assert lt.decompress(blob) == data
+    import pytest
+
+    with pytest.raises(ValueError):
+        lt.compress(data, p, backend="device")  # alone container

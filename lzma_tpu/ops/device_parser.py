@@ -798,7 +798,6 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
 
     L, N = data.shape
     M = ld.shape[2]
-    MX = M + (1 if r0pos is not None else 0)   # pairs + rep0-continuation
     W = fb - 1
     B = fb + 1
     H = fb
@@ -865,7 +864,8 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
             row = inp_ref[j]
             ld_i = row[0:M]                                      # (M, L)
             dd_i = row[M:2 * M]
-            dc_i = row[2 * M:6 * M].reshape(M, 4, L)
+            # (distance costs are read as 2D row slices in the relax
+            # section — a 3D reshape+slice would lower as a >2D gather)
             lit_i = row[6 * M]
             mlit_i = row[6 * M + 1]
             r0p_i = row[6 * M + 2]

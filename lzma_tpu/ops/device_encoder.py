@@ -500,11 +500,14 @@ def _lower_lanes(data, lens, dict_size, lc, lp, pb, fb, num_candidates,
         lens = lens + plen
     else:
         plen = 0
-    if parse == "optimal" and plen == 0:
+    if parse.startswith("optimal") and plen == 0:
         from .device_parser import DP_TIERS, tokenize_optimal
 
+        # "optimal" or "optimal:<seed>" (seed A/B: lists|lazy|lists2|...)
+        seed = parse.split(":", 1)[1] if ":" in parse else "lists"
         tok = tokenize_optimal(data, lens, dict_size, lc=lc, lp=lp, pb=pb,
-                               fb=fb, tiers_key=DP_TIERS, n_iter=2)
+                               fb=fb, tiers_key=DP_TIERS, n_iter=2,
+                               seed=seed)
     else:
         tok = jax.vmap(
             lambda d, n: tokenize(d, n, dict_size, fb, num_candidates,
@@ -596,11 +599,12 @@ def _dump_device_trace(trace, data, lens, dict_j, fb, num_candidates,
                               (dj.shape[0], plen)).astype(dj.dtype), dj],
             axis=1)
         lj = lj + plen
-    if parse == "optimal" and plen == 0:
+    if parse.startswith("optimal") and plen == 0:
         from .device_parser import DP_TIERS, tokenize_optimal
 
+        seed = parse.split(":", 1)[1] if ":" in parse else "lists"
         tok = tokenize_optimal(dj, lj, dict_j, lc=3, lp=0, pb=2, fb=fb,
-                               tiers_key=DP_TIERS, n_iter=2)
+                               tiers_key=DP_TIERS, n_iter=2, seed=seed)
     else:
         tok = jax.vmap(
             lambda d, n: tokenize(d, n, dict_j, fb, num_candidates,

@@ -1249,13 +1249,57 @@ def _select_dp_pairs(cl, cd, counts, m_dp: int):
     return ld, dd
 
 
+def _seed_from_lists(cl, cd, counts, n, data=None, ext_from: int = 0,
+                     ext_to: int = 0, lazy: bool = True,
+                     min_len: int = 0):
+    """Greedy/lazy statistics seed derived from the candidate LISTS —
+    no second search.  The lists are ascending-length per position, so
+    the greedy best is the LAST valid pair (longest length at its
+    minimal discovered distance); the parse-path/compaction machinery
+    is device_matcher's (shared _decide rules).  Replaces the round-4
+    lazy `tokenize` seed pass, which re-ran its own find_best_matches —
+    the per-phase probe (tools/dp_phase.py) measured that duplicate
+    search at 35% of the whole DP pipeline."""
+    from .device_matcher import MIN_MATCH, _compact, greedy_path
+
+    max_n = cl.shape[0]
+    last = jnp.maximum(counts - 1, 0)[:, None]
+    bl = jnp.take_along_axis(cl, last, axis=1)[:, 0]
+    bd = jnp.take_along_axis(cd, last, axis=1)[:, 0]
+    has = (counts > 0) & (bl >= MIN_MATCH)
+    if min_len > MIN_MATCH:
+        has = has & (bl >= min_len)
+    bl = jnp.where(has, bl, 0)
+    bd = jnp.where(has, bd, 0)
+    if ext_to > ext_from and data is not None:
+        # extend the chosen match past the list depth (lists cap at the
+        # RMQ sort depth / fb): the same K-free compare loop as
+        # find_best_matches' tail extension — the seed statistics need
+        # realistic LONG lengths even though the DP edges stay capped.
+        # Only positions capped AT the list depth (blen == ext_from) can
+        # grow, so the loop starts there.
+        pos = jnp.arange(max_n, dtype=jnp.int32)
+        src = pos - bd - 1
+
+        def ext(t, blen):
+            a = data[jnp.minimum(pos + t, max_n - 1)]
+            b = data[jnp.clip(src + t, 0, max_n - 1)]
+            grow = (blen == t) & (a == b) & (pos + t < n) & has
+            return blen + grow.astype(jnp.int32)
+
+        bl = jax.lax.fori_loop(ext_from, ext_to, ext, bl)
+        bl = jnp.minimum(bl, jnp.maximum(n - pos, 0))
+    on_path = greedy_path(bl, bd, n, max_n, 0, lazy)
+    return _compact(bl, bd, on_path, n, lazy)
+
+
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "m_dp",
                                    "full_len_only", "tiers_key", "n_iter",
-                                   "band"))
+                                   "band", "seed"))
 def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
                      m_dp=DEFAULT_M_DP, full_len_only=False,
                      tiers_key=(("k4", 4), ("k8", 2)), n_iter=1,
-                     band=None):
+                     band=None, seed="lists"):
     """Full device pipeline: candidate lists -> empirical prices -> DP ->
     tokens.  data (L, N) u8, lens (L,).  Returns (t_pos, t_len, t_dist,
     t_valid, ntok) — same contract as device_matcher.tokenize, ready for
@@ -1289,10 +1333,28 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     )(data, lens)
     ld, dd = _select_dp_pairs(cl, cd, counts, m_dp)
 
-    # pass A seed: lazy parse
-    tp, tl, td, tv, _ = jax.vmap(
-        lambda d, n: tokenize(d, n, dict_size, fb, 4)
-    )(data, lens)
+    # pass A seed: lazy parse for the empirical statistics.  seed="lists"
+    # reuses the candidate lists above (no second search); seed="lazy" is
+    # the round-4 independent tokenize pass (kept for A/B)
+    if seed.startswith("lists"):
+        from .device_matcher import MATCH_MAX
+
+        # measured knee (MEASUREMENTS.md round-4 seed A/B, frozen corpus):
+        # min_len=4 beats both the lazy tokenize seed and the raw-lists
+        # seed; extending past the list depth measured slightly WORSE, so
+        # the default does neither search nor extension.
+        depth = min(fb, 32) if fb <= 32 else fb  # list length cap
+        ext_to = min(MATCH_MAX, 273) if seed == "lists_ext" else 0
+        mn = 2 if seed == "lists2" else 4
+        tp, tl, td, tv, _ = jax.vmap(
+            lambda c, e, k, n, d: _seed_from_lists(
+                c, e, k, n, data=d, ext_from=depth, ext_to=ext_to,
+                min_len=mn)
+        )(cl, cd, counts, lens, data)
+    else:
+        tp, tl, td, tv, _ = jax.vmap(
+            lambda d, n: tokenize(d, n, dict_size, fb, 4)
+        )(data, lens)
 
     for _ in range(max(1, n_iter)):
         meta = classify_tokens(data, tp, tl, td, tv)

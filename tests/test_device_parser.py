@@ -98,3 +98,24 @@ def test_optimal_parse_ragged_and_eos():
     for d, s in zip(datas, streams):
         blob = p.encode_props() + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") + s
         assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == d
+
+
+def test_seed_modes_all_valid():
+    """Round-4 statistics-seed A/B surface: the list-derived seed (the
+    default — no second search) and the legacy lazy-tokenize seed must
+    all produce liblzma-valid streams; the default must stay within
+    0.5% of the lazy seed's size (measured BETTER on the frozen corpus,
+    MEASUREMENTS.md round-4 seed entry)."""
+    p = LzmaParams(lc=3, lp=0, pb=2, dict_size=1 << 13, fast_bytes=32)
+    datas = [_corpus(i, 5000) for i in range(3)]
+    sizes = {}
+    for seed in ("lists", "lazy", "lists2"):
+        streams = encode_batch(datas, p, parse=f"optimal:{seed}")
+        for d, s in zip(datas, streams):
+            blob = p.encode_props() + len(d).to_bytes(8, "little") + s
+            assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == d
+        sizes[seed] = sum(map(len, streams))
+    assert sizes["lists"] <= sizes["lazy"] * 1.005
+    # bare "optimal" is the lists seed
+    assert sum(map(len, encode_batch(datas, p, parse="optimal"))) == \
+        sizes["lists"]

@@ -2,7 +2,9 @@
 item 1 speed half).  Honest protocol: inputs resident, on-device input
 perturbation per trial, median of N (MEASUREMENTS.md round-2 hazard).
 
-Usage: python tools/dp_chip.py [lanes] [log2_bs] [n_iter]
+Usage: python tools/dp_chip.py [lanes] [log2_bs] [n_iter] [seed]
+(seed: lists (default) | lazy | lists2 | lists_ext — the statistics
+seed mode, round-4 A/B)
 """
 import os
 import sys
@@ -26,6 +28,7 @@ from lzma_tpu.ops.device_parser import tokenize_optimal
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 BS = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 16)
 N_ITER = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+SEED = sys.argv[4] if len(sys.argv) > 4 else "lists"
 TIERS = (("k4", 12), ("k6", 4), ("k8", 6), ("k16", 3), ("k32", 2))
 
 corpus = frozen_corpus()
@@ -37,9 +40,10 @@ lens = jnp.full((L,), BS, jnp.int32)
 def run(a):
     return tokenize_optimal(a, lens, jnp.int32(BS), lc=3, lp=0, pb=2,
                             fb=32, tiers_key=TIERS, n_iter=N_ITER,
-                            band=("pallas" if jax.default_backend() == "tpu" else True))
+                            band=("pallas" if jax.default_backend() == "tpu" else True),
+                            seed=SEED)
 
-print(f"config: {L} x {BS >> 10} KB lanes, n_iter={N_ITER}, "
+print(f"config: {L} x {BS >> 10} KB lanes, n_iter={N_ITER}, seed={SEED}, "
       f"backend={jax.default_backend()}")
 t0 = time.perf_counter()
 out = run(arr)

@@ -1,0 +1,144 @@
+"""Per-phase chip timing of the device optimal-parse DP pipeline
+(tokenize_optimal's internal stages), honest protocol: resident inputs,
+on-device perturbation, forced readback sink per phase, median of N.
+
+Phases (matching ops/device_parser.tokenize_optimal):
+  search  - find_match_lists_rmq (fb<=32) / find_match_lists
+  seed    - device_matcher.tokenize lazy pass (statistics seed)
+  stats   - classify_tokens + lower_tokens + empirical_probs
+  model   - rep0_trace + _rep_match_lens + build_price_model
+  dp      - dp_parse_pallas (tpu) / dp_parse_band (cpu)
+  extract - extract_tokens
+
+Usage: python tools/dp_phase.py [lanes] [log2_bs] [--cpu]
+"""
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(
+    globals().get("__file__", "tools/x.py"))))
+sys.path.insert(0, _ROOT)
+import numpy as np
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from lzma_tpu.bench.corpus import frozen_corpus
+from lzma_tpu.ops import device_parser as P
+from lzma_tpu.ops.device_encoder import classify_tokens, lower_tokens
+from lzma_tpu.ops.device_matcher import (find_match_lists,
+                                         find_match_lists_rmq, tokenize)
+from lzma_tpu.core.layout import ProbLayout
+
+L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+BS = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+FB, LC, LP, PB = 32, 3, 0, 2
+TIERS = dict((("k4", 12), ("k6", 4), ("k8", 6), ("k16", 3), ("k32", 2)))
+
+corpus = frozen_corpus()
+reps = (L * BS + len(corpus) - 1) // len(corpus)
+blob = (corpus * reps)[: L * BS]
+arr = jnp.asarray(np.frombuffer(blob, np.uint8).reshape(L, BS))
+lens = jnp.full((L,), BS, jnp.int32)
+dict_size = jnp.int32(BS)
+layout = ProbLayout(LC, LP, PB, pos_bits=PB)
+max_bits = 10 * BS + 128
+total = L * BS
+
+_fml = find_match_lists_rmq if FB <= 32 else find_match_lists
+
+
+@jax.jit
+def f_search(a):
+    return jax.vmap(lambda d, n: _fml(d, n, dict_size, FB, **TIERS))(a, lens)
+
+
+@jax.jit
+def f_seed(a):
+    return jax.vmap(lambda d, n: tokenize(d, n, dict_size, FB, 4))(a, lens)
+
+
+@jax.jit
+def f_seed_lists(cl, cd, counts, a):
+    depth = min(FB, 32)
+    return jax.vmap(lambda c, e, k, n, d: P._seed_from_lists(
+        c, e, k, n, data=d, ext_from=depth, ext_to=0, min_len=4)
+    )(cl, cd, counts, lens, a)
+
+
+@jax.jit
+def f_stats(a, tp, tl, td, tv):
+    meta = classify_tokens(a, tp, tl, td, tv)
+    ctx, bits, totals = lower_tokens(a, meta, tp, tl, td, tv,
+                                     LC, LP, PB, max_bits)
+    return P.empirical_probs(ctx, bits, totals, layout.size)
+
+
+@jax.jit
+def f_model(a, probs, tp, td, tv):
+    r0pos = P.rep0_trace(tp, td, tv, BS)
+    replen = P._rep_match_lens(a, lens, r0pos, FB)
+    model = P.build_price_model(a, probs, LC, LP, PB, FB, r0pos=r0pos)
+    return r0pos, replen, model
+
+
+BAND = "pallas" if jax.default_backend() == "tpu" else True
+
+
+@jax.jit
+def f_dp(a, ld, dd, model, r0pos, replen):
+    if BAND == "pallas":
+        return P.dp_parse_pallas(a, lens, ld, dd, model, FB, PB, False,
+                                 r0pos=r0pos, replen=replen)
+    return P.dp_parse_band(a, lens, ld, dd, model, FB, PB, False,
+                           r0pos=r0pos, replen=replen)
+
+
+@jax.jit
+def f_extract(from_, choice):
+    return P.extract_tokens(from_, choice, lens)
+
+
+def timed(name, fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)           # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        leaves = jax.tree_util.tree_leaves(out)
+        sink = sum(int(jnp.sum(l.astype(jnp.int64) if l.dtype != jnp.uint8
+                               else l.astype(jnp.int32))) for l in leaves[:2])
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    med = ts[1]
+    print(f"{name:8s} {med*1e3:8.0f} ms  {total/med/1e6:8.3f} MB/s "
+          f"(min {ts[0]*1e3:.0f}, max {ts[2]*1e3:.0f})")
+    return out, med
+
+
+print(f"config: {L} x {BS >> 10} KB lanes, fb{FB}, tiers {TIERS}, "
+      f"backend={jax.default_backend()}, band={BAND}")
+(cl, cd, counts), t_search = timed("search", f_search, arr)
+ld = jnp.asarray(cl)
+(lds, dds) = P._select_dp_pairs(cl, cd, counts, P.DEFAULT_M_DP)
+(tp, tl, td, tv, ntok), t_seed = timed("seed", f_seed, arr)
+_, t_seed_l = timed("seed_ls", f_seed_lists, cl, cd, counts, arr)
+probs, t_stats = timed("stats", f_stats, arr, tp, tl, td, tv)
+(r0pos, replen, model), t_model = timed("model", f_model, arr, probs, tp, td, tv)
+(from_, choice), t_dp = timed("dp", f_dp, arr, lds, dds, model, r0pos, replen)
+_, t_ex = timed("extract", f_extract, from_, choice)
+
+for name, ts in (("lazy", t_seed), ("lists", t_seed_l)):
+    tot = t_search + ts + 2 * (t_stats + t_model + t_dp + t_ex)
+    print(f"n_iter=2 pipeline model (seed={name}): {tot:.1f} s -> "
+          f"{total/tot/1e6:.3f} MB/s "
+          f"(search {100*t_search/tot:.0f}%, seed {100*ts/tot:.0f}%, "
+          f"2x stats+model {200*(t_stats+t_model)/tot:.0f}%, "
+          f"2x dp {200*t_dp/tot:.0f}%, 2x extract {200*t_ex/tot:.0f}%)")

@@ -1336,6 +1336,9 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     # pass A seed: lazy parse for the empirical statistics.  seed="lists"
     # reuses the candidate lists above (no second search); seed="lazy" is
     # the round-4 independent tokenize pass (kept for A/B)
+    if seed not in ("lists", "lists2", "lists_ext", "lazy"):
+        raise ValueError(f"unknown optimal-parse seed mode {seed!r} "
+                         "(expected lists | lists2 | lists_ext | lazy)")
     if seed.startswith("lists"):
         from .device_matcher import MATCH_MAX
 
@@ -1343,7 +1346,7 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
         # min_len=4 beats both the lazy tokenize seed and the raw-lists
         # seed; extending past the list depth measured slightly WORSE, so
         # the default does neither search nor extension.
-        depth = min(fb, 32) if fb <= 32 else fb  # list length cap
+        depth = fb  # both searchers cap list lengths at fb
         ext_to = min(MATCH_MAX, 273) if seed == "lists_ext" else 0
         mn = 2 if seed == "lists2" else 4
         tp, tl, td, tv, _ = jax.vmap(

@@ -1,6 +1,11 @@
 """Per-phase chip timing of the device optimal-parse DP pipeline
 (tokenize_optimal's internal stages), honest protocol: resident inputs,
-on-device perturbation, forced readback sink per phase, median of N.
+forced readback sink per phase, median of 3.  Trials re-run each phase
+on unchanged inputs; the per-trial readback sink is a DIFFERENT program
+dispatched between repeats, which evicts the rig's single-entry relay
+result cache (MEASUREMENTS.md round-2 hazard), so repeats measure real
+executions.  (dp_chip.py additionally perturbs the input per trial —
+equivalent protection for its single end-to-end program.)
 
 Phases (matching ops/device_parser.tokenize_optimal):
   search  - find_match_lists_rmq (fb<=32) / find_match_lists
@@ -56,7 +61,11 @@ _fml = find_match_lists_rmq if FB <= 32 else find_match_lists
 
 @jax.jit
 def f_search(a):
-    return jax.vmap(lambda d, n: _fml(d, n, dict_size, FB, **TIERS))(a, lens)
+    cl, cd, counts = jax.vmap(
+        lambda d, n: _fml(d, n, dict_size, FB, **TIERS))(a, lens)
+    # pair selection is part of the search product the DP consumes
+    lds, dds = P._select_dp_pairs(cl, cd, counts, P.DEFAULT_M_DP)
+    return cl, cd, counts, lds, dds
 
 
 @jax.jit
@@ -125,9 +134,7 @@ def timed(name, fn, *args):
 
 print(f"config: {L} x {BS >> 10} KB lanes, fb{FB}, tiers {TIERS}, "
       f"backend={jax.default_backend()}, band={BAND}")
-(cl, cd, counts), t_search = timed("search", f_search, arr)
-ld = jnp.asarray(cl)
-(lds, dds) = P._select_dp_pairs(cl, cd, counts, P.DEFAULT_M_DP)
+(cl, cd, counts, lds, dds), t_search = timed("search", f_search, arr)
 (tp, tl, td, tv, ntok), t_seed = timed("seed", f_seed, arr)
 _, t_seed_l = timed("seed_ls", f_seed_lists, cl, cd, counts, arr)
 probs, t_stats = timed("stats", f_stats, arr, tp, tl, td, tv)

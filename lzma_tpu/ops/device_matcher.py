@@ -340,10 +340,22 @@ def find_match_lists(data, n, dict_size, fb: int, k4=4, k8=2,
 def _suffix_rank_lcp(data, n, pos, max_n: int, depth: int):
     """Suffix order (by `depth`-byte prefix), ranks, and the consecutive
     -LCP sparse table for O(1) exact LCP(p, q) range-min queries.
-    Everything here is sorts + elementwise ops + two (N,)-scale
-    scatters; returns (rank (N,), T (K, N) min table)."""
+
+    depth <= 32: one lexsort over the packed 32-byte prefix words, with
+    consecutive-LCP from word XOR + clz — all elementwise.
+
+    depth > 32 (round 5, VERDICT item 4): prefix DOUBLING extends the
+    exact order to any depth without widening the sort keys — each
+    round is ONE 2-key lexsort over (rank_t[i], rank_t[i + 32<<t]),
+    where the shifted rank is an elementwise roll.  Consecutive LCP at
+    full depth comes from a binary DESCENT over the rank levels
+    (block-equal => advance 32<<t bytes; log2(depth/32) levels of two
+    (N,)-gathers each) plus one <=32-byte word refinement — ~24 cheap
+    (N,)-gathers total, instead of a per-candidate fb-round compare
+    loop.  Returns (rank (N,), T (K, N) min table)."""
     d = data.astype(jnp.uint32)
-    nw = -(-depth // 4)
+    base = min(depth, 32)
+    nw = -(-base // 4)
     b = [jnp.roll(d, -i) for i in range(nw * 4)]
     words = []
     for w in range(nw):
@@ -352,20 +364,78 @@ def _suffix_rank_lcp(data, n, pos, max_n: int, depth: int):
             ww = (ww << 8) | (b[w * 4 + j] & 0xFF)
         words.append(ww)
     uniq = jnp.uint32(0x80000000) ^ pos.astype(jnp.uint32)
+    w0_unmarked = words[0]
     words[0] = jnp.where(pos < n, words[0], uniq)
 
     order = jnp.lexsort(tuple([pos] + words[::-1]))
     rank = jnp.zeros((max_n,), jnp.int32).at[order].set(
         jnp.arange(max_n, dtype=jnp.int32))
-    sw = [w[order] for w in words]
-    cl = jnp.zeros((max_n,), jnp.int32)
-    still = jnp.ones((max_n,), bool)
-    for w in range(nw):
-        x = sw[w] ^ jnp.roll(sw[w], 1)
-        eqb = jnp.where(x == 0, 4, jax.lax.clz(x) >> 3).astype(jnp.int32)
-        cl = cl + jnp.where(still, jnp.minimum(eqb, 4), 0)
-        still = still & (x == 0)
-    cl = jnp.minimum(cl, depth).at[0].set(0)
+
+    if depth <= 32:
+        sw = [w[order] for w in words]
+        cl = jnp.zeros((max_n,), jnp.int32)
+        still = jnp.ones((max_n,), bool)
+        for w in range(nw):
+            x = sw[w] ^ jnp.roll(sw[w], 1)
+            eqb = jnp.where(x == 0, 4, jax.lax.clz(x) >> 3).astype(jnp.int32)
+            cl = cl + jnp.where(still, jnp.minimum(eqb, 4), 0)
+            still = still & (x == 0)
+        cl = jnp.minimum(cl, depth).at[0].set(0)
+    else:
+        # ---- prefix doubling: group_t ids equal <=> (32 << t)-byte
+        # prefixes equal (ties PRESERVED — a strict rank would never
+        # compare equal and the descent below needs real equality) ----
+        sw = [w[order] for w in words]
+        newg = jnp.zeros((max_n,), bool)
+        for w in range(nw):
+            newg = newg | (sw[w] != jnp.roll(sw[w], 1))
+        newg = newg.at[0].set(True)
+        grp0 = jnp.zeros((max_n,), jnp.int32).at[order].set(
+            jnp.cumsum(newg.astype(jnp.int32)) - 1)
+        grps = [grp0]
+        span = 32
+        while span < depth:
+            g_hi = grps[-1]
+            g_lo = jnp.roll(g_hi, -span)     # group of suffix i+span (wrapped)
+            order = jnp.lexsort((pos, g_lo, g_hi))
+            sh = g_hi[order]
+            sl = g_lo[order]
+            newg = ((sh != jnp.roll(sh, 1)) | (sl != jnp.roll(sl, 1))
+                    ).at[0].set(True)
+            grps.append(jnp.zeros((max_n,), jnp.int32).at[order].set(
+                jnp.cumsum(newg.astype(jnp.int32)) - 1))
+            span *= 2
+        rank = jnp.zeros((max_n,), jnp.int32).at[order].set(
+            jnp.arange(max_n, dtype=jnp.int32))
+
+        # ---- consecutive LCP at full depth: binary descent ----
+        a = order
+        ap = jnp.roll(order, 1)
+        l = jnp.zeros((max_n,), jnp.int32)
+        for t in range(len(grps) - 2, -1, -1):
+            step = 32 << t
+            ia = a + l
+            ia = jnp.where(ia >= max_n, ia - max_n, ia)
+            ib = ap + l
+            ib = jnp.where(ib >= max_n, ib - max_n, ib)
+            eq = grps[t][ia] == grps[t][ib]
+            l = l + jnp.where(eq, step, 0)
+        # <=32-byte refinement; the first word of each 32-byte block is
+        # the MARKED one (the recursive sort order is defined over
+        # marked block starts), tails are plain data words
+        rem = jnp.zeros((max_n,), jnp.int32)
+        still = jnp.ones((max_n,), bool)
+        for w in range(8):
+            src = words[0] if w == 0 else w0_unmarked
+            ia = a + l + 4 * w
+            ia = jnp.where(ia >= max_n, ia - max_n, ia)
+            ib = ap + l + 4 * w
+            ib = jnp.where(ib >= max_n, ib - max_n, ib)
+            x = src[ia] ^ src[ib]
+            eqb = jnp.where(x == 0, 4, jax.lax.clz(x) >> 3).astype(jnp.int32)
+            rem = rem + jnp.where(still, jnp.minimum(eqb, 4), 0)
+            still = still & (x == 0)
+        cl = jnp.minimum(l + rem, depth).at[0].set(0)
 
     # sparse min table: T[k][j] = min(cl[j - 2^k + 1 .. j])
     levels = max(1, (max_n - 1).bit_length())
@@ -395,20 +465,32 @@ def _lcp_query(rank, T, p, q, max_n: int):
 
 
 @partial(jax.jit,
-         static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32"))
+         static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32",
+                          "m_cap"))
 def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
-                         k2=1, k3=1, k6=0, k16=0, k32=0):
+                         k2=1, k3=1, k6=0, k16=0, k32=0, m_cap: int = 0):
     """find_match_lists with the candidate COMPARE LOOP replaced by
     suffix-rank LCP range-min queries: identical tier structure and
-    (at fb <= 32) IDENTICAL lists, at ~1/fb-th the gather volume — the
-    round-4 fix for the measured ~9 ns/element gather cost that made
-    the compare loop the whole pipeline (MEASUREMENTS.md hazard v2).
-    Lengths saturate at the 32-byte sort depth; above that the host
-    parser's longest-pair extension applies as usual."""
+    IDENTICAL lists at ANY fb (round 5: prefix doubling extends the
+    exact sort depth past 32, see _suffix_rank_lcp), at ~1/fb-th the
+    gather volume — the round-4 fix for the measured ~9 ns/element
+    gather cost that made the compare loop the whole pipeline
+    (MEASUREMENTS.md hazard v2).
+
+    Candidates are DE-DUPLICATED across tiers before the LCP queries
+    (the deep ladder re-finds ~40% of its candidates through multiple
+    hash seeds; duplicates are invisible in the merged lists, so this
+    is output-neutral — asserted by the identity tests).  `m_cap` > 0
+    additionally TRUNCATES each position's unique candidate set to the
+    m_cap nearest before the queries — the right-sizing knob for the
+    DP pipeline, which consumes only ~4 merged pairs/position; this CAN
+    drop far candidates, so it stays 0 (off) for the exact-parity
+    hybrid path and is set from the measured ratio/speed knee for the
+    DP (MEASUREMENTS.md round 5)."""
     max_n = data.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
     d = data.astype(jnp.uint32)
-    depth = min(fb, 32)
+    depth = fb
     rank, T = _suffix_rank_lcp(data, n, pos, max_n, depth)
 
     nroll = 32 if k32 else (16 if k16 else 8)
@@ -440,6 +522,19 @@ def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
              + (_neighbor_candidates(h16, pos, max_n, k16) if k16 else [])
              + (_neighbor_candidates(h32, pos, max_n, k32) if k32 else []))
     cand = jnp.stack(cands, axis=1)                    # (max_n, M)
+
+    # ---- dedup across tiers (output-neutral), optional nearest-cap ----
+    # one ascending row-sort groups duplicate candidate indices
+    # adjacently; survivors are re-ordered nearest-first (descending
+    # candidate position == ascending distance) by a second row-sort
+    cs = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((max_n, 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1)
+    cs = jnp.where(dup, -1, cs)
+    key = jnp.sort(jnp.where(cs >= 0, -cs, jnp.int32(1 << 30)), axis=1)
+    cand = jnp.where(key >= (1 << 30), -1, -key)
+    if m_cap > 0 and m_cap < cand.shape[1]:
+        cand = cand[:, :m_cap]
     M = cand.shape[1]
 
     in_window = (cand >= 0) & (pos[:, None] - cand <= dict_size) & (

@@ -1295,11 +1295,11 @@ def _seed_from_lists(cl, cd, counts, n, data=None, ext_from: int = 0,
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "m_dp",
                                    "full_len_only", "tiers_key", "n_iter",
-                                   "band", "seed"))
+                                   "band", "seed", "m_cap_search"))
 def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
                      m_dp=DEFAULT_M_DP, full_len_only=False,
                      tiers_key=(("k4", 4), ("k8", 2)), n_iter=1,
-                     band=None, seed="lists"):
+                     band=None, seed="lists", m_cap_search=0):
     """Full device pipeline: candidate lists -> empirical prices -> DP ->
     tokens.  data (L, N) u8, lens (L,).  Returns (t_pos, t_len, t_dist,
     t_valid, ntok) — same contract as device_matcher.tokenize, ready for
@@ -1312,7 +1312,7 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     model see the optimal parse's own symbol mix (the analogue of the
     reference's price adaptation tracking its own output)."""
     from .device_encoder import classify_tokens, lower_tokens
-    from .device_matcher import find_match_lists, tokenize
+    from .device_matcher import tokenize
 
     if band is None:
         # the Mosaic kernel on TPU; the fused XLA band form elsewhere
@@ -1323,13 +1323,15 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     max_bits = 10 * N + 128
 
     # candidate lists for the DP edges (shared across iterations); the
-    # RMQ engine gives identical lists at <=32-byte depths without the
-    # gather-bound compare loop (ops/hybrid._list_engine rationale)
+    # RMQ engine gives identical lists at any fb without the
+    # gather-bound compare loop (ops/hybrid._list_engine rationale).
+    # m_cap right-sizes the per-position unique-candidate set to the
+    # DP's consumption (measured ratio/speed knee, MEASUREMENTS.md r5)
     from .device_matcher import find_match_lists_rmq
 
-    _fml = find_match_lists_rmq if fb <= 32 else find_match_lists
     cl, cd, counts = jax.vmap(
-        lambda d, n: _fml(d, n, dict_size, fb, **tiers)
+        lambda d, n: find_match_lists_rmq(d, n, dict_size, fb,
+                                          m_cap=m_cap_search, **tiers)
     )(data, lens)
     ld, dd = _select_dp_pairs(cl, cd, counts, m_dp)
 

@@ -163,14 +163,15 @@ def encode_blocks_hybrid(
 
 
 def _list_engine(fb: int):
-    """find_match_lists engine dispatch: at fb <= 32 the suffix-rank RMQ
-    form produces IDENTICAL lists (asserted by tests) at a fraction of
-    the gather volume (MEASUREMENTS.md round 4); deeper fb keeps the
-    exact compare loop (RMQ lengths saturate at the 32-byte sort
-    depth)."""
-    from .device_matcher import find_match_lists, find_match_lists_rmq
+    """find_match_lists engine dispatch: the suffix-rank RMQ form
+    produces IDENTICAL lists at ANY fb (asserted by tests; round 5
+    extends the exact sort depth past 32 via prefix doubling) at a
+    fraction of the compare loop's gather volume (MEASUREMENTS.md
+    round 4 hazard v2).  The compare-loop engine remains available as
+    the independent oracle the identity tests check against."""
+    from .device_matcher import find_match_lists_rmq
 
-    return find_match_lists_rmq if fb <= 32 else find_match_lists
+    return find_match_lists_rmq
 
 
 @partial(jax.jit,

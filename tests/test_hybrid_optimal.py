@@ -233,33 +233,76 @@ def test_pack_match_lists_equivalence_and_overflow():
     assert out == data
 
 
+def _lz_mix_corpus(seed, size):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = bytearray(rng.integers(0, 256, 50, dtype=np.uint8).tobytes())
+    while len(out) < size:
+        if rng.integers(0, 2):
+            s = int(rng.integers(0, len(out)))
+            out.extend(out[s : s + int(rng.integers(2, 400))])
+        else:
+            out.append(int(rng.integers(0, 256)))
+    return bytes(out[:size])
+
+
 def test_rmq_lists_identical_to_compare_loop():
     """The suffix-rank RMQ engine must produce EXACTLY the compare-loop
-    lists at fb <= 32 (it replaces the gather-bound compare loop on
-    every search path at that depth — identity is the safety proof)."""
+    lists at EVERY fb (round 5: prefix doubling makes the sort depth
+    exact past 32 — it replaces the compare loop on every search path,
+    and identity is the safety proof).  Mixed corpora: LZ-structured
+    random (long repeats exercise the deep levels), real text, and an
+    all-same-byte worst case (every consecutive LCP saturates)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from lzma_tpu.bench.corpus import frozen_corpus
     from lzma_tpu.ops.device_matcher import (find_match_lists,
                                              find_match_lists_rmq)
 
-    rng = np.random.default_rng(77)
-    out = bytearray(rng.integers(0, 256, 50, dtype=np.uint8).tobytes())
-    while len(out) < 6000:
-        if rng.integers(0, 2):
-            s = int(rng.integers(0, len(out)))
-            out.extend(out[s : s + int(rng.integers(2, 60))])
-        else:
-            out.append(int(rng.integers(0, 256)))
-    arr = jnp.asarray(np.frombuffer(bytes(out[:6000]) + b"\0" * 2192,
-                                    np.uint8))
     tiers = dict(k4=12, k6=4, k8=6, k16=3, k32=2)
-    for n, fb, dict_size in ((6000, 32, 8192), (8192, 16, 2048),
-                             (4097, 5, 8192)):
+    lzmix = _lz_mix_corpus(77, 6000)
+    text = frozen_corpus()[1 << 16 : (1 << 16) + 8192]
+    runs = b"a" * 3000 + b"b" * 3000 + lzmix[:2192]
+    for corpus, n, fb, dict_size in (
+            (lzmix, 6000, 32, 8192), (lzmix, 8192, 16, 2048),
+            (lzmix, 4097, 5, 8192), (lzmix, 6000, 64, 8192),
+            (lzmix, 8192, 128, 8192), (lzmix, 6000, 273, 8192),
+            (text, 8192, 64, 4096), (text, 8192, 273, 8192),
+            (runs, 8192, 128, 8192)):
+        arr = jnp.asarray(np.frombuffer(
+            (corpus + b"\0" * 8192)[:8192], np.uint8))
         a = find_match_lists(arr, jnp.int32(n), jnp.int32(dict_size),
                              fb, **tiers)
         b = find_match_lists_rmq(arr, jnp.int32(n), jnp.int32(dict_size),
                                  fb, **tiers)
         for x, y in zip(a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y)), (n, fb)
+
+
+def test_rmq_m_cap_lists_valid_subset():
+    """With the DP right-sizing cap on, each merged list must be a
+    VALID ascending list whose pairs all appear in the uncapped list
+    (the cap drops far candidates, never invents or reorders)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lzma_tpu.ops.device_matcher import find_match_lists_rmq
+
+    tiers = dict(k4=12, k6=4, k8=6, k16=3, k32=2)
+    data = _lz_mix_corpus(13, 8192)
+    arr = jnp.asarray(np.frombuffer(data, np.uint8))
+    full = find_match_lists_rmq(arr, jnp.int32(8192), jnp.int32(8192),
+                                32, **tiers)
+    capped = find_match_lists_rmq(arr, jnp.int32(8192), jnp.int32(8192),
+                                  32, m_cap=8, **tiers)
+    fl, fd, fc = (np.asarray(x) for x in full)
+    cl, cd, cc = (np.asarray(x) for x in capped)
+    for i in range(8192):
+        pairs_full = set(zip(fl[i, :fc[i]], fd[i, :fc[i]]))
+        row_l, row_d = cl[i, :cc[i]], cd[i, :cc[i]]
+        assert (np.diff(row_l) > 0).all() and (np.diff(row_d) > 0).all(), i
+        for p in zip(row_l, row_d):
+            assert p in pairs_full, (i, p)

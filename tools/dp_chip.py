@@ -2,9 +2,10 @@
 item 1 speed half).  Honest protocol: inputs resident, on-device input
 perturbation per trial, median of N (MEASUREMENTS.md round-2 hazard).
 
-Usage: python tools/dp_chip.py [lanes] [log2_bs] [n_iter] [seed]
+Usage: python tools/dp_chip.py [lanes] [log2_bs] [n_iter] [seed] [m_cap] [fb]
 (seed: lists (default) | lazy | lists2 | lists_ext — the statistics
-seed mode, round-4 A/B)
+seed mode, round-4 A/B; m_cap: search right-sizing cap, round 5;
+fb: fast bytes, default 32)
 """
 import os
 import sys
@@ -29,6 +30,8 @@ L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 BS = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 16)
 N_ITER = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 SEED = sys.argv[4] if len(sys.argv) > 4 else "lists"
+M_CAP = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+FB = int(sys.argv[6]) if len(sys.argv) > 6 else 32
 TIERS = (("k4", 12), ("k6", 4), ("k8", 6), ("k16", 3), ("k32", 2))
 
 corpus = frozen_corpus()
@@ -39,12 +42,12 @@ lens = jnp.full((L,), BS, jnp.int32)
 
 def run(a):
     return tokenize_optimal(a, lens, jnp.int32(BS), lc=3, lp=0, pb=2,
-                            fb=32, tiers_key=TIERS, n_iter=N_ITER,
+                            fb=FB, tiers_key=TIERS, n_iter=N_ITER,
                             band=("pallas" if jax.default_backend() == "tpu" else True),
-                            seed=SEED)
+                            seed=SEED, m_cap_search=M_CAP)
 
 print(f"config: {L} x {BS >> 10} KB lanes, n_iter={N_ITER}, seed={SEED}, "
-      f"backend={jax.default_backend()}")
+      f"m_cap={M_CAP}, fb={FB}, backend={jax.default_backend()}")
 t0 = time.perf_counter()
 out = run(arr)
 jax.block_until_ready(out)

@@ -15,7 +15,7 @@ Phases (matching ops/device_parser.tokenize_optimal):
   dp      - dp_parse_pallas (tpu) / dp_parse_band (cpu)
   extract - extract_tokens
 
-Usage: python tools/dp_phase.py [lanes] [log2_bs] [--cpu]
+Usage: python tools/dp_phase.py [lanes] [log2_bs] [fb] [m_cap] [--cpu]
 """
 import os
 import sys
@@ -43,7 +43,9 @@ from lzma_tpu.core.layout import ProbLayout
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 BS = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 16)
-FB, LC, LP, PB = 32, 3, 0, 2
+FB = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+M_CAP = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+LC, LP, PB = 3, 0, 2
 TIERS = dict((("k4", 12), ("k6", 4), ("k8", 6), ("k16", 3), ("k32", 2)))
 
 corpus = frozen_corpus()
@@ -56,13 +58,13 @@ layout = ProbLayout(LC, LP, PB, pos_bits=PB)
 max_bits = 10 * BS + 128
 total = L * BS
 
-_fml = find_match_lists_rmq if FB <= 32 else find_match_lists
+_fml = find_match_lists_rmq
 
 
 @jax.jit
 def f_search(a):
     cl, cd, counts = jax.vmap(
-        lambda d, n: _fml(d, n, dict_size, FB, **TIERS))(a, lens)
+        lambda d, n: _fml(d, n, dict_size, FB, m_cap=M_CAP, **TIERS))(a, lens)
     # pair selection is part of the search product the DP consumes
     lds, dds = P._select_dp_pairs(cl, cd, counts, P.DEFAULT_M_DP)
     return cl, cd, counts, lds, dds
@@ -75,9 +77,8 @@ def f_seed(a):
 
 @jax.jit
 def f_seed_lists(cl, cd, counts, a):
-    depth = min(FB, 32)
     return jax.vmap(lambda c, e, k, n, d: P._seed_from_lists(
-        c, e, k, n, data=d, ext_from=depth, ext_to=0, min_len=4)
+        c, e, k, n, data=d, ext_from=FB, ext_to=0, min_len=4)
     )(cl, cd, counts, lens, a)
 
 

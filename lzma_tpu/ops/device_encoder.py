@@ -248,111 +248,160 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     )
     choice_bits = jnp.where(band == 0, 1, 2)
 
-    def slot_body(t, carry):
-        """Emit bit-slot t of every token (t traced -> one compiled body)."""
-        ctx_out, bit_out = carry
-        in_tok = (t < nbits) & valid
-        ctx_t = jnp.zeros((N, T), dtype=jnp.int32)
-        bit_t = jnp.zeros((N, T), dtype=jnp.int32)
+    # ---- split emission (round 5: the 50-slot loop over ALL tokens was
+    # the stats phase's dominant scatter volume).  SHORT tokens
+    # (literal: 9 bits; shortRep: 4 bits) finish within slots 0..8 and
+    # run over the full token buffer; LONG tokens (len >= 2 matches and
+    # reps, so provably <= T/2 + 1 per lane) are COMPACTED into a
+    # half-width buffer and their full slot range runs there, bounded
+    # dynamically by the realized max bit count.  Destinations are
+    # disjoint by token, so the two passes write exactly the stream the
+    # single loop wrote. ----
+    F_full = dict(
+        nbits=nbits, base_off=base_off, is_lit=is_lit, is_rep=is_rep,
+        is_match=is_match, srep=srep, im_ctx=im_ctx, lit_sub=lit_sub,
+        lit_byte=lit_byte, match_byte=match_byte, x=x,
+        match_mode=match_mode, state=state, pos_state=pos_state,
+        rep_idx=rep_idx, rbits=rbits, len_s=len_s, dlen=dlen, band=band,
+        band_v=band_v, band_bits=band_bits, band_tree=band_tree,
+        choice_bits=choice_bits, len_base=len_base, slot=slot,
+        slot_tree=slot_tree, slot_s=slot_s, tail_s=tail_s, spec=spec,
+        huge=huge, footer=footer, reduced=reduced, base_val=base_val,
+    )
 
-        # -- slot 0: is_match bit --
-        sel = in_tok & (t == 0)
-        ctx_t = jnp.where(sel, im_ctx, ctx_t)
-        bit_t = jnp.where(sel, jnp.where(is_lit, 0, 1), bit_t)
+    def make_body(F, cls, width):
+        def slot_body(t, carry):
+            """Emit bit-slot t of every class-selected token."""
+            ctx_out, bit_out = carry
+            in_tok = (t < F["nbits"]) & cls
+            ctx_t = jnp.zeros((N, width), dtype=jnp.int32)
+            bit_t = jnp.zeros((N, width), dtype=jnp.int32)
 
-        # -- literal bits (k = t-1 in 0..7; closed forms hold at k=0) --
-        k = jnp.clip(t - 1, 0, 7)
-        sel = in_tok & is_lit & (t >= 1)
-        m = (1 << k) | (lit_byte >> (8 - k))
-        b = (lit_byte >> (7 - k)) & 1
-        prefix_eq = (x >> (8 - k)) == 0
-        mbit = (match_byte >> (7 - k)) & 1
-        use_matched = (match_mode > 0) & prefix_eq
-        c = lit_sub + jnp.where(use_matched, ((1 + mbit) << 8) + m, m)
-        ctx_t = jnp.where(sel, c, ctx_t)
-        bit_t = jnp.where(sel, b, bit_t)
+            # -- slot 0: is_match bit --
+            sel = in_tok & (t == 0)
+            ctx_t = jnp.where(sel, F["im_ctx"], ctx_t)
+            bit_t = jnp.where(sel, jnp.where(F["is_lit"], 0, 1), bit_t)
 
-        # -- is_rep bit (match/rep slot 1) --
-        sel = in_tok & (~is_lit) & (t == 1)
-        ctx_t = jnp.where(sel, L.is_rep + state, ctx_t)
-        bit_t = jnp.where(sel, jnp.where(is_rep, 1, 0), bit_t)
+            # -- literal bits (k = t-1 in 0..7; closed forms hold at k=0) --
+            k = jnp.clip(t - 1, 0, 7)
+            sel = in_tok & F["is_lit"] & (t >= 1)
+            m = (1 << k) | (F["lit_byte"] >> (8 - k))
+            b = (F["lit_byte"] >> (7 - k)) & 1
+            prefix_eq = (F["x"] >> (8 - k)) == 0
+            mbit = (F["match_byte"] >> (7 - k)) & 1
+            use_matched = (F["match_mode"] > 0) & prefix_eq
+            c = F["lit_sub"] + jnp.where(use_matched, ((1 + mbit) << 8) + m, m)
+            ctx_t = jnp.where(sel, c, ctx_t)
+            bit_t = jnp.where(sel, b, bit_t)
 
-        # -- rep selector bits: r0 -> [g0=0, rep0long=1]; r1 -> [1,0];
-        #    r2 -> [1,1,0]; r3 -> [1,1,1] --
-        kk = t - repsel_s
-        sel = in_tok & is_rep & (kk >= 0) & (kk < rbits)
-        c1 = jnp.where(
-            rep_idx == 0,
-            L.is_rep0_long + (state << L.pos_bits) + pos_state,
-            L.is_rep_g1 + state,
-        )
-        b1v = jnp.where(rep_idx == 0, jnp.where(srep, 0, 1),
-                        jnp.where(rep_idx == 1, 0, 1))
-        c = jnp.where(kk == 0, L.is_rep_g0 + state, jnp.where(kk == 1, c1, L.is_rep_g2 + state))
-        b = jnp.where(
-            kk == 0,
-            jnp.where(rep_idx == 0, 0, 1),
-            jnp.where(kk == 1, b1v, jnp.where(rep_idx == 2, 0, 1)),
-        )
-        ctx_t = jnp.where(sel, c, ctx_t)
-        bit_t = jnp.where(sel, b, bit_t)
+            # -- is_rep bit (match/rep slot 1) --
+            sel = in_tok & (~F["is_lit"]) & (t == 1)
+            ctx_t = jnp.where(sel, L.is_rep + F["state"], ctx_t)
+            bit_t = jnp.where(sel, jnp.where(F["is_rep"], 1, 0), bit_t)
 
-        # -- length bits (match + rep) --
-        kk = t - len_s
-        sel_len = in_tok & (~is_lit) & (kk >= 0) & (kk < dlen)
-        sel = sel_len & (kk == 0)
-        ctx_t = jnp.where(sel, len_base + L.len_choice, ctx_t)
-        bit_t = jnp.where(sel, jnp.where(band == 0, 0, 1), bit_t)
-        sel = sel_len & (kk == 1) & (band > 0)
-        ctx_t = jnp.where(sel, len_base + L.len_choice2, ctx_t)
-        bit_t = jnp.where(sel, jnp.where(band == 1, 0, 1), bit_t)
-        #   band tree (MSB-first): after j bits m = (1<<j) | (v >> (nb-j))
-        j = jnp.clip(kk - choice_bits, 0, 8)
-        sel = sel_len & (kk - choice_bits >= 0)
-        m = (1 << j) | (band_v >> jnp.clip(band_bits - j, 0, 31))
-        b = (band_v >> jnp.clip(band_bits - 1 - j, 0, 31)) & 1
-        ctx_t = jnp.where(sel, band_tree + m, ctx_t)
-        bit_t = jnp.where(sel, b, bit_t)
+            # -- rep selector bits: r0 -> [g0=0, rep0long=1]; r1 -> [1,0];
+            #    r2 -> [1,1,0]; r3 -> [1,1,1] --
+            kk = t - repsel_s
+            sel = in_tok & F["is_rep"] & (kk >= 0) & (kk < F["rbits"])
+            c1 = jnp.where(
+                F["rep_idx"] == 0,
+                L.is_rep0_long + (F["state"] << L.pos_bits) + F["pos_state"],
+                L.is_rep_g1 + F["state"],
+            )
+            b1v = jnp.where(F["rep_idx"] == 0, jnp.where(F["srep"], 0, 1),
+                            jnp.where(F["rep_idx"] == 1, 0, 1))
+            c = jnp.where(kk == 0, L.is_rep_g0 + F["state"],
+                          jnp.where(kk == 1, c1, L.is_rep_g2 + F["state"]))
+            b = jnp.where(
+                kk == 0,
+                jnp.where(F["rep_idx"] == 0, 0, 1),
+                jnp.where(kk == 1, b1v, jnp.where(F["rep_idx"] == 2, 0, 1)),
+            )
+            ctx_t = jnp.where(sel, c, ctx_t)
+            bit_t = jnp.where(sel, b, bit_t)
 
-        # -- pos_slot tree (match only), 6 bits MSB-first --
-        j_raw = t - slot_s
-        j = jnp.clip(j_raw, 0, 5)
-        sel = in_tok & is_match & (j_raw >= 0) & (j_raw < 6)
-        m = (1 << j) | (slot >> (6 - j))
-        b = (slot >> (5 - j)) & 1
-        ctx_t = jnp.where(sel, slot_tree + m, ctx_t)
-        bit_t = jnp.where(sel, b, bit_t)
+            # -- length bits (match + rep) --
+            kk = t - F["len_s"]
+            sel_len = in_tok & (~F["is_lit"]) & (kk >= 0) & (kk < F["dlen"])
+            sel = sel_len & (kk == 0)
+            ctx_t = jnp.where(sel, F["len_base"] + L.len_choice, ctx_t)
+            bit_t = jnp.where(sel, jnp.where(F["band"] == 0, 0, 1), bit_t)
+            sel = sel_len & (kk == 1) & (F["band"] > 0)
+            ctx_t = jnp.where(sel, F["len_base"] + L.len_choice2, ctx_t)
+            bit_t = jnp.where(sel, jnp.where(F["band"] == 1, 0, 1), bit_t)
+            #   band tree (MSB-first): after j bits m = (1<<j) | (v >> (nb-j))
+            j = jnp.clip(kk - F["choice_bits"], 0, 8)
+            sel = sel_len & (kk - F["choice_bits"] >= 0)
+            m = (1 << j) | (F["band_v"] >> jnp.clip(F["band_bits"] - j, 0, 31))
+            b = (F["band_v"] >> jnp.clip(F["band_bits"] - 1 - j, 0, 31)) & 1
+            ctx_t = jnp.where(sel, F["band_tree"] + m, ctx_t)
+            bit_t = jnp.where(sel, b, bit_t)
 
-        # -- distance tail --
-        j_raw = t - tail_s
-        #   spec_pos reverse tree: footer (<=5) bits LSB-first
-        j = jnp.clip(j_raw, 0, 4)
-        sel = in_tok & spec & (j_raw >= 0) & (j_raw < footer)
-        m_rev = (1 << j) | _bitrev_low(reduced, j, 5)
-        b = (reduced >> j) & 1
-        ctx_t = jnp.where(sel, L.spec_pos + base_val - slot - 1 + m_rev, ctx_t)
-        bit_t = jnp.where(sel, b, bit_t)
-        #   huge: direct bits MSB-first then 4-bit align reverse tree
-        nd = footer - 4
-        sel = in_tok & huge & (j_raw >= 0) & (j_raw < nd)
-        b = (reduced >> jnp.clip(footer - 1 - j_raw, 0, 31)) & 1
-        ctx_t = jnp.where(sel, CTX_DIRECT, ctx_t)
-        bit_t = jnp.where(sel, b, bit_t)
-        ja = jnp.clip(j_raw - nd, 0, 3)
-        sel = in_tok & huge & (j_raw - nd >= 0) & (j_raw - nd < 4)
-        align_v = reduced & 15
-        m_rev = (1 << ja) | _bitrev_low(align_v, ja, 4)
-        b = (align_v >> ja) & 1
-        ctx_t = jnp.where(sel, L.align + m_rev, ctx_t)
-        bit_t = jnp.where(sel, b, bit_t)
+            # -- pos_slot tree (match only), 6 bits MSB-first --
+            j_raw = t - F["slot_s"]
+            j = jnp.clip(j_raw, 0, 5)
+            sel = in_tok & F["is_match"] & (j_raw >= 0) & (j_raw < 6)
+            m = (1 << j) | (F["slot"] >> (6 - j))
+            b = (F["slot"] >> (5 - j)) & 1
+            ctx_t = jnp.where(sel, F["slot_tree"] + m, ctx_t)
+            bit_t = jnp.where(sel, b, bit_t)
 
-        # scatter into the flat stream
-        dest = jnp.where(in_tok, base_off + t, max_bits)
-        ctx_out = ctx_out.at[lanes2, dest].set(jnp.where(in_tok, ctx_t, 0), mode="drop")
-        bit_out = bit_out.at[lanes2, dest].set(jnp.where(in_tok, bit_t, 0), mode="drop")
-        return (ctx_out, bit_out)
+            # -- distance tail --
+            j_raw = t - F["tail_s"]
+            #   spec_pos reverse tree: footer (<=5) bits LSB-first
+            j = jnp.clip(j_raw, 0, 4)
+            sel = in_tok & F["spec"] & (j_raw >= 0) & (j_raw < F["footer"])
+            m_rev = (1 << j) | _bitrev_low(F["reduced"], j, 5)
+            b = (F["reduced"] >> j) & 1
+            ctx_t = jnp.where(
+                sel, L.spec_pos + F["base_val"] - F["slot"] - 1 + m_rev, ctx_t)
+            bit_t = jnp.where(sel, b, bit_t)
+            #   huge: direct bits MSB-first then 4-bit align reverse tree
+            nd = F["footer"] - 4
+            sel = in_tok & F["huge"] & (j_raw >= 0) & (j_raw < nd)
+            b = (F["reduced"] >> jnp.clip(F["footer"] - 1 - j_raw, 0, 31)) & 1
+            ctx_t = jnp.where(sel, CTX_DIRECT, ctx_t)
+            bit_t = jnp.where(sel, b, bit_t)
+            ja = jnp.clip(j_raw - nd, 0, 3)
+            sel = in_tok & F["huge"] & (j_raw - nd >= 0) & (j_raw - nd < 4)
+            align_v = F["reduced"] & 15
+            m_rev = (1 << ja) | _bitrev_low(align_v, ja, 4)
+            b = (align_v >> ja) & 1
+            ctx_t = jnp.where(sel, L.align + m_rev, ctx_t)
+            bit_t = jnp.where(sel, b, bit_t)
 
-    ctx_out, bit_out = jax.lax.fori_loop(0, MAXB, slot_body, (ctx_out, bit_out))
+            # scatter into the flat stream
+            dest = jnp.where(in_tok, F["base_off"] + t, max_bits)
+            ctx_out = ctx_out.at[lanes2, dest].set(
+                jnp.where(in_tok, ctx_t, 0), mode="drop")
+            bit_out = bit_out.at[lanes2, dest].set(
+                jnp.where(in_tok, bit_t, 0), mode="drop")
+            return (ctx_out, bit_out)
+
+        return slot_body
+
+    short_cls = valid & (is_lit | srep)
+    ctx_out, bit_out = jax.lax.fori_loop(
+        0, 9, make_body(F_full, short_cls, T), (ctx_out, bit_out))
+
+    # LONG tokens compacted to a half-width buffer (len >= 2 each)
+    Tc = T // 2 + 2
+    long_cls = valid & ~(is_lit | srep)
+    lidx = jnp.cumsum(long_cls.astype(jnp.int32), axis=1) - 1
+    # lidx < Tc is provable (each long token covers >= 2 of the <= T
+    # positions); the guard turns a violated invariant into dropped
+    # bits rather than a silently corrupted last slot
+    ltgt = jnp.where(long_cls & (lidx < Tc), lidx, Tc)
+
+    def comp(a):
+        return jnp.zeros((N, Tc + 1), a.dtype).at[lanes2, ltgt].set(
+            a, mode="drop")[:, :Tc]
+
+    F_long = {kk: comp(vv) for kk, vv in F_full.items()}
+    long_c = comp(long_cls)
+    maxb = jnp.minimum(jnp.max(jnp.where(long_cls, nbits, 0)), MAXB)
+    ctx_out, bit_out = jax.lax.fori_loop(
+        0, maxb, make_body(F_long, long_c, Tc), (ctx_out, bit_out))
     return ctx_out, bit_out, total
 
 

@@ -445,12 +445,15 @@ def _suffix_rank_lcp(data, n, pos, max_n: int, depth: int):
     return rank, jnp.stack(T)                      # (levels, N)
 
 
-def _lcp_query(rank, T, p, q, max_n: int):
+def _lcp_query(rank, T, p, q, max_n: int, rp=None):
     """Exact LCP(suffix p, suffix q) up to the sort depth: two sparse
     -table gathers (vs an fb-round byte-compare loop — the round-4
     gather-cost fix).  p, q broadcastable int32 arrays; invalid q (< 0)
-    yields 0."""
-    rp = rank[jnp.maximum(p, 0)]
+    yields 0.  Pass `rp` when rank[p] is known without a gather (p ==
+    arange => rp == rank itself) — the chip search is gather-bound and
+    this saves one of the four gathers per pair (round 5)."""
+    if rp is None:
+        rp = rank[jnp.maximum(p, 0)]
     rq = rank[jnp.clip(q, 0, max_n - 1)]
     a = jnp.minimum(rp, rq) + 1
     bb = jnp.maximum(rp, rq)
@@ -487,6 +490,16 @@ def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
     drop far candidates, so it stays 0 (off) for the exact-parity
     hybrid path and is set from the measured ratio/speed knee for the
     DP (MEASUREMENTS.md round 5)."""
+    return _rmq_search(data, n, dict_size, fb, k4, k8, k2, k3, k6, k16,
+                       k32, m_cap)[:3]
+
+
+def _rmq_search(data, n, dict_size, fb: int, k4=4, k8=2,
+                k2=1, k3=1, k6=0, k16=0, k32=0, m_cap: int = 0):
+    """find_match_lists_rmq body; additionally returns (rank, T) so
+    callers inside a larger jit (the DP pipeline) can reuse the suffix
+    machinery for further LCP queries (rep0 lengths) instead of
+    running fb-round compare loops."""
     max_n = data.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
     d = data.astype(jnp.uint32)
@@ -539,16 +552,21 @@ def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
 
     in_window = (cand >= 0) & (pos[:, None] - cand <= dict_size) & (
         cand < pos[:, None])
-    length = _lcp_query(rank, T, pos[:, None], cand, max_n)
+    # rank[p] for p == pos is rank itself — no gather (the search is
+    # gather-bound; queries are 3 gathers/pair instead of 4)
+    length = _lcp_query(rank, T, pos[:, None], cand, max_n,
+                        rp=rank[:, None])
     length = jnp.minimum(length, jnp.maximum(n - pos, 0)[:, None])
     # hash candidates guarantee no prefix, so LCP < min seed is real
 
     dist = jnp.where(in_window, pos[:, None] - cand - 1, jnp.int32(1 << 30))
     length = jnp.where(in_window, length, 0)
 
-    order = jnp.argsort(dist, axis=1)
-    sl = jnp.take_along_axis(length, order, axis=1)
-    sd = jnp.take_along_axis(dist, order, axis=1)
+    # merge: the dedup already ordered columns by ascending distance
+    # (invalid/out-of-window at the tail), so the compare-loop engine's
+    # per-row argsort + two take_along_axis gathers are dead weight here
+    # (measured 37% of chip search time, tools/search_phase.py)
+    sl, sd = length, dist
     runmax = jnp.zeros((max_n,), dtype=jnp.int32)
     keeps = []
     for j in range(M):
@@ -565,7 +583,20 @@ def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
     lens_c = lens_c.at[rows, tgt].set(sl, mode="drop")[:, :M]
     dists_c = dists_c.at[rows, tgt].set(sd, mode="drop")[:, :M]
     counts = jnp.sum(keep.astype(jnp.int32), axis=1)
-    return lens_c, dists_c, counts
+    return lens_c, dists_c, counts, rank, T
+
+
+def rep_match_lens_rmq(rank, T, r0pos, n, fb: int):
+    """LCP of each position with its rep0 source via the suffix sparse
+    table — 2 gathers/position instead of the fb-round compare loop of
+    device_parser._rep_match_lens (measured at ~1.2 s/2 MB on chip,
+    the model phase's dominant cost).  Exact same values: LCP capped
+    at the table depth (== fb) and at n - pos; src < 0 yields 0."""
+    max_n = rank.shape[0]
+    pos = jnp.arange(max_n, dtype=jnp.int32)
+    src = pos - r0pos - 1
+    lcp = _lcp_query(rank, T, pos, src, max_n, rp=rank)
+    return jnp.minimum(lcp, jnp.maximum(n - pos, 0))
 
 
 @partial(jax.jit, static_argnames=("fb", "k"))

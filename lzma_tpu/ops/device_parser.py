@@ -1113,6 +1113,293 @@ def dp_parse_pallas(data, lens, ld, dd, model, fb: int, pb: int,
     return from_abs, choice
 
 
+def dp_parse_pallas2(data, lens, ld, dd, model, fb: int, pb: int,
+                     full_len_only: bool = False, r0pos=None, replen=None,
+                     chunk: int = 8, interpret: bool = False):
+    """dp_parse_pallas with the FINALIZE phase dissolved into the relax
+    (round 5, VERDICT item 7 — the 'alternating phases' chain-shortening
+    experiment, realized as band-carried node state): every band column
+    carries the node's (state, rep set), computed at RELAX time from
+    the already-final node i — the per-step history band, its H-wide
+    one-hot contractions, and the serial finalize->flag-price chain all
+    disappear; a step starts by just READING col 0.  The resulting
+    state/reps of an edge depend only on (state_i, kind, dist), so the
+    per-column vector form is ~8 extra (W, L) ops against ~5 removed
+    (H, L) contractions + the finalize chain.  Output must be identical
+    to dp_parse_band (asserted by tests)."""
+    from jax.experimental import pallas as pl
+
+    L, N = data.shape
+    M = ld.shape[2]
+    W = fb - 1
+    B = fb + 1
+    pmask = (1 << pb) - 1
+    n_ps = 1 << pb
+
+    dcost = _pair_dist_cost(model, dd, (ld >= 2) & (dd >= 0))
+    packed = _pack_inputs(data, ld, dd, dcost, model, r0pos, replen, fb)
+    C = packed.shape[1]
+    CK = max(1, chunk)
+    NP = -(-N // CK) * CK
+    if NP > N:
+        packed = jnp.pad(packed, ((0, NP - N), (0, 0), (0, 0)))
+    grid = NP // CK
+
+    ltm_ps = jnp.transpose(model["lt_match"][:, :, :W], (1, 2, 0))
+    ltr_ps = jnp.transpose(model["lt_rep"][:, :, :W], (1, 2, 0))
+    im0_ps = jnp.transpose(model["im0"], (2, 1, 0))
+    im1_ps = jnp.transpose(model["im1"], (2, 1, 0))
+    r0l0_ps = jnp.transpose(model["r0l0"], (2, 1, 0))
+    r0l1_ps = jnp.transpose(model["r0l1"], (2, 1, 0))
+    ir0_t = model["ir0"].T
+    ir1_t = model["ir1"].T
+    sel_t = jnp.transpose(model["rep_sel"], (1, 2, 0))
+    lens_t = lens[None, :].astype(jnp.int32)
+
+    def kernel(inp_ref, ltm_ref, ltr_ref, im0_ref, im1_ref, r0l0_ref,
+               r0l1_ref, ir0_ref, ir1_ref, sel_ref, lens_ref,
+               out_ref, tail_ref,
+               bp_ref, bf_ref, bc_ref, bst_ref, brp_ref):
+        c = pl.program_id(0)
+        s12 = jax.lax.broadcasted_iota(jnp.int32, (12, 1), 0)
+        lvec_c = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0) + 2
+
+        @pl.when(c == 0)
+        def _init():
+            bp_ref[...] = jnp.concatenate(
+                [jnp.zeros((1, L), jnp.int32),
+                 jnp.full((B - 1, L), INF, jnp.int32)], axis=0)
+            bf_ref[...] = jnp.zeros((B, L), jnp.int32)
+            bc_ref[...] = jnp.full((B, L), -1, jnp.int32)
+            bst_ref[...] = jnp.zeros((B, L), jnp.int32)
+            brp_ref[...] = jnp.zeros((4, B, L), jnp.int32)
+
+        lens_l = lens_ref[0]
+
+        bp = bp_ref[...]
+        bf = bf_ref[...]
+        bc = bc_ref[...]
+        bst = bst_ref[...]
+        brp = brp_ref[...]
+        outs = []
+        for j in range(CK):
+            i = c * CK + j
+            row = inp_ref[j]
+            ld_i = row[0:M]
+            dd_i = row[M:2 * M]
+            lit_i = row[6 * M]
+            mlit_i = row[6 * M + 1]
+            r0p_i = row[6 * M + 2]
+            rl_i = row[6 * M + 3]
+            sr_eq_i = row[6 * M + 4]
+
+            ps = i & pmask
+
+            # --- node i is final in col 0: just read it ---
+            p_i, d_i, c_i = bp[0], bf[0], bc[0]
+            st_i = bst[0]
+            r_i = brp[:, 0]                                  # (4, L)
+
+            outs.append(jnp.stack([i - d_i, c_i]))
+
+            live = i < lens_l
+            ohst = (s12 == st_i[None, :]).astype(jnp.int32)
+            ohps = [ps == q for q in range(n_ps)]
+
+            def by_ps(ref):
+                acc = jnp.zeros(ref.shape[1:], jnp.int32)
+                for q in range(n_ps):
+                    acc = jnp.where(ohps[q], ref[q], acc)
+                return acc
+
+            def at_st(tab):
+                return jnp.sum(tab * ohst, axis=0)
+
+            f_im0 = at_st(by_ps(im0_ref))
+            f_im1 = at_st(by_ps(im1_ref))
+            f_r0l0 = at_st(by_ps(r0l0_ref))
+            f_r0l1 = at_st(by_ps(r0l1_ref))
+            f_ir0 = at_st(ir0_ref[...])
+            f_ir1 = at_st(ir1_ref[...])
+            f_sel = jnp.sum(sel_ref[...] * ohst[None], axis=1)
+
+            # --- literal / shortRep -> col 1 (state/reps carried) ---
+            lcost = jnp.where(st_i >= 7, mlit_i, lit_i)
+            cand_l = p_i + f_im0 + lcost
+            sr_ok = (sr_eq_i > 0) & (r_i[0] == r0p_i)
+            cand_sr = jnp.where(
+                sr_ok, p_i + f_im1 + f_ir1 + f_sel[0] + f_r0l0, INF)
+            use_sr = cand_sr < cand_l
+            cand1 = jnp.minimum(cand_l, cand_sr)
+            imp = live & (cand1 < bp[1])
+            st1 = jnp.where(use_sr, jnp.where(st_i < 7, 9, 11),
+                            _next_lit(st_i))
+            c1_p = jnp.where(imp, cand1, bp[1])
+            c1_f = jnp.where(imp, 1, bf[1])
+            c1_c = jnp.where(imp, jnp.where(use_sr, r_i[0], -1), bc[1])
+            c1_st = jnp.where(imp, st1, bst[1])
+            c1_rp = jnp.where(imp[None, :], r_i, brp[:, 1])   # (4, L)
+
+            # --- match / rep relax over cols 2..fb ---
+            ld_c = jnp.minimum(ld_i, jnp.maximum(lens_l - i, 0)[None, :])
+            pv = (ld_c >= 2) & (dd_i >= 0) & live[None, :]
+            eq = dd_i[:, None, :] == r_i[None, :, :]
+            any_eq = jnp.any(eq, axis=1)
+            rix = jnp.where(eq[:, 0], 0,
+                            jnp.where(eq[:, 1], 1,
+                                      jnp.where(eq[:, 2], 2, 3)))
+            mbase = p_i + f_im1 + f_ir0
+            rep_head = p_i + f_im1 + f_ir1
+            rep_base = [rep_head + f_sel[0] + f_r0l1,
+                        rep_head + f_sel[1],
+                        rep_head + f_sel[2],
+                        rep_head + f_sel[3]]
+            rb_t = jnp.stack(rep_base)
+            rb = jnp.where(rix == 0, rb_t[0],
+                           jnp.where(rix == 1, rb_t[1],
+                                     jnp.where(rix == 2, rb_t[2], rb_t[3])))
+            ltm = by_ps(ltm_ref)
+            ltr = by_ps(ltr_ref)
+
+            def dc_q(q):
+                return jnp.stack([row[2 * M + 4 * m + q]
+                                  for m in range(M)])
+
+            dc_sat = dc_q(3)
+            dc_l = (jnp.concatenate(
+                [jnp.stack([dc_q(0), dc_q(1), dc_q(2)]),
+                 jnp.broadcast_to(dc_sat[None], (W - 3, M, L))],
+                axis=0) if W > 3
+                else jnp.stack([dc_q(q) for q in range(W)]))
+            cost = jnp.where(any_eq[None, :, :],
+                             rb[None, :, :] + ltr[:, None, :],
+                             mbase[None, None, :] + dc_l
+                             + ltm[:, None, :])
+            lm = lvec_c[:, None, :] <= ld_c[None, :, :]
+            if full_len_only:
+                lm = lm & (lvec_c[:, None, :] == ld_c[None, :, :])
+            cost = jnp.where(lm & pv[None, :, :], cost, INF)
+            kind_t = jnp.where(any_eq, rix, RK_MATCH)
+
+            best = jnp.full((W, L), INF, jnp.int32)
+            bdist = jnp.zeros((W, L), jnp.int32)
+            bkind = jnp.full((W, L), RK_MATCH, jnp.int32)
+            for m in range(M):
+                better = cost[:, m] < best
+                best = jnp.where(better, cost[:, m], best)
+                bdist = jnp.where(better, dd_i[m][None, :], bdist)
+                bkind = jnp.where(better, kind_t[m][None, :], bkind)
+            if r0pos is not None:
+                rl_c = jnp.minimum(rl_i, jnp.maximum(lens_l - i, 0))
+                rep0_ok = live & (r_i[0] == r0p_i) & (rl_c >= 2)
+                cost0 = jnp.where(
+                    rep0_ok[None, :] & (lvec_c <= rl_c[None, :]),
+                    rep_base[0][None, :] + ltr, INF)
+                better = cost0 < best
+                best = jnp.where(better, cost0, best)
+                bdist = jnp.where(better, r0p_i[None, :], bdist)
+                bkind = jnp.where(better, 0, bkind)
+
+            # resulting node state/reps per winning edge — the moved
+            # finalize: everything depends only on (st_i, kind, dist)
+            ismk = bkind == RK_MATCH                          # (W, L)
+            kkw = jnp.minimum(jnp.maximum(bkind, 0), 3)
+            w_st = jnp.where(ismk, _next_match(st_i)[None, :],
+                             _next_longrep(st_i)[None, :])
+            w_n0 = bdist
+            w_n1 = jnp.where(ismk | (kkw >= 1), r_i[0][None, :],
+                             r_i[1][None, :])
+            w_n2 = jnp.where(ismk | (kkw >= 2), r_i[1][None, :],
+                             r_i[2][None, :])
+            w_n3 = jnp.where(ismk | (kkw >= 3), r_i[2][None, :],
+                             r_i[3][None, :])
+
+            win = bp[2:2 + W]
+            impw = best < win
+            w_p = jnp.where(impw, best, win)
+            w_f = jnp.where(impw, jnp.broadcast_to(lvec_c, (W, L)),
+                            bf[2:2 + W])
+            w_c = jnp.where(impw, jnp.maximum(bdist, 0), bc[2:2 + W])
+            w_s = jnp.where(impw, w_st, bst[2:2 + W])
+            w_r = jnp.stack([
+                jnp.where(impw, w_n0, brp[0, 2:2 + W]),
+                jnp.where(impw, w_n1, brp[1, 2:2 + W]),
+                jnp.where(impw, w_n2, brp[2, 2:2 + W]),
+                jnp.where(impw, w_n3, brp[3, 2:2 + W]),
+            ])                                               # (4, W, L)
+
+            # --- advance: fused relax + shift ---
+            bp = jnp.concatenate(
+                [c1_p[None], w_p, jnp.full((1, L), INF, jnp.int32)], axis=0)
+            bf = jnp.concatenate(
+                [c1_f[None], w_f, jnp.zeros((1, L), jnp.int32)], axis=0)
+            bc = jnp.concatenate(
+                [c1_c[None], w_c, jnp.full((1, L), -1, jnp.int32)], axis=0)
+            bst = jnp.concatenate(
+                [c1_st[None], w_s, jnp.zeros((1, L), jnp.int32)], axis=0)
+            brp = jnp.concatenate(
+                [c1_rp[:, None, :], w_r, jnp.zeros((4, 1, L), jnp.int32)],
+                axis=1)
+
+        out_ref[...] = jnp.stack(outs)
+        bp_ref[...] = bp
+        bf_ref[...] = bf
+        bc_ref[...] = bc
+        bst_ref[...] = bst
+        brp_ref[...] = brp
+
+        @pl.when(c == grid - 1)
+        def _tail():
+            tail_ref[...] = jnp.stack([NP - bf_ref[0], bc_ref[0]])
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    out, tail = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((CK, C, L), lambda c: (c, 0, 0)),
+            pl.BlockSpec((n_ps, W, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, W, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((n_ps, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((12, L), lambda c: (0, 0)),
+            pl.BlockSpec((12, L), lambda c: (0, 0)),
+            pl.BlockSpec((4, 12, L), lambda c: (0, 0, 0)),
+            pl.BlockSpec((1, L), lambda c: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((CK, 2, L), lambda c: (c, 0, 0)),
+            pl.BlockSpec((2, L), lambda c: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, 2, L), jnp.int32),
+            jax.ShapeDtypeStruct((2, L), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, L), jnp.int32),       # bp
+            pltpu.VMEM((B, L), jnp.int32),       # bf
+            pltpu.VMEM((B, L), jnp.int32),       # bc
+            pltpu.VMEM((B, L), jnp.int32),       # bstate
+            pltpu.VMEM((4, B, L), jnp.int32),    # breps
+        ],
+        interpret=interpret,
+    )(packed, ltm_ps, ltr_ps, im0_ps, im1_ps, r0l0_ps, r0l1_ps,
+      ir0_t, ir1_t, sel_t, lens_t)
+
+    from_abs = jnp.moveaxis(out[:, 0, :], 0, 1)
+    choice = jnp.moveaxis(out[:, 1, :], 0, 1)
+    if NP == N:
+        from_abs = jnp.concatenate([from_abs, tail[0][:, None]], axis=1)
+        choice = jnp.concatenate([choice, tail[1][:, None]], axis=1)
+    else:
+        from_abs = from_abs[:, :N + 1]
+        choice = choice[:, :N + 1]
+    return from_abs, choice
+
+
 # ------------------------------------------------------------- pass D
 @jax.jit
 def extract_tokens(from_, choice, lens):
@@ -1326,12 +1613,14 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     # RMQ engine gives identical lists at any fb without the
     # gather-bound compare loop (ops/hybrid._list_engine rationale).
     # m_cap right-sizes the per-position unique-candidate set to the
-    # DP's consumption (measured ratio/speed knee, MEASUREMENTS.md r5)
-    from .device_matcher import find_match_lists_rmq
+    # DP's consumption (measured ratio/speed knee, MEASUREMENTS.md r5);
+    # the suffix rank/table come back for reuse by the rep0-length
+    # trace below (2 gathers/position instead of an fb-round loop)
+    from .device_matcher import _rmq_search, rep_match_lens_rmq
 
-    cl, cd, counts = jax.vmap(
-        lambda d, n: find_match_lists_rmq(d, n, dict_size, fb,
-                                          m_cap=m_cap_search, **tiers)
+    cl, cd, counts, s_rank, s_T = jax.vmap(
+        lambda d, n: _rmq_search(d, n, dict_size, fb,
+                                 m_cap=m_cap_search, **tiers)
     )(data, lens)
     ld, dd = _select_dp_pairs(cl, cd, counts, m_dp)
 
@@ -1367,13 +1656,18 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
                                          lc, lp, pb, max_bits)
         probs = empirical_probs(ctx, bits, totals, layout.size)
         r0pos = rep0_trace(tp, td, tv, N)
-        replen = _rep_match_lens(data, lens, r0pos, fb)
+        replen = jax.vmap(
+            lambda r, t, rp, n: rep_match_lens_rmq(r, t, rp, n, fb)
+        )(s_rank, s_T, r0pos, lens)
         model = build_price_model(data, probs, lc, lp, pb, fb, r0pos=r0pos)
-        if band == "pallas" or band == "pallas_interpret":
-            from_, choice = dp_parse_pallas(
+        if band in ("pallas", "pallas_interpret", "pallas2",
+                    "pallas2_interpret"):
+            _dp = dp_parse_pallas2 if band.startswith("pallas2") else \
+                dp_parse_pallas
+            from_, choice = _dp(
                 data, lens, ld, dd, model, fb, pb, full_len_only,
                 r0pos=r0pos, replen=replen,
-                interpret=(band == "pallas_interpret"))
+                interpret=band.endswith("interpret"))
         elif band:
             from_, choice = dp_parse_band(data, lens, ld, dd, model, fb, pb,
                                           full_len_only, r0pos=r0pos,

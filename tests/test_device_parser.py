@@ -63,13 +63,18 @@ def test_band_matches_naive_dp():
     a = _tok(arr, lens, N, band=False)
     b = _tok(arr, lens, N, band=True)
     c = _tok(arr, lens, N, band="pallas_interpret")
-    for x, y, z in zip(a, b, c):
-        x, y, z = map(np.asarray, (x, y, z))
-        w = min(x.shape[-1], y.shape[-1], z.shape[-1]) if x.ndim > 1 else None
+    d = _tok(arr, lens, N, band="pallas2_interpret")
+    for x, y, z, u in zip(a, b, c, d):
+        x, y, z, u = map(np.asarray, (x, y, z, u))
+        w = min(x.shape[-1], y.shape[-1], z.shape[-1], u.shape[-1]) \
+            if x.ndim > 1 else None
         if w is not None:
-            x, y, z = x[:, :w], y[:, :w], z[:, :w]
+            x, y, z, u = x[:, :w], y[:, :w], z[:, :w], u[:, :w]
         assert np.array_equal(x, y)
         assert np.array_equal(x, z)
+        # round 5: the band-carried-state kernel (finalize dissolved
+        # into the relax) must stay token-identical too
+        assert np.array_equal(x, u)
 
 
 def test_device_optimal_encode_liblzma_decodes():

@@ -40,14 +40,20 @@ blob = (corpus * reps)[: L * BS]
 arr = jnp.asarray(np.frombuffer(blob, np.uint8).reshape(L, BS))
 lens = jnp.full((L,), BS, jnp.int32)
 
+BAND = os.environ.get(
+    "LZMA_TPU_DP_BAND",
+    "pallas" if jax.default_backend() == "tpu" else "band")
+BAND = True if BAND == "band" else BAND
+
+
 def run(a):
     return tokenize_optimal(a, lens, jnp.int32(BS), lc=3, lp=0, pb=2,
                             fb=FB, tiers_key=TIERS, n_iter=N_ITER,
-                            band=("pallas" if jax.default_backend() == "tpu" else True),
-                            seed=SEED, m_cap_search=M_CAP)
+                            band=BAND, seed=SEED, m_cap_search=M_CAP)
 
 print(f"config: {L} x {BS >> 10} KB lanes, n_iter={N_ITER}, seed={SEED}, "
-      f"m_cap={M_CAP}, fb={FB}, backend={jax.default_backend()}")
+      f"m_cap={M_CAP}, fb={FB}, band={BAND}, "
+      f"backend={jax.default_backend()}")
 t0 = time.perf_counter()
 out = run(arr)
 jax.block_until_ready(out)

@@ -63,11 +63,14 @@ _fml = find_match_lists_rmq
 
 @jax.jit
 def f_search(a):
-    cl, cd, counts = jax.vmap(
-        lambda d, n: _fml(d, n, dict_size, FB, m_cap=M_CAP, **TIERS))(a, lens)
+    from lzma_tpu.ops.device_matcher import _rmq_search
+
+    cl, cd, counts, rank, T = jax.vmap(
+        lambda d, n: _rmq_search(d, n, dict_size, FB, m_cap=M_CAP,
+                                 **TIERS))(a, lens)
     # pair selection is part of the search product the DP consumes
     lds, dds = P._select_dp_pairs(cl, cd, counts, P.DEFAULT_M_DP)
-    return cl, cd, counts, lds, dds
+    return cl, cd, counts, lds, dds, rank, T
 
 
 @jax.jit
@@ -91,14 +94,20 @@ def f_stats(a, tp, tl, td, tv):
 
 
 @jax.jit
-def f_model(a, probs, tp, td, tv):
+def f_model(a, probs, tp, td, tv, rank, T):
+    from lzma_tpu.ops.device_matcher import rep_match_lens_rmq
+
     r0pos = P.rep0_trace(tp, td, tv, BS)
-    replen = P._rep_match_lens(a, lens, r0pos, FB)
+    replen = jax.vmap(
+        lambda r, t, rp, n: rep_match_lens_rmq(r, t, rp, n, FB)
+    )(rank, T, r0pos, lens)
     model = P.build_price_model(a, probs, LC, LP, PB, FB, r0pos=r0pos)
     return r0pos, replen, model
 
 
-BAND = "pallas" if jax.default_backend() == "tpu" else True
+BAND = os.environ.get(
+    "LZMA_TPU_DP_BAND",
+    "pallas" if jax.default_backend() == "tpu" else "band")
 
 
 @jax.jit
@@ -106,6 +115,9 @@ def f_dp(a, ld, dd, model, r0pos, replen):
     if BAND == "pallas":
         return P.dp_parse_pallas(a, lens, ld, dd, model, FB, PB, False,
                                  r0pos=r0pos, replen=replen)
+    if BAND == "pallas2":
+        return P.dp_parse_pallas2(a, lens, ld, dd, model, FB, PB, False,
+                                  r0pos=r0pos, replen=replen)
     return P.dp_parse_band(a, lens, ld, dd, model, FB, PB, False,
                            r0pos=r0pos, replen=replen)
 
@@ -135,11 +147,12 @@ def timed(name, fn, *args):
 
 print(f"config: {L} x {BS >> 10} KB lanes, fb{FB}, tiers {TIERS}, "
       f"backend={jax.default_backend()}, band={BAND}")
-(cl, cd, counts, lds, dds), t_search = timed("search", f_search, arr)
+(cl, cd, counts, lds, dds, rank, T), t_search = timed("search", f_search, arr)
 (tp, tl, td, tv, ntok), t_seed = timed("seed", f_seed, arr)
 _, t_seed_l = timed("seed_ls", f_seed_lists, cl, cd, counts, arr)
 probs, t_stats = timed("stats", f_stats, arr, tp, tl, td, tv)
-(r0pos, replen, model), t_model = timed("model", f_model, arr, probs, tp, td, tv)
+(r0pos, replen, model), t_model = timed("model", f_model, arr, probs, tp,
+                                        td, tv, rank, T)
 (from_, choice), t_dp = timed("dp", f_dp, arr, lds, dds, model, r0pos, replen)
 _, t_ex = timed("extract", f_extract, from_, choice)
 

@@ -40,7 +40,7 @@ ds = jnp.int32(BS)
 total = L * BS
 
 
-def _tier_cands(data, n, k4, k8, k2, k3, k6, k16, k32):
+def _tier_cands(data, n, k4, k8, k2=1, k3=1, k6=0, k16=0, k32=0):
     """Replicates the tier candidate build of find_match_lists_rmq."""
     max_n = data.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)

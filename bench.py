@@ -143,9 +143,12 @@ def main():
         results["native"] = rt
         ratios["native"] = corpus_size / len(blob)
 
-        # fast4 greedy fb=8: the measured speed/ratio knee of the fast
-        # profile (finder + fb + chain-depth sweeps in MEASUREMENTS.md)
-        p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=8, match_finder="fast4")
+        # fast4 greedy fb=24: the round-5 re-measured roundtrip knee —
+        # longer matches cost a little encode but decode faster and
+        # compress better (interleaved median-of-5 A/B: fb8 rt 22.45
+        # @2.371, fb24 rt 23.26 @2.401, hc4-fb32 rt 21.11 @2.492;
+        # MEASUREMENTS.md round 5)
+        p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=24, match_finder="fast4")
         blob, t_enc, te_lo, te_hi = timed_med(
             native.encode_blocks, data, p_fast, block_size=1 << 20,
             num_threads=0, optimal=False,
@@ -611,6 +614,12 @@ print(json.dumps({
         # item 5 — the headline now carries its run-to-run spread)
         "band": [round(b, 2) for b in bands.get(best_key, (value, value))],
         "vs_baseline": round(value / results["liblzma"], 3),
+        # the rig's core count binds the MT headline (block-pool scaling
+        # measured 93-99% clean, MEASUREMENTS.md); the per-core ratio is
+        # the portable number
+        "host_cores": os.cpu_count(),
+        "vs_baseline_per_core": round(
+            value / os.cpu_count() / results["liblzma"], 3),
         # honesty fields (VERDICT r1 item 4): the headline backend's
         # compression ratio next to the baseline's, plus the
         # matched-ratio comparison (native bt4-opt vs multithreaded

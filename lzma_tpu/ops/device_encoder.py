@@ -232,9 +232,6 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
     slot_tree = L.pos_slot + lps * POS_SLOT_TREE_SIZE
     x = lit_byte ^ match_byte  # matched-literal prefix-equality word
 
-    ctx_out = jnp.full((N, max_bits), CTX_DIRECT, dtype=jnp.int32)
-    bit_out = jnp.zeros((N, max_bits), dtype=jnp.int32)
-
     # band-specific length-tree values
     len_lo_v = l_sym
     len_mid_v = l_sym - 8
@@ -269,33 +266,41 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
         huge=huge, footer=footer, reduced=reduced, base_val=base_val,
     )
 
-    def make_body(F, cls, width):
-        def slot_body(t, carry):
+    def make_body(F, cls, width, short_side):
+        """short_side=True: literal + shortRep tokens only (slots 0..8 —
+        the length/pos_slot/distance sections can never fire and are
+        omitted from the graph); False: len>=2 tokens only (the literal
+        section is omitted; is_lit is identically False)."""
+
+        def slot_body(t, ctx_out):
             """Emit bit-slot t of every class-selected token."""
-            ctx_out, bit_out = carry
             in_tok = (t < F["nbits"]) & cls
             ctx_t = jnp.zeros((N, width), dtype=jnp.int32)
             bit_t = jnp.zeros((N, width), dtype=jnp.int32)
+            is_lit = F["is_lit"] if short_side else jnp.zeros(
+                (N, width), bool)
 
             # -- slot 0: is_match bit --
             sel = in_tok & (t == 0)
             ctx_t = jnp.where(sel, F["im_ctx"], ctx_t)
-            bit_t = jnp.where(sel, jnp.where(F["is_lit"], 0, 1), bit_t)
+            bit_t = jnp.where(sel, jnp.where(is_lit, 0, 1), bit_t)
 
-            # -- literal bits (k = t-1 in 0..7; closed forms hold at k=0) --
-            k = jnp.clip(t - 1, 0, 7)
-            sel = in_tok & F["is_lit"] & (t >= 1)
-            m = (1 << k) | (F["lit_byte"] >> (8 - k))
-            b = (F["lit_byte"] >> (7 - k)) & 1
-            prefix_eq = (F["x"] >> (8 - k)) == 0
-            mbit = (F["match_byte"] >> (7 - k)) & 1
-            use_matched = (F["match_mode"] > 0) & prefix_eq
-            c = F["lit_sub"] + jnp.where(use_matched, ((1 + mbit) << 8) + m, m)
-            ctx_t = jnp.where(sel, c, ctx_t)
-            bit_t = jnp.where(sel, b, bit_t)
+            if short_side:
+                # -- literal bits (k = t-1 in 0..7; closed forms at k=0) --
+                k = jnp.clip(t - 1, 0, 7)
+                sel = in_tok & is_lit & (t >= 1)
+                m = (1 << k) | (F["lit_byte"] >> (8 - k))
+                b = (F["lit_byte"] >> (7 - k)) & 1
+                prefix_eq = (F["x"] >> (8 - k)) == 0
+                mbit = (F["match_byte"] >> (7 - k)) & 1
+                use_matched = (F["match_mode"] > 0) & prefix_eq
+                c = F["lit_sub"] + jnp.where(
+                    use_matched, ((1 + mbit) << 8) + m, m)
+                ctx_t = jnp.where(sel, c, ctx_t)
+                bit_t = jnp.where(sel, b, bit_t)
 
             # -- is_rep bit (match/rep slot 1) --
-            sel = in_tok & (~F["is_lit"]) & (t == 1)
+            sel = in_tok & (~is_lit) & (t == 1)
             ctx_t = jnp.where(sel, L.is_rep + F["state"], ctx_t)
             bit_t = jnp.where(sel, jnp.where(F["is_rep"], 1, 0), bit_t)
 
@@ -320,71 +325,81 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
             ctx_t = jnp.where(sel, c, ctx_t)
             bit_t = jnp.where(sel, b, bit_t)
 
-            # -- length bits (match + rep) --
-            kk = t - F["len_s"]
-            sel_len = in_tok & (~F["is_lit"]) & (kk >= 0) & (kk < F["dlen"])
-            sel = sel_len & (kk == 0)
-            ctx_t = jnp.where(sel, F["len_base"] + L.len_choice, ctx_t)
-            bit_t = jnp.where(sel, jnp.where(F["band"] == 0, 0, 1), bit_t)
-            sel = sel_len & (kk == 1) & (F["band"] > 0)
-            ctx_t = jnp.where(sel, F["len_base"] + L.len_choice2, ctx_t)
-            bit_t = jnp.where(sel, jnp.where(F["band"] == 1, 0, 1), bit_t)
-            #   band tree (MSB-first): after j bits m = (1<<j) | (v >> (nb-j))
-            j = jnp.clip(kk - F["choice_bits"], 0, 8)
-            sel = sel_len & (kk - F["choice_bits"] >= 0)
-            m = (1 << j) | (F["band_v"] >> jnp.clip(F["band_bits"] - j, 0, 31))
-            b = (F["band_v"] >> jnp.clip(F["band_bits"] - 1 - j, 0, 31)) & 1
-            ctx_t = jnp.where(sel, F["band_tree"] + m, ctx_t)
-            bit_t = jnp.where(sel, b, bit_t)
+            if not short_side:
+                # -- length bits (match + rep) --
+                kk = t - F["len_s"]
+                sel_len = in_tok & (kk >= 0) & (kk < F["dlen"])
+                sel = sel_len & (kk == 0)
+                ctx_t = jnp.where(sel, F["len_base"] + L.len_choice, ctx_t)
+                bit_t = jnp.where(sel, jnp.where(F["band"] == 0, 0, 1),
+                                  bit_t)
+                sel = sel_len & (kk == 1) & (F["band"] > 0)
+                ctx_t = jnp.where(sel, F["len_base"] + L.len_choice2, ctx_t)
+                bit_t = jnp.where(sel, jnp.where(F["band"] == 1, 0, 1),
+                                  bit_t)
+                #   band tree (MSB-first): after j bits
+                #   m = (1<<j) | (v >> (nb-j))
+                j = jnp.clip(kk - F["choice_bits"], 0, 8)
+                sel = sel_len & (kk - F["choice_bits"] >= 0)
+                m = (1 << j) | (F["band_v"]
+                                >> jnp.clip(F["band_bits"] - j, 0, 31))
+                b = (F["band_v"]
+                     >> jnp.clip(F["band_bits"] - 1 - j, 0, 31)) & 1
+                ctx_t = jnp.where(sel, F["band_tree"] + m, ctx_t)
+                bit_t = jnp.where(sel, b, bit_t)
 
-            # -- pos_slot tree (match only), 6 bits MSB-first --
-            j_raw = t - F["slot_s"]
-            j = jnp.clip(j_raw, 0, 5)
-            sel = in_tok & F["is_match"] & (j_raw >= 0) & (j_raw < 6)
-            m = (1 << j) | (F["slot"] >> (6 - j))
-            b = (F["slot"] >> (5 - j)) & 1
-            ctx_t = jnp.where(sel, F["slot_tree"] + m, ctx_t)
-            bit_t = jnp.where(sel, b, bit_t)
+                # -- pos_slot tree (match only), 6 bits MSB-first --
+                j_raw = t - F["slot_s"]
+                j = jnp.clip(j_raw, 0, 5)
+                sel = in_tok & F["is_match"] & (j_raw >= 0) & (j_raw < 6)
+                m = (1 << j) | (F["slot"] >> (6 - j))
+                b = (F["slot"] >> (5 - j)) & 1
+                ctx_t = jnp.where(sel, F["slot_tree"] + m, ctx_t)
+                bit_t = jnp.where(sel, b, bit_t)
 
-            # -- distance tail --
-            j_raw = t - F["tail_s"]
-            #   spec_pos reverse tree: footer (<=5) bits LSB-first
-            j = jnp.clip(j_raw, 0, 4)
-            sel = in_tok & F["spec"] & (j_raw >= 0) & (j_raw < F["footer"])
-            m_rev = (1 << j) | _bitrev_low(F["reduced"], j, 5)
-            b = (F["reduced"] >> j) & 1
-            ctx_t = jnp.where(
-                sel, L.spec_pos + F["base_val"] - F["slot"] - 1 + m_rev, ctx_t)
-            bit_t = jnp.where(sel, b, bit_t)
-            #   huge: direct bits MSB-first then 4-bit align reverse tree
-            nd = F["footer"] - 4
-            sel = in_tok & F["huge"] & (j_raw >= 0) & (j_raw < nd)
-            b = (F["reduced"] >> jnp.clip(F["footer"] - 1 - j_raw, 0, 31)) & 1
-            ctx_t = jnp.where(sel, CTX_DIRECT, ctx_t)
-            bit_t = jnp.where(sel, b, bit_t)
-            ja = jnp.clip(j_raw - nd, 0, 3)
-            sel = in_tok & F["huge"] & (j_raw - nd >= 0) & (j_raw - nd < 4)
-            align_v = F["reduced"] & 15
-            m_rev = (1 << ja) | _bitrev_low(align_v, ja, 4)
-            b = (align_v >> ja) & 1
-            ctx_t = jnp.where(sel, L.align + m_rev, ctx_t)
-            bit_t = jnp.where(sel, b, bit_t)
+                # -- distance tail --
+                j_raw = t - F["tail_s"]
+                #   spec_pos reverse tree: footer (<=5) bits LSB-first
+                j = jnp.clip(j_raw, 0, 4)
+                sel = in_tok & F["spec"] & (j_raw >= 0) & (j_raw < F["footer"])
+                m_rev = (1 << j) | _bitrev_low(F["reduced"], j, 5)
+                b = (F["reduced"] >> j) & 1
+                ctx_t = jnp.where(
+                    sel, L.spec_pos + F["base_val"] - F["slot"] - 1 + m_rev,
+                    ctx_t)
+                bit_t = jnp.where(sel, b, bit_t)
+                #   huge: direct bits MSB-first then 4-bit align rev tree
+                nd = F["footer"] - 4
+                sel = in_tok & F["huge"] & (j_raw >= 0) & (j_raw < nd)
+                b = (F["reduced"]
+                     >> jnp.clip(F["footer"] - 1 - j_raw, 0, 31)) & 1
+                ctx_t = jnp.where(sel, CTX_DIRECT, ctx_t)
+                bit_t = jnp.where(sel, b, bit_t)
+                ja = jnp.clip(j_raw - nd, 0, 3)
+                sel = in_tok & F["huge"] & (j_raw - nd >= 0) & (j_raw - nd < 4)
+                align_v = F["reduced"] & 15
+                m_rev = (1 << ja) | _bitrev_low(align_v, ja, 4)
+                b = (align_v >> ja) & 1
+                ctx_t = jnp.where(sel, L.align + m_rev, ctx_t)
+                bit_t = jnp.where(sel, b, bit_t)
 
-            # scatter into the flat stream
+            # ONE packed scatter into the flat stream (ctx fits 14 bits;
+            # halving the scatter volume is the round-5 lower-pass win)
             dest = jnp.where(in_tok, F["base_off"] + t, max_bits)
-            ctx_out = ctx_out.at[lanes2, dest].set(
-                jnp.where(in_tok, ctx_t, 0), mode="drop")
-            bit_out = bit_out.at[lanes2, dest].set(
-                jnp.where(in_tok, bit_t, 0), mode="drop")
-            return (ctx_out, bit_out)
+            packed = jnp.where(in_tok, (ctx_t << 1) | bit_t, 0)
+            return ctx_out.at[lanes2, dest].set(packed, mode="drop")
 
         return slot_body
 
-    short_cls = valid & (is_lit | srep)
-    ctx_out, bit_out = jax.lax.fori_loop(
-        0, 9, make_body(F_full, short_cls, T), (ctx_out, bit_out))
+    # packed plane: (ctx << 1) | bit, initialized to the direct-bit ctx
+    ctx_out = jnp.full((N, max_bits), CTX_DIRECT << 1, dtype=jnp.int32)
 
-    # LONG tokens compacted to a half-width buffer (len >= 2 each)
+    short_cls = valid & (is_lit | srep)
+    ctx_out = jax.lax.fori_loop(
+        0, 9, make_body(F_full, short_cls, T, True), ctx_out)
+
+    # LONG tokens compacted to a half-width buffer (len >= 2 each);
+    # only the fields the long side reads are compacted
     Tc = T // 2 + 2
     long_cls = valid & ~(is_lit | srep)
     lidx = jnp.cumsum(long_cls.astype(jnp.int32), axis=1) - 1
@@ -397,12 +412,18 @@ def lower_tokens(data, meta, t_pos, t_len, t_dist, t_valid, lc, lp, pb,
         return jnp.zeros((N, Tc + 1), a.dtype).at[lanes2, ltgt].set(
             a, mode="drop")[:, :Tc]
 
-    F_long = {kk: comp(vv) for kk, vv in F_full.items()}
+    LONG_FIELDS = ("nbits", "base_off", "im_ctx", "is_rep", "is_match",
+                   "state", "pos_state", "rep_idx", "srep", "rbits", "len_s",
+                   "dlen", "band", "band_v", "band_bits", "band_tree",
+                   "choice_bits", "len_base", "slot", "slot_tree",
+                   "slot_s", "tail_s", "spec", "huge", "footer",
+                   "reduced", "base_val")
+    F_long = {kk: comp(F_full[kk]) for kk in LONG_FIELDS}
     long_c = comp(long_cls)
     maxb = jnp.minimum(jnp.max(jnp.where(long_cls, nbits, 0)), MAXB)
-    ctx_out, bit_out = jax.lax.fori_loop(
-        0, maxb, make_body(F_long, long_c, Tc), (ctx_out, bit_out))
-    return ctx_out, bit_out, total
+    ctx_out = jax.lax.fori_loop(
+        0, maxb, make_body(F_long, long_c, Tc, False), ctx_out)
+    return ctx_out >> 1, ctx_out & 1, total
 
 
 # ---------------------------------------------------------------- phase D

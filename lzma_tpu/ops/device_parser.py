@@ -57,6 +57,14 @@ DIST_MASK = (1 << 30) - 1
 #: its minimal distance; the longest list entry is always kept)
 DEFAULT_M_DP = 4
 
+#: search right-sizing: unique candidates per position kept (nearest
+#: -first) before the LCP queries.  Measured knee (tools/mcap_sweep.py,
+#: frozen 1 MB, fb32, deep ladder): off +0.71% vs bt4-opt, 16 +0.86%,
+#: 12 +3.02%, 8 +3.78% — 16 trades +0.15% size for ~45% of the
+#: query+merge gather volume (the chip search's dominant cost).  The
+#: exact-parity hybrid path keeps m_cap=0.
+DP_M_CAP = 16
+
 #: the hybrid-optimal deep tier ladder (ops/hybrid.DEFAULT_TIERS) as a
 #: static tiers_key for the DP pipeline
 DP_TIERS = (("k4", 12), ("k6", 4), ("k8", 6), ("k16", 3), ("k32", 2))
@@ -1586,7 +1594,7 @@ def _seed_from_lists(cl, cd, counts, n, data=None, ext_from: int = 0,
 def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
                      m_dp=DEFAULT_M_DP, full_len_only=False,
                      tiers_key=(("k4", 4), ("k8", 2)), n_iter=1,
-                     band=None, seed="lists", m_cap_search=0):
+                     band=None, seed="lists", m_cap_search=DP_M_CAP):
     """Full device pipeline: candidate lists -> empirical prices -> DP ->
     tokens.  data (L, N) u8, lens (L,).  Returns (t_pos, t_len, t_dist,
     t_valid, ntok) — same contract as device_matcher.tokenize, ready for

@@ -178,10 +178,12 @@ def main():
     # headline JSON always lands.  Skip with LZMA_TPU_BENCH_DEVICE=0.
     import signal
 
-    # 300 s: search + DP-pipeline + e2e + two champion kernels, in
+    # 420 s: search + DP-pipeline + e2e + two champion kernels, in
     # flagship-first order so a budget trip can only cost the tail
-    # (VERDICT r4 item 2)
-    budget = int(os.environ.get("LZMA_TPU_BENCH_DEVICE_BUDGET", "300"))
+    # (VERDICT r4 item 2); the DP sub-bench shares its big executable
+    # with the e2e encode (same statics/shapes), and each section's
+    # relay compile is the dominant cost
+    budget = int(os.environ.get("LZMA_TPU_BENCH_DEVICE_BUDGET", "420"))
     if os.environ.get("LZMA_TPU_BENCH_DEVICE", "1") != "0" and budget > 0:
         class _Budget(Exception):
             pass
@@ -259,28 +261,31 @@ def main():
             # (VERDICT r4 item 2: run FIRST inside the budget, before the
             # compile-expensive champions, so device_dp_mbs always lands
             # in the driver JSON).  Empirical prices + the Mosaic banded
-            # DP scan (ops/device_parser), production search settings.
-            from lzma_tpu.ops.device_parser import DP_TIERS, tokenize_optimal
+            # DP scan + bit lowering — timed through _lower_lanes_jit
+            # with EXACTLY the statics/shapes the e2e encode below uses,
+            # so the e2e section's big executable is an in-process
+            # compile-cache HIT (saves ~150 s of relay compile inside
+            # the budget)
+            from lzma_tpu.ops.device_encoder import _lower_lanes_jit
 
-            lanes_d, bs_d = 8, 1 << 14
+            lanes_d, bs_d = 32, 1 << 14
             arr_d = jnp.asarray(np.frombuffer(
                 data[: lanes_d * bs_d], np.uint8).reshape(lanes_d, bs_d))
             lens_d = jnp.full((lanes_d,), bs_d, jnp.int32)
 
             def dp_run(trial):
                 a = _tweak(arr_d, jnp.int32(trial))
-                toks = tokenize_optimal(
+                ctx_d, _, _, _ = _lower_lanes_jit(
                     a, lens_d, jnp.int32(bs_d), lc=3, lp=0, pb=2, fb=32,
-                    tiers_key=DP_TIERS, n_iter=2,
-                    band=("pallas" if backend == "tpu" else True))
-                return _drain(toks[0])
+                    num_candidates=4, parse="optimal")
+                return _drain(ctx_d)
 
             dp_run(0)
             med_d, lo_d, hi_d = median3_rb(dp_run)
             tot_d = lanes_d * bs_d
             dp_rate = tot_d / med_d / 1e6
-            log(f"device optimal-parse DP pipeline (8x16KB, readback): "
-                f"{dp_rate:.2f} MB/s "
+            log(f"device optimal-parse DP pipeline+lowering (32x16KB, "
+                f"readback): {dp_rate:.2f} MB/s "
                 f"(band {tot_d/hi_d/1e6:.2f}-{tot_d/lo_d/1e6:.2f})")
             REPORT["device_dp_mbs"] = round(dp_rate, 2)
 
@@ -592,6 +597,50 @@ print(json.dumps({
                 REPORT["device_dp_ratio"] = round(d["dn"] / d["d_opt"], 3)
                 REPORT["device_dp_vs_bt4_size_pct"] = round(
                     (d["d_opt"] - d["d_bt"]) / d["d_bt"] * 100, 2)
+
+            # honest CHIP end-to-end of the hybrid pipeline: device
+            # search + transfer (numpy products = readback by
+            # construction) + flatten + host optimal parse + serialize
+            # (VERDICT r4 item 3).  Small sample; the full 2 MB
+            # protocol run lives in tools/hybrid_e2e.py (0.24 MB/s vs
+            # native bt4-opt 2.98 on the frozen corpus — hybrid does
+            # NOT beat native e2e on this rig; its value is ratio at
+            # reduced host cost).
+            if os.environ.get("LZMA_TPU_BENCH_DEVICE", "1") != "0":
+                import numpy as _np
+
+                import jax.numpy as _jnp
+                from lzma_tpu.bench.corpus import frozen_corpus as _fc
+                from lzma_tpu.ops.hybrid import (_flatten_packed,
+                                                 _match_lists_grouped)
+                from lzma_tpu.runtime import native as _nath
+
+                he_bs, he_n = 1 << 16, 8
+                he_data = bytearray(_fc()[: he_bs * he_n])
+                ts_he = []
+                for t in range(4):          # first trial pays compile
+                    he_data[t] = (he_data[t] + 1) % 251
+                    d_he = bytes(he_data)
+                    arr_he = _np.frombuffer(d_he, _np.uint8).reshape(
+                        he_n, he_bs)
+                    lens_he = _np.full(he_n, he_bs, _np.int32)
+                    t0 = time.perf_counter()
+                    fl_h, fd_h, cnt_h = _match_lists_grouped(
+                        arr_he, lens_he, _jnp.int32(he_bs), 32,
+                        dict(k4=12, k6=4, k8=6, k16=3, k32=2))
+                    fla = _flatten_packed(fl_h, fd_h, cnt_h, lens_he)
+                    payload_h, sizes_h = _nath.encode_candidate_blocks(
+                        arr_he.reshape(-1), he_bs, 3, 0, 2, he_bs, 32,
+                        *fla, num_threads=0, total_len=len(d_he))
+                    ts_he.append(time.perf_counter() - t0)
+                ts_he = sorted(ts_he[1:])
+                he_rate = he_bs * he_n / ts_he[1] / 1e6
+                log(f"hybrid-optimal CHIP e2e (8x64KB frozen, search+"
+                    f"transfer+parse+serialize, readback): {he_rate:.3f} "
+                    f"MB/s (band {he_bs*he_n/ts_he[2]/1e6:.3f}-"
+                    f"{he_bs*he_n/ts_he[0]/1e6:.3f}) — does NOT beat "
+                    f"native bt4-opt e2e on this rig (see MEASUREMENTS)")
+                REPORT["hybrid_e2e_mbs"] = round(he_rate, 3)
         except _HBudget:
             log(f"hybrid-optimal bench skipped: exceeded {hbudget}s budget")
         except Exception as e:

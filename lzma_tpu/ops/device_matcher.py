@@ -147,6 +147,72 @@ def find_best_matches(data, n, dict_size, fb: int, num_candidates: int = 4):
     return best_len, jnp.maximum(best_dist, 0)
 
 
+@partial(jax.jit, static_argnames=("fb", "num_candidates"))
+def find_best_matches_rmq(data, n, dict_size, fb: int,
+                          num_candidates: int = 4):
+    """find_best_matches with every byte compare replaced by suffix LCP
+    queries (round 5): the SAME 4-byte-hash sort-neighbor candidates,
+    lengths as exact LCPs against a 273-deep suffix order (prefix
+    doubling), so the fb compare rounds AND the 241-round past-fb
+    extension loop (the lazy tokenizer's dominant gather cost) become
+    3 gathers per pair.  Token-identical to find_best_matches —
+    selection still ranks by min(LCP, fb) with nearest-distance
+    tie-break, and the chosen pair's length is min(LCP, 273, n-pos)
+    exactly like the compare+extension pair."""
+    max_n = data.shape[0]
+    pos = jnp.arange(max_n, dtype=jnp.int32)
+    d = data.astype(jnp.uint32)
+    # the chosen pair extends past fb to the 273 cap exactly like the
+    # reference's longest-match extension, so the table is always
+    # 273-deep regardless of fb
+    depth = MATCH_MAX
+    rank, T = _suffix_rank_lcp(data, n, pos, max_n, depth)
+
+    b0 = d
+    b1 = jnp.roll(d, -1)
+    b2 = jnp.roll(d, -2)
+    b3 = jnp.roll(d, -3)
+    h = (
+        b0 * jnp.uint32(2654435761)
+        ^ b1 * jnp.uint32(2246822519)
+        ^ b2 * jnp.uint32(3266489917)
+        ^ b3 * jnp.uint32(668265263)
+    )
+    valid = pos + 3 < n
+    h = jnp.where(valid, h, jnp.uint32(0x80000000) ^ pos.astype(jnp.uint32))
+
+    order = jnp.lexsort((pos, h))
+    sorted_h = h[order]
+    cands = []
+    for k in range(1, num_candidates + 1):
+        prev = jnp.roll(order, k)
+        same = jnp.roll(sorted_h, k) == sorted_h
+        same = same & (jnp.arange(max_n) >= k)
+        cand_sorted = jnp.where(same, prev, -1)
+        cand = jnp.full((max_n,), -1, dtype=jnp.int32).at[order].set(
+            cand_sorted)
+        cands.append(cand)
+    cand = jnp.stack(cands, axis=1)        # (max_n, K)
+
+    in_window = (cand >= 0) & (pos[:, None] - cand <= dict_size) & (
+        cand < pos[:, None])
+    lf = _lcp_query(rank, T, pos[:, None], cand, max_n, rp=rank[:, None])
+    lf = jnp.minimum(lf, jnp.maximum(n - pos, 0)[:, None])
+    lf = jnp.where(in_window, lf, 0)
+    sel_len = jnp.minimum(lf, fb)
+
+    dist = pos[:, None] - cand - 1
+    masked_sel = jnp.where(in_window, sel_len, -1)
+    best_sel = jnp.max(masked_sel, axis=1)
+    tied_dist = jnp.where(masked_sel == best_sel[:, None], dist,
+                          jnp.int32(1 << 30))
+    best_dist = jnp.min(tied_dist, axis=1)
+    chosen = (masked_sel == best_sel[:, None]) & (dist == best_dist[:, None])
+    best_len = jnp.max(jnp.where(chosen, lf, 0), axis=1)
+    best_len = jnp.where(best_sel >= MIN_MATCH, best_len, 0)
+    return best_len, jnp.maximum(best_dist, 0)
+
+
 @partial(jax.jit, static_argnames=("max_n", "lazy"))
 def greedy_path(best_len, best_dist, n, max_n: int, start=0,
                 lazy: bool = False):
@@ -191,7 +257,10 @@ def tokenize(data, n, dict_size, fb: int, num_candidates: int = 4, start=0,
     Tokens are compacted to the front; t_valid marks real tokens.
     """
     max_n = data.shape[0]
-    best_len, best_dist = find_best_matches(data, n, dict_size, fb, num_candidates)
+    # RMQ engine (round 5): token-identical to find_best_matches at
+    # ~1/20th the gather volume (asserted by tests)
+    best_len, best_dist = find_best_matches_rmq(data, n, dict_size, fb,
+                                                num_candidates)
     on_path = greedy_path(best_len, best_dist, n, max_n, start, lazy)
     return _compact(best_len, best_dist, on_path, n, lazy)
 

@@ -282,6 +282,34 @@ def test_rmq_lists_identical_to_compare_loop():
             assert np.array_equal(np.asarray(x), np.asarray(y)), (n, fb)
 
 
+def test_best_matches_rmq_identical_to_compare_loop():
+    """The lazy tokenizer's RMQ engine must reproduce find_best_matches
+    EXACTLY (selection by fb-capped length with nearest tie-break, then
+    the 273 extension of the chosen pair) — it replaces the compare +
+    extension loops on the default device tokenize path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lzma_tpu.bench.corpus import frozen_corpus
+    from lzma_tpu.ops.device_matcher import (find_best_matches,
+                                             find_best_matches_rmq)
+
+    lzmix = _lz_mix_corpus(42, 8000)
+    text = frozen_corpus()[1 << 18 : (1 << 18) + 8192]
+    runs = b"x" * 4000 + _lz_mix_corpus(7, 4192)
+    for corpus, n, fb, ds, k in ((lzmix, 8000, 32, 8192, 4),
+                                 (lzmix, 8192, 64, 2048, 4),
+                                 (text, 8192, 32, 8192, 2),
+                                 (text, 6000, 273, 8192, 4),
+                                 (runs, 8192, 16, 8192, 8)):
+        arr = jnp.asarray(np.frombuffer(
+            (corpus + b"\0" * 8192)[:8192], np.uint8))
+        a = find_best_matches(arr, jnp.int32(n), jnp.int32(ds), fb, k)
+        b = find_best_matches_rmq(arr, jnp.int32(n), jnp.int32(ds), fb, k)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), (n, fb, k)
+
+
 def test_rmq_m_cap_lists_valid_subset():
     """With the DP right-sizing cap on, each merged list must be a
     VALID ascending list whose pairs all appear in the uncapped list

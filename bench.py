@@ -148,9 +148,12 @@ def main():
         # compress better (interleaved median-of-5 A/B: fb8 rt 22.45
         # @2.371, fb24 rt 23.26 @2.401, hc4-fb32 rt 21.11 @2.492;
         # MEASUREMENTS.md round 5)
+        # 2 MB blocks: rt-neutral vs 1 MB in both round-5 A/Bs while
+        # lifting ratio 2.401 -> 2.460 (fewer block boundaries at the
+        # same 1 MB dictionary)
         p_fast = LzmaParams(dict_size=1 << 20, fast_bytes=24, match_finder="fast4")
         blob, t_enc, te_lo, te_hi = timed_med(
-            native.encode_blocks, data, p_fast, block_size=1 << 20,
+            native.encode_blocks, data, p_fast, block_size=1 << 21,
             num_threads=0, optimal=False,
         )
         out, t_dec, td_lo, td_hi = timed_med(

@@ -564,11 +564,18 @@ def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
 
 
 def _rmq_search(data, n, dict_size, fb: int, k4=4, k8=2,
-                k2=1, k3=1, k6=0, k16=0, k32=0, m_cap: int = 0):
+                k2=1, k3=1, k6=0, k16=0, k32=0, m_cap: int = 0,
+                m_cap_order: str = "near"):
     """find_match_lists_rmq body; additionally returns (rank, T) so
     callers inside a larger jit (the DP pipeline) can reuse the suffix
     machinery for further LCP queries (rep0 lengths) instead of
-    running fb-round compare loops."""
+    running fb-round compare loops.
+
+    m_cap_order picks which uniques survive a truncation: "near" keeps
+    the m_cap nearest; "rr" keeps by round-robin tier priority (every
+    tier's rank-1 candidate first, then rank-2, ...) so the deep-tier
+    long-match finders survive crowded rows — measured ratio/speed in
+    MEASUREMENTS.md round 5."""
     max_n = data.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
     d = data.astype(jnp.uint32)
@@ -605,18 +612,54 @@ def _rmq_search(data, n, dict_size, fb: int, k4=4, k8=2,
              + (_neighbor_candidates(h32, pos, max_n, k32) if k32 else []))
     cand = jnp.stack(cands, axis=1)                    # (max_n, M)
 
-    # ---- dedup across tiers (output-neutral), optional nearest-cap ----
-    # one ascending row-sort groups duplicate candidate indices
-    # adjacently; survivors are re-ordered nearest-first (descending
-    # candidate position == ascending distance) by a second row-sort
-    cs = jnp.sort(cand, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((max_n, 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1)
-    cs = jnp.where(dup, -1, cs)
-    key = jnp.sort(jnp.where(cs >= 0, -cs, jnp.int32(1 << 30)), axis=1)
-    cand = jnp.where(key >= (1 << 30), -1, -key)
-    if m_cap > 0 and m_cap < cand.shape[1]:
-        cand = cand[:, :m_cap]
+    # ---- dedup across tiers (output-neutral), optional cap ----
+    if m_cap_order == "rr" and m_cap > 0 and m_cap < cand.shape[1]:
+        # round-robin tier priority: column permutation [every tier's
+        # rank-1, every tier's rank-2, ...]; keep-first dedup in that
+        # order, pack survivors by priority, truncate, then restore
+        # ascending-distance order for the merge
+        sizes = [("k2", k2), ("k3", k3), ("k4", k4), ("k6", k6),
+                 ("k8", k8), ("k16", k16), ("k32", k32)]
+        sizes = [(nm, int(kk) if isinstance(kk, int) else len(kk))
+                 for nm, kk in sizes]
+        offs, o = [], 0
+        for nm, sz in sizes:
+            offs.append(o)
+            o += sz
+        perm = []
+        for r in range(max(sz for _, sz in sizes)):
+            for (nm, sz), base in zip(sizes, offs):
+                if r < sz:
+                    perm.append(base + r)
+        cp = cand[:, jnp.asarray(perm, jnp.int32)]
+        Mp = cp.shape[1]
+        dup = jnp.zeros((max_n, Mp), bool)
+        for j in range(1, Mp):
+            eqa = jnp.zeros((max_n,), bool)
+            for i in range(j):
+                eqa = eqa | (cp[:, j] == cp[:, i])
+            dup = dup.at[:, j].set(eqa & (cp[:, j] >= 0))
+        cp = jnp.where(dup, -1, cp)
+        # pack by priority, truncate to m_cap
+        pk = jnp.where(cp >= 0, jnp.arange(Mp, dtype=jnp.int32)[None, :],
+                       jnp.int32(1 << 30))
+        ordp = jnp.argsort(pk, axis=1)[:, :m_cap]
+        cp = jnp.take_along_axis(cp, ordp, axis=1)
+        # ascending distance for the merge
+        key = jnp.sort(jnp.where(cp >= 0, -cp, jnp.int32(1 << 30)), axis=1)
+        cand = jnp.where(key >= (1 << 30), -1, -key)
+    else:
+        # one ascending row-sort groups duplicate candidate indices
+        # adjacently; survivors are re-ordered nearest-first (descending
+        # candidate position == ascending distance) by a second row-sort
+        cs = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((max_n, 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1)
+        cs = jnp.where(dup, -1, cs)
+        key = jnp.sort(jnp.where(cs >= 0, -cs, jnp.int32(1 << 30)), axis=1)
+        cand = jnp.where(key >= (1 << 30), -1, -key)
+        if m_cap > 0 and m_cap < cand.shape[1]:
+            cand = cand[:, :m_cap]
     M = cand.shape[1]
 
     in_window = (cand >= 0) & (pos[:, None] - cand <= dict_size) & (

@@ -57,13 +57,17 @@ DIST_MASK = (1 << 30) - 1
 #: its minimal distance; the longest list entry is always kept)
 DEFAULT_M_DP = 4
 
-#: search right-sizing: unique candidates per position kept (nearest
-#: -first) before the LCP queries.  Measured knee (tools/mcap_sweep.py,
-#: frozen 1 MB, fb32, deep ladder): off +0.71% vs bt4-opt, 16 +0.86%,
-#: 12 +3.02%, 8 +3.78% — 16 trades +0.15% size for ~45% of the
-#: query+merge gather volume (the chip search's dominant cost).  The
-#: exact-parity hybrid path keeps m_cap=0.
-DP_M_CAP = 16
+#: search right-sizing: unique candidates per position kept before the
+#: LCP queries, in round-robin TIER priority (every tier's rank-1
+#: candidate first, then rank-2, ... — "rr"): crowded rows keep each
+#: seed length's nearest finds, so truncation costs ~nothing.  Measured
+#: (tools/mcap_sweep.py, frozen 1 MB, fb32, deep ladder, container
+#: bytes vs bt4-opt): off 239964; rr cap16/cap20 239964 (IDENTICAL);
+#: rr cap12 +9 B; nearest-first cap16 was +365 B and cap12 +1.5 KB.
+#: cap12 cuts ~59% of the query+merge gather volume (the chip search's
+#: dominant cost).  The exact-parity hybrid path keeps m_cap=0.
+DP_M_CAP = 12
+DP_M_CAP_ORDER = "rr"
 
 #: the hybrid-optimal deep tier ladder (ops/hybrid.DEFAULT_TIERS) as a
 #: static tiers_key for the DP pipeline
@@ -1590,11 +1594,13 @@ def _seed_from_lists(cl, cd, counts, n, data=None, ext_from: int = 0,
 
 @partial(jax.jit, static_argnames=("lc", "lp", "pb", "fb", "m_dp",
                                    "full_len_only", "tiers_key", "n_iter",
-                                   "band", "seed", "m_cap_search"))
+                                   "band", "seed", "m_cap_search",
+                                   "m_cap_order"))
 def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
                      m_dp=DEFAULT_M_DP, full_len_only=False,
                      tiers_key=(("k4", 4), ("k8", 2)), n_iter=1,
-                     band=None, seed="lists", m_cap_search=DP_M_CAP):
+                     band=None, seed="lists", m_cap_search=DP_M_CAP,
+                     m_cap_order=DP_M_CAP_ORDER):
     """Full device pipeline: candidate lists -> empirical prices -> DP ->
     tokens.  data (L, N) u8, lens (L,).  Returns (t_pos, t_len, t_dist,
     t_valid, ntok) — same contract as device_matcher.tokenize, ready for
@@ -1627,8 +1633,8 @@ def tokenize_optimal(data, lens, dict_size, *, lc, lp, pb, fb,
     from .device_matcher import _rmq_search, rep_match_lens_rmq
 
     cl, cd, counts, s_rank, s_T = jax.vmap(
-        lambda d, n: _rmq_search(d, n, dict_size, fb,
-                                 m_cap=m_cap_search, **tiers)
+        lambda d, n: _rmq_search(d, n, dict_size, fb, m_cap=m_cap_search,
+                                 m_cap_order=m_cap_order, **tiers)
     )(data, lens)
     ld, dd = _select_dp_pairs(cl, cd, counts, m_dp)
 

@@ -314,6 +314,7 @@ def test_rmq_m_cap_lists_valid_subset():
     """With the DP right-sizing cap on, each merged list must be a
     VALID ascending list whose pairs all appear in the uncapped list
     (the cap drops far candidates, never invents or reorders)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -322,15 +323,26 @@ def test_rmq_m_cap_lists_valid_subset():
     tiers = dict(k4=12, k6=4, k8=6, k16=3, k32=2)
     data = _lz_mix_corpus(13, 8192)
     arr = jnp.asarray(np.frombuffer(data, np.uint8))
+    from lzma_tpu.ops.device_matcher import _rmq_search
+
     full = find_match_lists_rmq(arr, jnp.int32(8192), jnp.int32(8192),
                                 32, **tiers)
-    capped = find_match_lists_rmq(arr, jnp.int32(8192), jnp.int32(8192),
-                                  32, m_cap=8, **tiers)
     fl, fd, fc = (np.asarray(x) for x in full)
-    cl, cd, cc = (np.asarray(x) for x in capped)
-    for i in range(8192):
-        pairs_full = set(zip(fl[i, :fc[i]], fd[i, :fc[i]]))
-        row_l, row_d = cl[i, :cc[i]], cd[i, :cc[i]]
-        assert (np.diff(row_l) > 0).all() and (np.diff(row_d) > 0).all(), i
-        for p in zip(row_l, row_d):
-            assert p in pairs_full, (i, p)
+    pairs_full = [set(zip(fl[i, :fc[i]], fd[i, :fc[i]]))
+                  for i in range(8192)]
+    for kw in (dict(m_cap=8),                      # nearest-first cap
+               dict(m_cap=12, m_cap_order="rr")):  # production rr cap
+        if "m_cap_order" in kw:
+            capped = jax.jit(lambda a: _rmq_search(
+                a, jnp.int32(8192), jnp.int32(8192), 32, **tiers,
+                **kw)[:3])(arr)
+        else:
+            capped = find_match_lists_rmq(
+                arr, jnp.int32(8192), jnp.int32(8192), 32, **tiers, **kw)
+        cl, cd, cc = (np.asarray(x) for x in capped)
+        for i in range(8192):
+            row_l, row_d = cl[i, :cc[i]], cd[i, :cc[i]]
+            assert (np.diff(row_l) > 0).all() and \
+                (np.diff(row_d) > 0).all(), i
+            for p in zip(row_l, row_d):
+                assert p in pairs_full[i], (i, p, kw)

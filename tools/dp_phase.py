@@ -61,13 +61,16 @@ total = L * BS
 _fml = find_match_lists_rmq
 
 
+M_ORDER = os.environ.get("MCAP_ORDER", P.DP_M_CAP_ORDER)
+
+
 @jax.jit
 def f_search(a):
     from lzma_tpu.ops.device_matcher import _rmq_search
 
     cl, cd, counts, rank, T = jax.vmap(
         lambda d, n: _rmq_search(d, n, dict_size, FB, m_cap=M_CAP,
-                                 **TIERS))(a, lens)
+                                 m_cap_order=M_ORDER, **TIERS))(a, lens)
     # pair selection is part of the search product the DP consumes
     lds, dds = P._select_dp_pairs(cl, cd, counts, P.DEFAULT_M_DP)
     return cl, cd, counts, lds, dds, rank, T

@@ -11,6 +11,7 @@ Also prints the unique-candidate count distribution (the overlap the
 dedup removes) once.
 
 Usage: python tools/mcap_sweep.py [size_mb] [caps...]   (cpu jax)
+Env: MCAP_ORDER=near|rr (truncation priority; round 5)
 """
 import os
 import sys
@@ -62,11 +63,15 @@ blob_bt = native.encode_blocks(bytes(data), p, block_size=BS, num_threads=0)
 print(f"anchor native bt4-opt: {len(blob_bt)} B")
 
 
+ORDER = os.environ.get("MCAP_ORDER", "near")
+
+
 def size_at(m_cap):
     t0 = time.perf_counter()
     tp, tl, td, tv, ntok = tokenize_optimal(
         arr, lens, jnp.int32(BS), lc=3, lp=0, pb=2, fb=FB,
-        tiers_key=DP_TIERS, n_iter=2, band=True, m_cap_search=m_cap)
+        tiers_key=DP_TIERS, n_iter=2, band=True, m_cap_search=m_cap,
+        m_cap_order=ORDER)
     jax.block_until_ready(tp)
     t_tok = time.perf_counter() - t0
     tpn, tln, tdn, tvn = (np.asarray(x) for x in (tp, tl, td, tv))

@@ -30,7 +30,7 @@ L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 BS = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 16)
 N_ITER = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 SEED = sys.argv[4] if len(sys.argv) > 4 else "lists"
-M_CAP = int(sys.argv[5]) if len(sys.argv) > 5 else 16  # production default
+M_CAP = int(sys.argv[5]) if len(sys.argv) > 5 else 12  # production default (rr)
 FB = int(sys.argv[6]) if len(sys.argv) > 6 else 32
 TIERS = (("k4", 12), ("k6", 4), ("k8", 6), ("k16", 3), ("k32", 2))
 

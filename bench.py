@@ -614,7 +614,8 @@ print(json.dumps({
 
                 import jax.numpy as _jnp
                 from lzma_tpu.bench.corpus import frozen_corpus as _fc
-                from lzma_tpu.ops.hybrid import (_flatten_packed,
+                from lzma_tpu.ops.hybrid import (DEFAULT_TIERS,
+                                                 _flatten_packed,
                                                  _match_lists_grouped)
                 from lzma_tpu.runtime import native as _nath
 
@@ -630,7 +631,7 @@ print(json.dumps({
                     t0 = time.perf_counter()
                     fl_h, fd_h, cnt_h = _match_lists_grouped(
                         arr_he, lens_he, _jnp.int32(he_bs), 32,
-                        dict(k4=12, k6=4, k8=6, k16=3, k32=2))
+                        dict(DEFAULT_TIERS))
                     fla = _flatten_packed(fl_h, fd_h, cnt_h, lens_he)
                     payload_h, sizes_h = _nath.encode_candidate_blocks(
                         arr_he.reshape(-1), he_bs, 3, 0, 2, he_bs, 32,
@@ -638,11 +639,19 @@ print(json.dumps({
                     ts_he.append(time.perf_counter() - t0)
                 ts_he = sorted(ts_he[1:])
                 he_rate = he_bs * he_n / ts_he[1] / 1e6
+                # verdict computed from the numbers: native bt4-opt on
+                # the same frozen corpus (subprocess timing above)
+                bt_rate = (d["n"] / d["t_bt"] / 1e6
+                           if "t_bt" in d and d["t_bt"] > 0 else None)
+                verdict = ("" if bt_rate is None else
+                           (" — beats" if he_rate > bt_rate else
+                            " — does NOT beat") +
+                           f" native bt4-opt e2e ({bt_rate:.2f} MB/s) "
+                           "on this rig")
                 log(f"hybrid-optimal CHIP e2e (8x64KB frozen, search+"
                     f"transfer+parse+serialize, readback): {he_rate:.3f} "
                     f"MB/s (band {he_bs*he_n/ts_he[2]/1e6:.3f}-"
-                    f"{he_bs*he_n/ts_he[0]/1e6:.3f}) — does NOT beat "
-                    f"native bt4-opt e2e on this rig (see MEASUREMENTS)")
+                    f"{he_bs*he_n/ts_he[0]/1e6:.3f}){verdict}")
                 REPORT["hybrid_e2e_mbs"] = round(he_rate, 3)
         except _HBudget:
             log(f"hybrid-optimal bench skipped: exceeded {hbudget}s budget")
@@ -669,9 +678,9 @@ print(json.dumps({
         # the rig's core count binds the MT headline (block-pool scaling
         # measured 93-99% clean, MEASUREMENTS.md); the per-core ratio is
         # the portable number
-        "host_cores": os.cpu_count(),
+        "host_cores": os.cpu_count() or 1,
         "vs_baseline_per_core": round(
-            value / os.cpu_count() / results["liblzma"], 3),
+            value / (os.cpu_count() or 1) / results["liblzma"], 3),
         # honesty fields (VERDICT r1 item 4): the headline backend's
         # compression ratio next to the baseline's, plus the
         # matched-ratio comparison (native bt4-opt vs multithreaded

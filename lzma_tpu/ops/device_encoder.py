@@ -691,12 +691,15 @@ def _dump_device_trace(trace, data, lens, dict_j, fb, num_candidates,
     # (tier RMQ lists for the optimal DP; the lazy tokenizer's best
     # pair is a 1-entry list).
     if parse.startswith("optimal") and plen == 0:
-        from .device_parser import DP_TIERS
+        from .device_parser import DP_M_CAP, DP_M_CAP_ORDER, DP_TIERS
         from .device_matcher import find_match_lists_rmq
 
+        # SAME cap/order as the parse consumed (tokenize_optimal's
+        # production defaults) — the dumped lists are what the DP saw
         cl, cd, cn = jax.vmap(
-            lambda d, n: find_match_lists_rmq(d, n, dict_j, fb,
-                                              **dict(DP_TIERS))
+            lambda d, n: find_match_lists_rmq(
+                d, n, dict_j, fb, m_cap=DP_M_CAP,
+                m_cap_order=DP_M_CAP_ORDER, **dict(DP_TIERS))
         )(dj, lj)
         cl, cd, cn = map(np.asarray, (cl, cd, cn))
     else:

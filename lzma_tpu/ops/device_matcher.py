@@ -306,32 +306,13 @@ def _neighbor_candidates(h, pos, max_n: int, k, sort_hint=None):
     return cands
 
 
-@partial(jax.jit,
-         static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32"))
-def find_match_lists(data, n, dict_size, fb: int, k4=4, k8=2,
-                     k2=1, k3=1, k6=0, k16=0, k32=0):
-    """Multi-tier ascending (len, dist) candidate lists per position — the
-    device half of the hybrid-OPTIMAL pipeline (VERDICT r1 item 3).
-
-    Tiers (mirroring BT4's sub-hash structure, BinTree.java:170-208):
-      2-byte exact (k2 nearest), 3-byte exact (k3 nearest), 4-byte hash
-      (k4 nearest), 8-byte hash (k8 nearest) and optional 6/16/32-byte
-      hashes (k6/k16/k32 nearest) — the longer seeds reach matches whose
-      short prefixes are too common to surface within k neighbors.  Each
-      k is an int (k nearest) or a tuple of ranks (rank-spaced sampling,
-      see _neighbor_candidates).
-    Candidates are merged per position by ascending distance with a
-    strictly-increasing-length filter, yielding exactly the ascending
-    pair-list contract of BinTree.fillMatches (each kept length at its
-    minimal discovered distance).  Lengths are capped at fb; the host
-    parser extends the last pair beyond fb exactly like the reference
-    (read_match_distances / Encoder.java:275-287).
-
-    Returns (lens (max_n, M), dists (max_n, M), counts (max_n,)) with
-    valid pairs compacted to the front of each row, M = sum of tier ks.
-    """
-    max_n = data.shape[0]
-    pos = jnp.arange(max_n, dtype=jnp.int32)
+def _tier_candidates(data, n, pos, max_n: int, k4, k8, k2=1, k3=1,
+                     k6=0, k16=0, k32=0):
+    """The multi-tier candidate build shared by every list engine
+    (compare-loop oracle, RMQ production, probes): exact 2/3-byte
+    values + 4/6/8/16/32-byte multiplicative hashes, each tier's k
+    nearest previous occurrences via _neighbor_candidates.  Returns
+    cand (max_n, M), M = sum of tier ks; -1 = no candidate."""
     d = data.astype(jnp.uint32)
     nroll = 32 if k32 else (16 if k16 else 8)
     b = [jnp.roll(d, -i) for i in range(nroll)]
@@ -362,7 +343,37 @@ def find_match_lists(data, n, dict_size, fb: int, k4=4, k8=2,
              + _neighbor_candidates(h8, pos, max_n, k8)
              + (_neighbor_candidates(h16, pos, max_n, k16) if k16 else [])
              + (_neighbor_candidates(h32, pos, max_n, k32) if k32 else []))
-    cand = jnp.stack(cands, axis=1)                    # (max_n, M)
+    return jnp.stack(cands, axis=1)                    # (max_n, M)
+
+
+@partial(jax.jit,
+         static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32"))
+def find_match_lists(data, n, dict_size, fb: int, k4=4, k8=2,
+                     k2=1, k3=1, k6=0, k16=0, k32=0):
+    """Multi-tier ascending (len, dist) candidate lists per position — the
+    device half of the hybrid-OPTIMAL pipeline (VERDICT r1 item 3).
+
+    Tiers (mirroring BT4's sub-hash structure, BinTree.java:170-208):
+      2-byte exact (k2 nearest), 3-byte exact (k3 nearest), 4-byte hash
+      (k4 nearest), 8-byte hash (k8 nearest) and optional 6/16/32-byte
+      hashes (k6/k16/k32 nearest) — the longer seeds reach matches whose
+      short prefixes are too common to surface within k neighbors.  Each
+      k is an int (k nearest) or a tuple of ranks (rank-spaced sampling,
+      see _neighbor_candidates).
+    Candidates are merged per position by ascending distance with a
+    strictly-increasing-length filter, yielding exactly the ascending
+    pair-list contract of BinTree.fillMatches (each kept length at its
+    minimal discovered distance).  Lengths are capped at fb; the host
+    parser extends the last pair beyond fb exactly like the reference
+    (read_match_distances / Encoder.java:275-287).
+
+    Returns (lens (max_n, M), dists (max_n, M), counts (max_n,)) with
+    valid pairs compacted to the front of each row, M = sum of tier ks.
+    """
+    max_n = data.shape[0]
+    pos = jnp.arange(max_n, dtype=jnp.int32)
+    cand = _tier_candidates(data, n, pos, max_n, k4, k8, k2, k3, k6,
+                            k16, k32)
     M = cand.shape[1]
 
     in_window = (cand >= 0) & (pos[:, None] - cand <= dict_size) & (
@@ -538,9 +549,10 @@ def _lcp_query(rank, T, p, q, max_n: int, rp=None):
 
 @partial(jax.jit,
          static_argnames=("fb", "k4", "k8", "k2", "k3", "k6", "k16", "k32",
-                          "m_cap"))
+                          "m_cap", "m_cap_order"))
 def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
-                         k2=1, k3=1, k6=0, k16=0, k32=0, m_cap: int = 0):
+                         k2=1, k3=1, k6=0, k16=0, k32=0, m_cap: int = 0,
+                         m_cap_order: str = "near"):
     """find_match_lists with the candidate COMPARE LOOP replaced by
     suffix-rank LCP range-min queries: identical tier structure and
     IDENTICAL lists at ANY fb (round 5: prefix doubling extends the
@@ -560,7 +572,7 @@ def find_match_lists_rmq(data, n, dict_size, fb: int, k4=4, k8=2,
     hybrid path and is set from the measured ratio/speed knee for the
     DP (MEASUREMENTS.md round 5)."""
     return _rmq_search(data, n, dict_size, fb, k4, k8, k2, k3, k6, k16,
-                       k32, m_cap)[:3]
+                       k32, m_cap, m_cap_order)[:3]
 
 
 def _rmq_search(data, n, dict_size, fb: int, k4=4, k8=2,
@@ -578,39 +590,10 @@ def _rmq_search(data, n, dict_size, fb: int, k4=4, k8=2,
     MEASUREMENTS.md round 5."""
     max_n = data.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
-    d = data.astype(jnp.uint32)
     depth = fb
     rank, T = _suffix_rank_lcp(data, n, pos, max_n, depth)
-
-    nroll = 32 if k32 else (16 if k16 else 8)
-    b = [jnp.roll(d, -i) for i in range(nroll)]
-    uniqt = jnp.uint32(0x80000000)
-    h2 = jnp.where(pos + 1 < n, b[0] | (b[1] << 8),
-                   uniqt ^ pos.astype(jnp.uint32))
-    h3 = jnp.where(pos + 2 < n, b[0] | (b[1] << 8) | (b[2] << 16),
-                   uniqt ^ pos.astype(jnp.uint32))
-    h4 = (b[0] * jnp.uint32(2654435761) ^ b[1] * jnp.uint32(2246822519)
-          ^ b[2] * jnp.uint32(3266489917) ^ b[3] * jnp.uint32(668265263))
-    h4 = jnp.where(pos + 3 < n, h4, uniqt ^ pos.astype(jnp.uint32))
-
-    def _extend(h, lo, hi):
-        for i in range(lo, hi):
-            h = h * jnp.uint32(2654435761) ^ b[i] * jnp.uint32(2246822519)
-        return jnp.where(pos + hi - 1 < n, h, uniqt ^ pos.astype(jnp.uint32))
-
-    h6 = _extend(h4, 4, 6) if k6 else None
-    h8 = _extend(h4, 4, 8)
-    h16 = _extend(h8, 8, 16) if k16 else None
-    h32 = _extend(h16 if k16 else _extend(h8, 8, 16), 16, 32) if k32 else None
-
-    cands = (_neighbor_candidates(h2, pos, max_n, k2)
-             + _neighbor_candidates(h3, pos, max_n, k3)
-             + _neighbor_candidates(h4, pos, max_n, k4)
-             + (_neighbor_candidates(h6, pos, max_n, k6) if k6 else [])
-             + _neighbor_candidates(h8, pos, max_n, k8)
-             + (_neighbor_candidates(h16, pos, max_n, k16) if k16 else [])
-             + (_neighbor_candidates(h32, pos, max_n, k32) if k32 else []))
-    cand = jnp.stack(cands, axis=1)                    # (max_n, M)
+    cand = _tier_candidates(data, n, pos, max_n, k4, k8, k2, k3, k6,
+                            k16, k32)
 
     # ---- dedup across tiers (output-neutral), optional cap ----
     if m_cap_order == "rr" and m_cap > 0 and m_cap < cand.shape[1]:

@@ -124,3 +124,39 @@ def test_seed_modes_all_valid():
     # bare "optimal" is the lists seed
     assert sum(map(len, encode_batch(datas, p, parse="optimal"))) == \
         sizes["lists"]
+
+
+def test_rep_lens_rmq_matches_compare_loop_oracle():
+    """The suffix-table rep0-length trace (round 5) must equal the
+    fb-round compare loop it replaced — the oracle stays in the repo
+    exactly for this assertion (PARITY.md's rep0-trace identity claim)."""
+    from lzma_tpu.ops.device_matcher import _rmq_search, rep_match_lens_rmq
+    from lzma_tpu.ops.device_parser import _rep_match_lens
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(3):
+        out = bytearray(rng.integers(0, 256, 30, dtype=np.uint8).tobytes())
+        while len(out) < 4096:
+            if rng.integers(0, 2):
+                s = int(rng.integers(0, len(out)))
+                out.extend(out[s : s + int(rng.integers(2, 300))])
+            else:
+                out.append(int(rng.integers(0, 256)))
+        rows.append(np.frombuffer(bytes(out[:4096]), np.uint8))
+    data = jnp.asarray(np.stack(rows))
+    lens = jnp.asarray(np.array([4096, 3000, 4096], np.int32))
+    for fb in (16, 32, 273):
+        _, _, _, rank, T = jax.vmap(
+            lambda d, n: _rmq_search(d, n, jnp.int32(4096), fb, k4=4, k8=2)
+        )(data, lens)
+        # a mixed rep0 trace: constant, varying, and out-of-range rows
+        r0pos = jnp.asarray(np.stack([
+            np.full(4096, 7, np.int32),
+            (np.arange(4096) % 97).astype(np.int32),
+            np.full(4096, 5000, np.int32),   # src < 0 everywhere
+        ]))
+        a = jax.vmap(lambda r, t, rp, n: rep_match_lens_rmq(r, t, rp, n, fb)
+                     )(rank, T, r0pos, lens)
+        b = _rep_match_lens(data, lens, r0pos, fb)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), fb

@@ -8,11 +8,13 @@ executions.  (dp_chip.py additionally perturbs the input per trial —
 equivalent protection for its single end-to-end program.)
 
 Phases (matching ops/device_parser.tokenize_optimal):
-  search  - find_match_lists_rmq (fb<=32) / find_match_lists
+  search  - _rmq_search (suffix-RMQ lists at any fb, production
+            m_cap/m_cap_order defaults) + _select_dp_pairs
   seed    - device_matcher.tokenize lazy pass (statistics seed)
   stats   - classify_tokens + lower_tokens + empirical_probs
-  model   - rep0_trace + _rep_match_lens + build_price_model
-  dp      - dp_parse_pallas (tpu) / dp_parse_band (cpu)
+  model   - rep0_trace + rep_match_lens_rmq + build_price_model
+  dp      - dp_parse_pallas (tpu; LZMA_TPU_DP_BAND=pallas2|band) /
+            dp_parse_band (cpu)
   extract - extract_tokens
 
 Usage: python tools/dp_phase.py [lanes] [log2_bs] [fb] [m_cap] [--cpu]
@@ -37,8 +39,7 @@ from functools import partial
 from lzma_tpu.bench.corpus import frozen_corpus
 from lzma_tpu.ops import device_parser as P
 from lzma_tpu.ops.device_encoder import classify_tokens, lower_tokens
-from lzma_tpu.ops.device_matcher import (find_match_lists,
-                                         find_match_lists_rmq, tokenize)
+from lzma_tpu.ops.device_matcher import tokenize
 from lzma_tpu.core.layout import ProbLayout
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -58,7 +59,6 @@ layout = ProbLayout(LC, LP, PB, pos_bits=PB)
 max_bits = 10 * BS + 128
 total = L * BS
 
-_fml = find_match_lists_rmq
 
 
 M_ORDER = os.environ.get("MCAP_ORDER", P.DP_M_CAP_ORDER)

@@ -41,37 +41,12 @@ total = L * BS
 
 
 def _tier_cands(data, n, k4, k8, k2=1, k3=1, k6=0, k16=0, k32=0):
-    """Replicates the tier candidate build of find_match_lists_rmq."""
+    """The SHARED production tier build (device_matcher._tier_candidates)
+    — the probe measures exactly what _rmq_search runs."""
     max_n = data.shape[0]
     pos = jnp.arange(max_n, dtype=jnp.int32)
-    d = data.astype(jnp.uint32)
-    nroll = 32 if k32 else (16 if k16 else 8)
-    b = [jnp.roll(d, -i) for i in range(nroll)]
-    uniqt = jnp.uint32(0x80000000)
-    h2 = jnp.where(pos + 1 < n, b[0] | (b[1] << 8),
-                   uniqt ^ pos.astype(jnp.uint32))
-    h3 = jnp.where(pos + 2 < n, b[0] | (b[1] << 8) | (b[2] << 16),
-                   uniqt ^ pos.astype(jnp.uint32))
-    h4 = (b[0] * jnp.uint32(2654435761) ^ b[1] * jnp.uint32(2246822519)
-          ^ b[2] * jnp.uint32(3266489917) ^ b[3] * jnp.uint32(668265263))
-    h4 = jnp.where(pos + 3 < n, h4, uniqt ^ pos.astype(jnp.uint32))
-
-    def _extend(h, lo, hi):
-        for i in range(lo, hi):
-            h = h * jnp.uint32(2654435761) ^ b[i] * jnp.uint32(2246822519)
-        return jnp.where(pos + hi - 1 < n, h, uniqt ^ pos.astype(jnp.uint32))
-
-    h6 = _extend(h4, 4, 6) if k6 else None
-    h8 = _extend(h4, 4, 8)
-    h16 = _extend(h8, 8, 16) if k16 else None
-    h32 = _extend(h16 if k16 else _extend(h8, 8, 16), 16, 32) if k32 else None
-    NC = DM._neighbor_candidates
-    cands = (NC(h2, pos, max_n, k2) + NC(h3, pos, max_n, k3)
-             + NC(h4, pos, max_n, k4) + (NC(h6, pos, max_n, k6) if k6 else [])
-             + NC(h8, pos, max_n, k8)
-             + (NC(h16, pos, max_n, k16) if k16 else [])
-             + (NC(h32, pos, max_n, k32) if k32 else []))
-    return jnp.stack(cands, axis=1)
+    return DM._tier_candidates(data, n, pos, max_n, k4, k8, k2, k3,
+                               k6, k16, k32)
 
 
 @jax.jit
@@ -106,7 +81,9 @@ def f_query(rank, T, cand):
         max_n = c.shape[0]
         pos = jnp.arange(max_n, dtype=jnp.int32)
         in_w = (c >= 0) & (pos[:, None] - c <= ds) & (c < pos[:, None])
-        length = DM._lcp_query(r, t, pos[:, None], c, max_n)
+        # rp=rank: the production query's gather-saving (round 5)
+        length = DM._lcp_query(r, t, pos[:, None], c, max_n,
+                               rp=r[:, None])
         length = jnp.minimum(length, jnp.maximum(n - pos, 0)[:, None])
         dist = jnp.where(in_w, pos[:, None] - c - 1, jnp.int32(1 << 30))
         return jnp.where(in_w, length, 0), dist
